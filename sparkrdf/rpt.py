@@ -1,0 +1,202 @@
+"""RPT — RDF-topology-preserving transformation as a DataFrame program.
+
+Reference semantics (arango_rdf/main.py:663-849, 2266-2445):
+- every RDF term that appears as subject or object becomes a vertex document
+  in ``{name}_URIRef`` / ``{name}_BNode`` / ``{name}_Literal``;
+- every statement becomes an edge in ``{name}_Statement`` with
+  ``_key = farmhash(f"{s_key}-{p_key}-{o_key}")`` (or the reified subject's
+  key for flattened reifications), ``_from/_to = "{col}/{key}"``,
+  ``_uri``/``_label`` from the predicate, and ``_sub_graph_uri`` when the
+  statement came from a named graph;
+- ``adb:key`` statements override the farmhash key for their subject term
+  anywhere it appears (main.py:1657-1678);
+- duplicate (s,p,o) triples collapse by construction (same edge key).
+
+The whole transform is two projections + unions + key-dedup: no shuffles
+beyond the final ``dropDuplicates`` (which Catalyst executes as a partial +
+final hash aggregate on the key — at 100 TB this is the unavoidable global
+dedup; everything upstream is narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf import terms as T
+from sparkrdf.hashing import register_udfs
+
+VERTEX_COLUMNS = [
+    "collection",
+    "_key",
+    "_uri",
+    "_value",
+    "_label",
+    "_rdftype",
+    "_lang",
+    "_datatype",
+]
+EDGE_COLUMNS = [
+    "collection",
+    "_key",
+    "_from",
+    "_to",
+    "_uri",
+    "_label",
+    "_rdftype",
+    "_sub_graph_uri",
+    "properties",
+]
+
+
+def extract_adb_key_statements(stmts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split ``? adb:key "..."`` controller statements out of the data graph.
+
+    Mirrors main.py:2199-2216 / 4161-4195 (extract + remove). Returns
+    (keys_df[id, custom_key], remaining_statements).
+    """
+    keys = (
+        stmts.filter((F.col("p") == T.ADB_KEY_URI) & (F.col("o_kind") == "Literal"))
+        .select(F.col("s").alias("id"), F.col("o").alias("custom_key"))
+        .dropDuplicates(["id"])
+    )
+    rest = stmts.filter(F.col("p") != T.ADB_KEY_URI)
+    return keys, rest
+
+
+def with_term_keys(stmts: DataFrame, keys_df: DataFrame | None = None) -> DataFrame:
+    """Add s_key / p_key / o_key columns (farmhash of the term's string form,
+    with adb:key overrides broadcast-joined in).
+
+    The farmhash UDF is Arrow-batched and memoized per executor, so the
+    Zipf-heavy terms (rdf:type, hot predicates) cost one hash per batch.
+    """
+    farmhash_udf, _ = register_udfs()
+    out = (
+        stmts.withColumn("s_key", farmhash_udf(F.col("s")))
+        .withColumn("p_key", farmhash_udf(F.col("p")))
+        .withColumn("o_key", farmhash_udf(F.col("o")))
+    )
+    if keys_df is not None:
+        s_over = keys_df.select(F.col("id").alias("s_id"), F.col("custom_key").alias("s_custom"))
+        o_over = keys_df.select(F.col("id").alias("o_id"), F.col("custom_key").alias("o_custom"))
+        out = (
+            out.join(F.broadcast(s_over), F.col("s") == F.col("s_id"), "left")
+            .drop("s_id")
+            .join(F.broadcast(o_over), F.col("o") == F.col("o_id"), "left")
+            .drop("o_id")
+            .withColumn("s_key", F.coalesce("s_custom", "s_key"))
+            .withColumn(
+                "o_key",
+                F.when(F.col("o_kind") != "Literal", F.coalesce("o_custom", "o_key")).otherwise(
+                    F.col("o_key")
+                ),
+            )
+            .drop("s_custom", "o_custom")
+        )
+    return out
+
+
+def rpt_vertices(keyed: DataFrame, name: str) -> DataFrame:
+    """Vertex documents for all subject/object terms (main.py:2266-2332)."""
+    subj = keyed.select(
+        F.col("s_kind").alias("kind"),
+        F.col("s").alias("id"),
+        F.col("s_key").alias("_key"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    obj = keyed.select(
+        F.col("o_kind").alias("kind"),
+        F.col("o").alias("id"),
+        F.col("o_key").alias("_key"),
+        F.col("o_lang").alias("lang"),
+        F.col("o_datatype").alias("datatype"),
+    )
+    t = subj.unionByName(obj)
+
+    is_uri = F.col("kind") == "URIRef"
+    is_bnode = F.col("kind") == "BNode"
+    is_lit = F.col("kind") == "Literal"
+    value = T.literal_value_str(F.col("id"), F.col("datatype"))
+
+    out = t.select(
+        F.when(is_uri, F.lit(f"{name}_URIRef"))
+        .when(is_bnode, F.lit(f"{name}_BNode"))
+        .otherwise(F.lit(f"{name}_Literal"))
+        .alias("collection"),
+        F.col("_key"),
+        F.when(is_uri, F.col("id")).alias("_uri"),
+        F.when(is_lit, value).alias("_value"),
+        F.when(is_uri, T.adb_label(F.col("id")))
+        .when(is_lit, value)
+        .otherwise(F.lit(""))
+        .alias("_label"),
+        F.col("kind").alias("_rdftype"),
+        F.when(is_lit, F.col("lang")).alias("_lang"),
+        # lang wins over datatype (main.py:2324-2327)
+        F.when(is_lit & F.col("lang").isNull(), F.col("datatype")).alias("_datatype"),
+    )
+    return out.dropDuplicates(["collection", "_key"])
+
+
+def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
+    """One ``{name}_Statement`` edge per statement (main.py:2334-2387).
+
+    ``keyed`` may carry an optional ``e_key_override`` column (set by the
+    reified-triple flattener: the edge reuses the reified subject's key,
+    main.py:2372-2374) and an optional ``properties`` column (flattened
+    statement metadata attached to the edge document).
+    """
+    cols = keyed.columns
+    e_key = F.col("e_key_override") if "e_key_override" in cols else F.lit(None)
+    props = F.col("properties") if "properties" in cols else F.lit(None).cast("string")
+
+    _, edge_key_udf = register_udfs()
+    s_col = (
+        F.when(F.col("s_kind") == "URIRef", F.lit(f"{name}_URIRef"))
+        .when(F.col("s_kind") == "BNode", F.lit(f"{name}_BNode"))
+        .otherwise(F.lit(f"{name}_Literal"))
+    )
+    o_col = (
+        F.when(F.col("o_kind") == "URIRef", F.lit(f"{name}_URIRef"))
+        .when(F.col("o_kind") == "BNode", F.lit(f"{name}_BNode"))
+        .otherwise(F.lit(f"{name}_Literal"))
+    )
+    out = keyed.select(
+        F.lit(f"{name}_Statement").alias("collection"),
+        F.coalesce(e_key, edge_key_udf(F.col("s_key"), F.col("p_key"), F.col("o_key"))).alias(
+            "_key"
+        ),
+        F.concat(s_col, F.lit("/"), F.col("s_key")).alias("_from"),
+        F.concat(o_col, F.lit("/"), F.col("o_key")).alias("_to"),
+        F.col("p").alias("_uri"),
+        T.adb_label(F.col("p")).alias("_label"),
+        F.lit("URIRef").alias("_rdftype"),
+        F.col("sub_graph").alias("_sub_graph_uri"),
+        props.alias("properties"),
+    )
+    return out.dropDuplicates(["collection", "_key"])
+
+
+def rpt_transform(stmts: DataFrame, name: str) -> dict[str, DataFrame]:
+    """Full RPT pipeline: adb:key extraction → term keys → vertices + edges.
+
+    Returns {"vertices": df, "edges": df, "edge_definitions": df}.
+    """
+    keys_df, data = extract_adb_key_statements(stmts)
+    keyed = with_term_keys(data, keys_df)
+    vertices = rpt_vertices(keyed, name)
+    edges = rpt_edges(keyed, name)
+    # static edge definition (main.py:2429-2444)
+    edge_defs = edges.sparkSession.createDataFrame(
+        [
+            (
+                f"{name}_Statement",
+                [f"{name}_URIRef", f"{name}_BNode", f"{name}_Literal"],
+                [f"{name}_URIRef", f"{name}_BNode", f"{name}_Literal"],
+            )
+        ],
+        "edge_collection string, from_cols array<string>, to_cols array<string>",
+    )
+    return {"vertices": vertices, "edges": edges, "edge_definitions": edge_defs}

@@ -1,0 +1,344 @@
+"""Minimal Turtle / TriG reader → statement rows.
+
+rdflib is not available in this environment, so we parse the (tiny) RDF
+fixture files ourselves.  This is a fixtures-only component — the production
+input of the engine is the Common-Crawl-style pages table, not RDF files
+(SURVEY.md §2.1 S1).  Scope: the subset of Turtle/TriG used by the reference's
+test corpus (prefixes, prefixed names, IRIs, literals with lang/datatype,
+numeric/boolean shorthand, ';'/',' lists, blank-node labels and anonymous
+property lists, RDF collections, TriG named graphs, comments, long strings).
+
+Output row schema (one row per statement — SURVEY.md §1.5):
+    (s_kind, s, p, o_kind, o, o_lang, o_datatype, sub_graph)
+with kinds in {"URIRef", "BNode", "Literal"}.  Blank-node labels are
+deterministic per-parse (file-scoped), unlike rdflib's randomized ids — key
+stability for BNodes is *within* a run on both sides, which is the only
+guarantee the reference's tests rely on (counts + round-trip diff, never
+BNode key values).
+"""
+
+from __future__ import annotations
+
+import re
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = RDF_NS + "type"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<long_str>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
+    | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
+    | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+    | (?P<dtsep>\^\^)
+    | (?P<blank>_:[\w\-.]*[\w\-])
+    | (?P<num>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
+    | (?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[\w\-%](?:[\w\-.%]*[\w\-%])?)?)
+    | (?P<kw>@?[A-Za-z]+)
+    | (?P<punct>[.;,\[\]\(\){}])
+    """,
+    re.VERBOSE,
+)
+
+_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f", '"': '"', "'": "'", "\\": "\\"}
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n == "u":
+                out.append(chr(int(s[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if n == "U":
+                out.append(chr(int(s[i + 2 : i + 10], 16)))
+                i += 10
+                continue
+            out.append(_ESCAPES.get(n, n))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class _Tok:
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind: str, val: str):
+        self.kind = kind
+        self.val = val
+
+    def __repr__(self):  # pragma: no cover
+        return f"{self.kind}:{self.val!r}"
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"ttl tokenize error at {pos}: {text[pos:pos+40]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append(_Tok(kind, m.group()))
+    return toks
+
+
+# term tuples: ("URIRef", iri) | ("BNode", label) | ("Literal", lex, lang, dt)
+
+
+class TurtleParser:
+    def __init__(self, text: str, bnode_prefix: str = "b"):
+        self.toks = _tokenize(text)
+        self.i = 0
+        # well-known prefixes pre-bound (fixture files occasionally use them
+        # without declaration); @prefix/PREFIX declarations override.
+        self.prefixes: dict[str, str] = {
+            "rdf": RDF_NS,
+            "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+            "owl": "http://www.w3.org/2002/07/owl#",
+            "xsd": XSD,
+            "adb": "http://www.arangodb.com/",
+        }
+        self.base = ""
+        self.bnode_n = 0
+        self.bnode_prefix = bnode_prefix
+        self.rows: list[tuple] = []
+        self.graph: str | None = None  # current named graph (TriG)
+
+    # -- token helpers ------------------------------------------------------
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of input (truncated Turtle/TriG document)")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _expect(self, val: str):
+        t = self._next()
+        if t.val != val:
+            raise ValueError(f"expected {val!r}, got {t!r} @tok{self.i}")
+
+    def _new_bnode(self) -> tuple:
+        self.bnode_n += 1
+        return ("BNode", f"{self.bnode_prefix}{self.bnode_n}")
+
+    # -- emit ---------------------------------------------------------------
+    def _emit(self, s, p, o):
+        if o[0] == "Literal":
+            row = (s[0], s[1], p[1], "Literal", o[1], o[2], o[3], self.graph)
+        else:
+            row = (s[0], s[1], p[1], o[0], o[1], None, None, self.graph)
+        self.rows.append(row)
+
+    # -- grammar ------------------------------------------------------------
+    def parse(self) -> list[tuple]:
+        while self._peek() is not None:
+            t = self._peek()
+            v = t.val
+            low = v.lower()
+            if low in ("@prefix", "prefix"):
+                self._next()
+                pn = self._next().val
+                iri = self._next().val
+                self.prefixes[pn[:-1]] = self._resolve_iri_token(iri)
+                if self._peek() and self._peek().val == ".":
+                    self._next()
+            elif low in ("@base", "base"):
+                self._next()
+                self.base = self._resolve_iri_token(self._next().val)
+                if self._peek() and self._peek().val == ".":
+                    self._next()
+            elif low == "graph":
+                self._next()
+                self._parse_named_graph(self._parse_term())
+            elif v in ("[", "("):
+                self._parse_triples()
+                self._expect(".")
+            else:
+                # could be: TriG "<label> { ... }"  or a plain triple block
+                start = self.i
+                subj = self._parse_term()
+                if self._peek() and self._peek().val == "{":
+                    self._parse_named_graph(subj)
+                else:
+                    self.i = start
+                    self._parse_triples()
+                    self._expect(".")
+        return self.rows
+
+    def _parse_named_graph(self, label):
+        self._expect("{")
+        prev = self.graph
+        self.graph = label[1] if label[0] == "URIRef" else None
+        while self._peek() and self._peek().val != "}":
+            self._parse_triples()
+            if self._peek() and self._peek().val == ".":
+                self._next()
+        self._expect("}")
+        self.graph = prev
+
+    def _parse_triples(self):
+        t = self._peek()
+        if t.val == "[":
+            subj = self._parse_bnode_property_list()
+            if self._peek() and self._peek().val not in (".", "}"):
+                self._parse_predicate_object_list(subj)
+        elif t.val == "(":
+            subj = self._parse_collection()
+            self._parse_predicate_object_list(subj)
+        else:
+            subj = self._parse_term()
+            self._parse_predicate_object_list(subj)
+
+    def _parse_predicate_object_list(self, subj):
+        while True:
+            p = self._parse_predicate()
+            while True:
+                o = self._parse_object()
+                self._emit(subj, p, o)
+                if self._peek() and self._peek().val == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek() and self._peek().val == ";":
+                self._next()
+                # tolerate trailing ';' before '.' or '}' or ']'
+                if self._peek() and self._peek().val in (".", "]", "}"):
+                    break
+                continue
+            break
+
+    def _parse_predicate(self) -> tuple:
+        t = self._peek()
+        if t.kind == "kw" and t.val == "a":
+            self._next()
+            return ("URIRef", RDF_TYPE)
+        term = self._parse_term()
+        if term[0] != "URIRef":
+            raise ValueError(f"predicate must be IRI, got {term}")
+        return term
+
+    def _parse_object(self) -> tuple:
+        t = self._peek()
+        if t.val == "[":
+            return self._parse_bnode_property_list()
+        if t.val == "(":
+            return self._parse_collection()
+        return self._parse_term()
+
+    def _parse_bnode_property_list(self) -> tuple:
+        self._expect("[")
+        node = self._new_bnode()
+        if self._peek() and self._peek().val != "]":
+            self._parse_predicate_object_list(node)
+        self._expect("]")
+        return node
+
+    def _parse_collection(self) -> tuple:
+        self._expect("(")
+        items = []
+        while self._peek() and self._peek().val != ")":
+            items.append(self._parse_object())
+        self._expect(")")
+        if not items:
+            return ("URIRef", RDF_NIL)
+        head = self._new_bnode()
+        cur = head
+        for idx, item in enumerate(items):
+            self._emit(cur, ("URIRef", RDF_FIRST), item)
+            if idx == len(items) - 1:
+                self._emit(cur, ("URIRef", RDF_REST), ("URIRef", RDF_NIL))
+            else:
+                nxt = self._new_bnode()
+                self._emit(cur, ("URIRef", RDF_REST), nxt)
+                cur = nxt
+        return head
+
+    def _resolve_iri_token(self, tok: str) -> str:
+        iri = _unescape(tok[1:-1])
+        if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", iri):
+            return self.base + iri
+        return iri
+
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"unknown prefix {pfx!r} in {pname!r}")
+        return self.prefixes[pfx] + local.replace("\\", "")
+
+    def _parse_term(self) -> tuple:
+        t = self._next()
+        if t.kind == "iri":
+            return ("URIRef", self._resolve_iri_token(t.val))
+        if t.kind == "pname":
+            return ("URIRef", self._expand_pname(t.val))
+        if t.kind == "blank":
+            return ("BNode", "l_" + t.val[2:])
+        if t.kind in ("str", "long_str"):
+            lex = _unescape(t.val[3:-3] if t.kind == "long_str" else t.val[1:-1])
+            lang = dt = None
+            nxt = self._peek()
+            if nxt and nxt.kind == "lang":
+                lang = self._next().val[1:]
+            elif nxt and nxt.kind == "dtsep":
+                self._next()
+                dtt = self._next()
+                dt = (
+                    self._resolve_iri_token(dtt.val)
+                    if dtt.kind == "iri"
+                    else self._expand_pname(dtt.val)
+                )
+            return ("Literal", lex, lang, dt)
+        if t.kind == "num":
+            v = t.val
+            if re.search(r"[eE]", v):
+                dt = XSD + "double"
+            elif "." in v:
+                dt = XSD + "decimal"
+            else:
+                dt = XSD + "integer"
+            return ("Literal", v, None, dt)
+        if t.kind == "kw" and t.val in ("true", "false"):
+            return ("Literal", t.val, None, XSD + "boolean")
+        raise ValueError(f"unexpected term token {t!r} @tok{self.i}")
+
+
+STATEMENT_COLUMNS = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype", "sub_graph"]
+
+
+def parse_ttl(text: str, bnode_prefix: str = "b") -> list[tuple]:
+    """Parse Turtle/TriG text → list of statement rows (STATEMENT_COLUMNS)."""
+    return TurtleParser(text, bnode_prefix=bnode_prefix).parse()
+
+
+def parse_ttl_file(path: str, bnode_prefix: str | None = None) -> list[tuple]:
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    if bnode_prefix is None:
+        base = re.sub(r"\W+", "_", path.rsplit("/", 1)[-1].rsplit(".", 1)[0])
+        bnode_prefix = f"{base}_b"
+    return parse_ttl(text, bnode_prefix=bnode_prefix)
+
+
+def statements_df(spark, rows: list[tuple]):
+    """Statement rows → Spark DataFrame with the canonical schema."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType(), True) for c in STATEMENT_COLUMNS])
+    return spark.createDataFrame(rows, schema)

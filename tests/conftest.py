@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Reference RDF fixture files (read-only, data not code). Tests that need them
+# skip when the directory is absent so the repo stays standalone.
+REF_RDF_DIR = os.environ.get("SPARKRDF_REF_RDF_DIR", "/root/reference/tests/data/rdf")
+REF_META_DIR = os.environ.get("SPARKRDF_REF_META_DIR", "/root/reference/arango_rdf/meta")
+
+
+def ref_case(name: str) -> str:
+    path = os.path.join(REF_RDF_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference fixture {name} not available")
+    return path
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("sparkrdf-tests")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()

@@ -1,0 +1,56 @@
+"""FarmHash Fingerprint64 vendored-implementation tests.
+
+The only externally-documented value available offline is the empty string
+(BigQuery FARM_FINGERPRINT('') == -7286425919675154353, i.e. K2 unsigned);
+everything else is pinned as regression goldens across all length branches.
+"""
+
+from sparkrdf.hashing import K2, edge_key, farmhash_key, fingerprint64
+
+# regression goldens (generated once from this implementation; any change to
+# the algorithm must reproduce them bit-for-bit)
+GOLDENS = {
+    "": 11160318154034397263,  # == K2, externally documented via BigQuery
+    "a": 12917804110809363939,
+    "ab": 12289600257749001502,
+    "abc": 2640714258260161385,
+    "abcd": 1897425971756105985,
+    "abcdefg": 4341691227789030229,
+    "abcdefgh": 18368443631171807497,
+    "0123456789abcde": 8973211576868890572,
+    "0123456789abcdef": 6105018409752412263,
+    "0123456789abcdefg": 12024047538191061578,
+    "x" * 32: 12901576723999808517,
+    "x" * 33: 12270365409943098935,
+    "y" * 64: 4471793200125962424,
+    "y" * 65: 14859276694318293164,
+    "z" * 129: 8118045740410269441,
+    "http://example.com/alice": 9864391589899011802,
+    "http://example.com/Person#Bob": 18151162308732569256,
+}
+
+
+def test_empty_is_k2():
+    assert fingerprint64("") == K2 == 11160318154034397263
+
+
+def test_goldens():
+    for s, v in GOLDENS.items():
+        assert fingerprint64(s) == v, s
+
+
+def test_branch_boundaries_distinct():
+    lens = [0, 1, 2, 3, 4, 7, 8, 15, 16, 17, 31, 32, 33, 63, 64, 65, 127, 128, 129, 1000]
+    vals = {fingerprint64("q" * n) for n in lens}
+    assert len(vals) == len(lens)
+
+
+def test_unicode_utf8():
+    # hashing is over utf-8 bytes
+    assert fingerprint64("schön") == fingerprint64("schön".encode())
+
+
+def test_key_and_edge_key_form():
+    k = farmhash_key("http://example.com/alice")
+    assert k == "9864391589899011802"
+    assert edge_key("1", "2", "3") == farmhash_key("1-2-3")

@@ -1,0 +1,100 @@
+"""Vendored Turtle/TriG parser tests against the reference fixture corpus."""
+
+import glob
+import os
+
+import pytest
+
+from sparkrdf.ttl import parse_ttl, parse_ttl_file
+from tests.conftest import REF_META_DIR, REF_RDF_DIR, ref_case
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_basic_triples():
+    rows = parse_ttl(
+        """@prefix ex: <http://example.com/> .
+        ex:alice a ex:Person ; ex:age 30 ; ex:name "Alice"@en ."""
+    )
+    assert (
+        "URIRef",
+        "http://example.com/alice",
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "URIRef",
+        "http://example.com/Person",
+        None,
+        None,
+        None,
+    ) in rows
+    lit = [r for r in rows if r[4] == "30"][0]
+    assert lit[6] == XSD + "integer"
+    lang = [r for r in rows if r[4] == "Alice"][0]
+    assert lang[5] == "en"
+
+
+def test_collections_and_bnodes():
+    rows = parse_ttl(
+        """@prefix ex: <http://example.com/> .
+        ex:L ex:contents ("one" "two") .
+        ex:x ex:y [ ex:z 1 ] ."""
+    )
+    firsts = [r for r in rows if r[2].endswith("#first")]
+    rests = [r for r in rows if r[2].endswith("#rest")]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert any(r[4].endswith("#nil") for r in rests)
+    assert any(r[0] == "BNode" for r in rows)
+
+
+def test_named_graphs_trig():
+    rows = parse_ttl(
+        """@prefix ex: <http://example.com/> .
+        ex:g1 { ex:a ex:b ex:c . }
+        ex:x ex:y ex:z ."""
+    )
+    in_g = [r for r in rows if r[7] == "http://example.com/g1"]
+    default = [r for r in rows if r[7] is None]
+    assert len(in_g) == 1 and len(default) == 1
+
+
+def test_decimal_double_boolean():
+    rows = parse_ttl(
+        "@prefix ex: <http://e.c/> . ex:a ex:p 6.5, 1e3, true, \"0.5\"^^<http://www.w3.org/2001/XMLSchema#double> ."
+    )
+    dts = {r[4]: r[6] for r in rows}
+    assert dts["6.5"] == XSD + "decimal"
+    assert dts["1e3"] == XSD + "double"
+    assert dts["true"] == XSD + "boolean"
+    assert dts["0.5"] == XSD + "double"
+
+
+@pytest.mark.parametrize(
+    "fname",
+    [
+        "cases/1.ttl",
+        "cases/4.ttl",
+        "cases/6.trig",
+        "cases/8.ttl",
+        "cases/13_1.ttl",
+        "cases/15_4.trig",
+        "collection.ttl",
+        "container.ttl",
+        "key.ttl",
+        "bnode.ttl",
+    ],
+)
+def test_reference_fixture_parses(fname):
+    rows = parse_ttl_file(ref_case(fname))
+    assert rows
+    for r in rows:
+        assert r[0] in ("URIRef", "BNode")
+        assert r[3] in ("URIRef", "BNode", "Literal")
+
+
+def test_whole_reference_corpus():
+    if not os.path.isdir(REF_RDF_DIR):
+        pytest.skip("reference corpus not available")
+    files = sorted(glob.glob(os.path.join(REF_RDF_DIR, "cases", "*.t*")))
+    files += sorted(glob.glob(os.path.join(REF_META_DIR, "*.trig")))
+    assert len(files) >= 27
+    for f in files:
+        assert parse_ttl_file(f), f
