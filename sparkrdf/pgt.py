@@ -1,0 +1,344 @@
+"""PGT — property-graph transformation as a DataFrame program.
+
+Reference pipeline (arango_rdf/main.py:855-1195):
+1. blacklist removal: drop ``? rdf:type rdf:List|Bag|Seq`` (main.py:2451-2489)
+2. ``adb:key`` / ``adb:collection`` controller statements extracted
+3. collection mapping on the *pre-flatten* graph (main.py:1071-1096 →
+   write_adb_col_statements) — see sparkrdf.mapping
+4. reified-triple flattening (main.py:1102-1110) — see sparkrdf.reify
+5. list routing + assembly (main.py:1116-1172) — see sparkrdf.lists
+6. literal statements collapse into JSON properties on the subject document
+   (scalar → list promotion on repeats, serialized-JSON revival,
+   main.py:2763-2784); non-literal statements become edges in collections
+   named by the predicate local name (main.py:2958-3029)
+7. edge definitions accumulate (e_col → from/to collection sets)
+
+Output tables (FIXTURES.md §3): vertices / edges / edge_definitions.
+
+Scale notes: term collection resolution is two equi-joins against the
+mapping table (shuffle on term id — unavoidable global association);
+property collapse is one groupBy per owner; everything else is narrow.
+Hot predicates (rdf:type) are Zipf-heavy — edges are written partitioned by
+collection with AQE coalescing; dedup keys are uniformly-distributed hashes
+so the dedup shuffle does not skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf import terms as T
+from sparkrdf.hashing import register_udfs
+from sparkrdf.lists import assemble_lists, split_list_statements
+from sparkrdf.mapping import collection_mapping, extract_adb_col_statements
+from sparkrdf.reify import flatten_reified
+from sparkrdf.rpt import extract_adb_key_statements
+
+_BLACKLIST_TYPES = [T.RDF_NS + "List", T.RDF_NS + "Bag", T.RDF_NS + "Seq"]
+
+VERTEX_COLUMNS = [
+    "collection",
+    "_key",
+    "_uri",
+    "_label",
+    "_rdftype",
+    "_sub_graph_uri",
+    "properties",
+]
+EDGE_COLUMNS = [
+    "collection",
+    "_key",
+    "_from",
+    "_to",
+    "_uri",
+    "_label",
+    "_rdftype",
+    "_sub_graph_uri",
+    "properties",
+]
+
+
+def _value_fragment(o, dt):
+    """Typed JSON fragment for a literal property value, including the
+    serialized-list revival rule (main.py:2763-2770): a literal that parses
+    as a JSON list/dict becomes that structure."""
+    revived = F.when(
+        o.rlike(r"^\s*[\[{]") & F.get_json_object(o, "$").isNotNull(),
+        F.get_json_object(o, "$"),
+    )
+    return F.coalesce(revived, T.literal_value_json(o, dt))
+
+
+def pgt_transform(
+    stmts: DataFrame,
+    name: str,
+    resource_collection: str | None = None,
+) -> dict[str, DataFrame]:
+    farmhash_udf, edge_key_udf = register_udfs()
+    unknown = f"{name}_UnknownResource"
+
+    # 1. blacklist
+    data = stmts.filter(
+        ~((F.col("p") == T.RDF_TYPE) & F.col("o").isin(_BLACKLIST_TYPES))
+    )
+    # 2. controller statements
+    keys_df, data = extract_adb_key_statements(data)
+    overrides, data = extract_adb_col_statements(data)
+    # 3. mapping (pre-flatten graph, like the reference)
+    mapping = collection_mapping(data, overrides, resource_collection)
+    # 4. flatten reified triples
+    data, reified_map = flatten_reified(data, keys_df)
+    # 5. list routing + assembly
+    normal, list_data, heads = split_list_statements(data)
+    fragments, members = assemble_lists(list_data, heads)
+
+    # member resources re-enter the stream as synthetic statements
+    member_stmts = (
+        heads.join(members, "root", "inner")
+        .select(
+            "s_kind",
+            "s",
+            "p",
+            F.col("member_kind").alias("o_kind"),
+            F.col("member").alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            "sub_graph",
+            F.lit(None).cast("string").alias("reified_subject"),
+            F.lit(None).cast("string").alias("e_key_override"),
+        )
+    )
+    work = normal.unionByName(member_stmts)
+
+    # 6. term resolution: keys (farmhash + adb:key override) and collections
+    keyed = work
+    keyed = keyed.withColumn("s_key0", farmhash_udf(F.col("s")))
+    keyed = keyed.withColumn("p_key", farmhash_udf(F.col("p")))
+    keyed = keyed.withColumn(
+        "o_key0",
+        F.when(F.col("o_kind") != "Literal", farmhash_udf(F.col("o"))),
+    )
+    kb = keys_df
+    s_over = kb.select(F.col("id").alias("s"), F.col("custom_key").alias("s_custom"))
+    o_over = kb.select(F.col("id").alias("o"), F.col("custom_key").alias("o_custom"))
+    keyed = (
+        keyed.join(F.broadcast(s_over), "s", "left")
+        .join(F.broadcast(o_over), "o", "left")
+        .withColumn("s_key", F.coalesce("s_custom", "s_key0"))
+        .withColumn(
+            "o_key",
+            F.when(F.col("o_kind") != "Literal", F.coalesce("o_custom", "o_key0")),
+        )
+        .drop("s_custom", "o_custom", "s_key0", "o_key0")
+    )
+
+    # collection joins (mapping + reified map); literals get no collection
+    m_s = mapping.select(F.col("id").alias("s"), F.col("collection").alias("s_map"))
+    m_o = mapping.select(F.col("id").alias("o"), F.col("collection").alias("o_map"))
+    m_p = mapping.select(F.col("id").alias("p"), F.col("collection").alias("p_map"))
+    r_s = reified_map.select(
+        F.col("x").alias("s"), F.col("e_key").alias("s_rkey"), F.col("p_label").alias("s_rcol")
+    )
+    r_o = reified_map.select(
+        F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), F.col("p_label").alias("o_rcol")
+    )
+    keyed = (
+        keyed.join(m_s, "s", "left")
+        .join(m_o, "o", "left")
+        .join(F.broadcast(m_p), "p", "left")
+        .join(F.broadcast(r_s), "s", "left")
+        .join(F.broadcast(r_o), "o", "left")
+    )
+    if resource_collection is not None:
+        # everything except Class/Property maps to the resource collection
+        s_map = F.when(F.col("s_map").isin("Class", "Property"), F.col("s_map")).otherwise(
+            F.lit(resource_collection)
+        )
+        o_map = F.when(F.col("o_map").isin("Class", "Property"), F.col("o_map")).otherwise(
+            F.lit(resource_collection)
+        )
+    else:
+        s_map = F.coalesce("s_map", F.lit(unknown))
+        o_map = F.coalesce("o_map", F.lit(unknown))
+
+    keyed = (
+        keyed.withColumn("s_col", F.coalesce("s_rcol", s_map))
+        .withColumn("s_key", F.coalesce("s_rkey", F.col("s_key")))
+        .withColumn(
+            "o_col", F.when(F.col("o_kind") != "Literal", F.coalesce("o_rcol", o_map))
+        )
+        .withColumn(
+            "o_key",
+            F.when(F.col("o_kind") != "Literal", F.coalesce("o_rkey", F.col("o_key"))),
+        )
+        .withColumn("p_col", F.coalesce("p_map", F.lit(unknown)))
+        .withColumn("p_label", T.adb_label(F.col("p")))
+        .withColumn("s_reified", F.col("s_rkey").isNotNull())
+        .withColumn("o_reified", F.col("o_rkey").isNotNull())
+        .drop("s_map", "o_map", "p_map", "s_rcol", "s_rkey", "o_rcol", "o_rkey")
+    )
+    keyed.cache()
+
+    lit = keyed.filter(F.col("o_kind") == "Literal")
+    nonlit = keyed.filter(F.col("o_kind") != "Literal")
+
+    # --- vertices: term docs from every non-literal, non-reified position ---
+    subj_docs = keyed.filter(~F.col("s_reified")).select(
+        F.col("s_col").alias("collection"),
+        F.col("s_key").alias("_key"),
+        F.col("s").alias("id"),
+        F.col("s_kind").alias("kind"),
+    )
+    pred_docs = keyed.select(
+        F.col("p_col").alias("collection"),
+        F.col("p_key").alias("_key"),
+        F.col("p").alias("id"),
+        F.lit("URIRef").alias("kind"),
+    )
+    obj_docs = nonlit.filter(~F.col("o_reified")).select(
+        F.col("o_col").alias("collection"),
+        F.col("o_key").alias("_key"),
+        F.col("o").alias("id"),
+        F.col("o_kind").alias("kind"),
+    )
+    # subjects of list-head statements may carry ONLY list properties
+    head_subj = (
+        heads.select(F.col("s").alias("id"), F.col("s_kind").alias("kind"))
+        .dropDuplicates(["id"])
+        .withColumn("_key", farmhash_udf(F.col("id")))
+    )
+    head_subj = (
+        head_subj.join(
+            F.broadcast(kb.select(F.col("id"), F.col("custom_key"))), "id", "left"
+        )
+        .withColumn("_key", F.coalesce("custom_key", F.col("_key")))
+        .drop("custom_key")
+        .join(mapping, "id", "left")
+        .select(
+            F.coalesce("collection", F.lit(unknown)).alias("collection"),
+            "_key",
+            "id",
+            "kind",
+        )
+    )
+
+    term_docs = (
+        subj_docs.unionByName(pred_docs)
+        .unionByName(obj_docs)
+        .unionByName(head_subj)
+        .dropDuplicates(["collection", "_key"])
+    )
+    vertices_base = term_docs.select(
+        "collection",
+        "_key",
+        F.when(F.col("kind") == "URIRef", F.col("id")).alias("_uri"),
+        F.when(F.col("kind") == "URIRef", T.adb_label(F.col("id")))
+        .otherwise(F.lit(""))
+        .alias("_label"),
+        F.col("kind").alias("_rdftype"),
+    )
+
+    # --- properties: literal collapse (M2) + assembled list fragments ---
+    lit_props = lit.select(
+        F.col("s_col").alias("collection"),
+        F.col("s_key").alias("_key"),
+        F.col("p_label").alias("prop"),
+        _value_fragment(F.col("o"), F.col("o_datatype")).alias("frag"),
+        F.col("sub_graph"),
+    )
+    head_props = (
+        heads.join(fragments, "root", "inner")
+        .filter(F.col("fragment").isNotNull())
+        .join(
+            head_subj.select("id", "collection", "_key").withColumnRenamed("id", "s"),
+            "s",
+            "inner",
+        )
+        .select(
+            "collection",
+            "_key",
+            T.adb_label(F.col("p")).alias("prop"),
+            F.col("fragment").alias("frag"),
+            F.col("sub_graph"),
+        )
+    )
+    all_props = lit_props.unionByName(head_props)
+    per_prop = all_props.groupBy("collection", "_key", "prop").agg(
+        F.sort_array(F.collect_list("frag")).alias("frags"),
+        F.max("sub_graph").alias("sg"),
+    )
+    per_owner = (
+        per_prop.withColumn(
+            "kv",
+            F.concat(
+                F.regexp_extract(F.to_json(F.struct(F.col("prop").alias("k"))), r'^\{"k":(.*)\}$', 1),
+                F.lit(":"),
+                F.when(F.size("frags") == 1, F.element_at("frags", 1)).otherwise(
+                    F.concat(F.lit("["), F.concat_ws(",", "frags"), F.lit("]"))
+                ),
+            ),
+        )
+        .groupBy("collection", "_key")
+        .agg(
+            F.concat(
+                F.lit("{"), F.concat_ws(",", F.sort_array(F.collect_list("kv"))), F.lit("}")
+            ).alias("properties"),
+            F.max("sg").alias("_sub_graph_uri"),
+        )
+    )
+
+    vertices = (
+        vertices_base.join(per_owner, ["collection", "_key"], "left")
+        .select(*VERTEX_COLUMNS)
+    )
+
+    # --- edges (M3): every non-literal statement; e_col = predicate label ---
+    edges_base = nonlit.select(
+        F.col("p_label").alias("collection"),
+        F.coalesce(
+            F.col("e_key_override"),
+            edge_key_udf(F.col("s_key"), F.col("p_key"), F.col("o_key")),
+        ).alias("_key"),
+        F.concat(F.col("s_col"), F.lit("/"), F.col("s_key")).alias("_from"),
+        F.concat(F.col("o_col"), F.lit("/"), F.col("o_key")).alias("_to"),
+        F.col("p").alias("_uri"),
+        F.col("p_label").alias("_label"),
+        F.lit("URIRef").alias("_rdftype"),
+        F.col("sub_graph").alias("_sub_graph_uri"),
+        F.col("s_col"),
+        F.col("o_col"),
+    ).dropDuplicates(["collection", "_key"])
+
+    # flattened-statement literal properties land on the edge document
+    edge_props = per_owner.withColumnRenamed("properties", "e_props").withColumnRenamed(
+        "_sub_graph_uri", "e_sg"
+    )
+    edges = (
+        edges_base.join(edge_props, ["collection", "_key"], "left")
+        .select(
+            "collection",
+            "_key",
+            "_from",
+            "_to",
+            "_uri",
+            "_label",
+            "_rdftype",
+            F.coalesce("_sub_graph_uri", "e_sg").alias("_sub_graph_uri"),
+            F.col("e_props").alias("properties"),
+            "s_col",
+            "o_col",
+        )
+    )
+
+    # --- edge definitions (M4) ---
+    edge_definitions = edges.groupBy(F.col("collection").alias("edge_collection")).agg(
+        F.sort_array(F.collect_set("s_col")).alias("from_cols"),
+        F.sort_array(F.collect_set("o_col")).alias("to_cols"),
+    )
+
+    return {
+        "vertices": vertices,
+        "edges": edges.drop("s_col", "o_col"),
+        "edge_definitions": edge_definitions,
+    }

@@ -62,6 +62,7 @@ def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_con
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARKRDF_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -24,6 +24,7 @@ def spark():
 
     spark = (
         SparkSession.builder.master("local[4]")
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
