@@ -1,0 +1,166 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Every operator is specified to be reproducible in ANSI SQL (DuckDB oracle):
+the shared hash primitive is ``bigint(first 7 hex chars of md5(x))`` which
+both engines compute identically (verified: Spark ``conv(substr(md5(x),1,7),
+16,10)`` == DuckDB ``('0x'||substr(md5(x),1,7))::BIGINT``).
+
+Scale notes (the 100 TB story):
+- exact dedup: one hash-aggregate on the fingerprint — the minimal shuffle;
+  map-side partial aggregation collapses most duplicates before the exchange.
+- MinHash: signatures are computed per row (narrow); only the (band_idx,
+  band_hash) pairs shuffle — k·n/r small rows instead of full text. Candidate
+  pairs come from within-bucket joins; Zipf-sized buckets are bounded by the
+  band hash width, and AQE skew-join splits any hot bucket.
+- SimHash: per-row 16-bit signature (narrow), self-join on signature for
+  hamming-0 buckets; hamming ≤ d via banding over bit-halves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf.textops import fingerprint
+
+# MinHash parameters — shared with the oracle SQL generators
+MINHASH_K = 12
+MINHASH_BANDS = 4  # rows per band = K / BANDS = 3
+MINHASH_P = 1_000_000_007
+MINHASH_A = [3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+MINHASH_B = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233]
+SHINGLE_W = 3  # word shingles
+
+
+def h64(col: Column) -> Column:
+    """Shared 28-bit hash: bigint of the first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, w: int = SHINGLE_W) -> Column:
+    """Distinct word w-shingles of lowercase text (array<string>)."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    shingles = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(w)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(shingles)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (fp, n_dups, keep_id) for fingerprints seen >1×."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
+    """array<bigint> of k min-hashes over word shingles."""
+    sh = word_shingles(text)
+    hashes = F.transform(sh, lambda s: h64(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes, lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P
+                )
+            )
+            for j in range(k)
+        ]
+    )
+    return sig
+
+
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band_idx, band_hash) — LSH banding of the MinHash signature."""
+    r = MINHASH_K // MINHASH_BANDS
+    sig = minhash_signature(F.col(text_col))
+    with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    bands = []
+    for b in range(MINHASH_BANDS):
+        band = F.md5(F.concat_ws("-", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
+        bands.append(
+            with_sig.select("id", F.lit(b).alias("band_idx"), band.alias("band_hash"))
+        )
+    out = bands[0]
+    for df in bands[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band."""
+    bands = minhash_bands(docs, id_col, text_col)
+    a = bands.select(F.col("id").alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col("id").alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"], "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard over LSH candidate pairs:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to 6 d.p."""
+    cand = minhash_lsh_pairs(docs, id_col, text_col)
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """bits-wide SimHash over word tokens (hash = shared h64).
+
+    bit_i of the signature = 1 iff sum over tokens of ±1 (sign of bit i of
+    h64(token)) is positive. Expressed entirely with higher-order array
+    functions — one pass over tokens per document, no UDF.
+    """
+    words = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(words, lambda t: h64(t))
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(contrib > 0, F.lit(2**i).cast("bigint")).otherwise(0)
+    return out
+
+
+def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical SimHash signature (hamming-0 buckets)."""
+    sigs = docs.select(F.col(id_col), simhash(F.col(text_col)).alias("sig"))
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )

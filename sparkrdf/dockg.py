@@ -1,0 +1,114 @@
+"""Document-table KG extraction — the oracle-checkable twin of the pages
+pipeline.
+
+The driver's correctness gate (DuckDB oracle) can only see the pre-registered
+testdata views, so this module runs the SAME extraction semantics as
+sparkrdf.extract over the ``documents`` table with a vocabulary gazetteer:
+    (doc://id, kg:mentions, entity)   for gazetteer terms present as words
+    (doc://id, rdf:type, kgc:Document)
+    (doc://id, kg:lang, lang literal)
+    (doc://id, kg:tokenCount, n^^xsd:integer)
+    (entity, rdf:type, class)
+Document subjects carry ``adb:key "d{doc_id}"`` overrides so every vertex and
+edge endpoint the RPT/PGT transforms emit is reproducible in ANSI SQL (the
+fixed gazetteer constants are baked into the oracle strings at generation
+time; see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf import terms as T
+from sparkrdf.textops import token_count
+from sparkrdf.ttl import STATEMENT_COLUMNS
+
+KG = "http://kg.example.org/"
+DOC_PREFIX = "doc://"
+CLS_DOCUMENT = KG + "class/Document"
+P_MENTIONS = KG + "prop/mentions"
+P_LANG = KG + "prop/lang"
+P_TOKENS = KG + "prop/tokenCount"
+XSD_INT = T.XSD + "integer"
+
+# vocabulary gazetteer: term -> class local name
+DOC_GAZETTEER: list[tuple[str, str]] = [
+    ("spark", "Tech"),
+    ("query", "Tech"),
+    ("join", "Operator"),
+    ("hash", "Operator"),
+    ("filter", "Operator"),
+    ("sort", "Operator"),
+    ("merge", "Operator"),
+    ("scan", "Operator"),
+    ("window", "Operator"),
+    ("table", "Structure"),
+]
+
+
+def entity_iri(term: str) -> str:
+    return f"{KG}entity/{term}"
+
+
+def class_iri(cls: str) -> str:
+    return f"{KG}class/{cls}"
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_triples(spark, docs: DataFrame, with_adb_keys: bool = False) -> DataFrame:
+    """documents → statements DataFrame (see module docstring)."""
+    gaz = spark.createDataFrame(
+        [(t, entity_iri(t), class_iri(c)) for t, c in DOC_GAZETTEER],
+        "term string, ent string, cls string",
+    )
+    subj = F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string"))
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    base = docs.select(subj.alias("s"), padded.alias("padded"), "lang", "text")
+
+    def stmt(s, p, o_kind, o, dt=None):
+        return [
+            F.lit("URIRef").alias("s_kind"),
+            s.alias("s"),
+            (p if not isinstance(p, str) else F.lit(p)).alias("p"),
+            F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("sub_graph"),
+        ]
+
+    mentions = (
+        base.crossJoin(F.broadcast(gaz))
+        .filter(F.col("padded").contains(F.concat(F.lit(" "), F.col("term"), F.lit(" "))))
+        .select(*stmt(F.col("s"), P_MENTIONS, "URIRef", F.col("ent")))
+    )
+    types = base.select(*stmt(F.col("s"), T.RDF_TYPE, "URIRef", F.lit(CLS_DOCUMENT)))
+    langs = base.select(*stmt(F.col("s"), P_LANG, "Literal", F.col("lang")))
+    toks = base.select(
+        *stmt(F.col("s"), P_TOKENS, "Literal", token_count(F.col("text")).cast("string"), XSD_INT)
+    )
+    ent_types = (
+        mentions.select(F.col("o").alias("ent"))
+        .dropDuplicates()
+        .join(F.broadcast(gaz), "ent", "inner")
+        .select(*stmt(F.col("ent"), T.RDF_TYPE, "URIRef", F.col("cls")))
+    )
+
+    out = mentions.unionByName(types).unionByName(langs).unionByName(toks).unionByName(ent_types)
+
+    if with_adb_keys:
+        keys = docs.select(
+            *stmt(
+                F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string")),
+                T.ADB_KEY_URI,
+                "Literal",
+                F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+            )
+        )
+        out = out.unionByName(keys)
+    return out.select(*STATEMENT_COLUMNS)

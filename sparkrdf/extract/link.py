@@ -12,6 +12,7 @@ float vector out).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import functions as F
 
 from sparkrdf.extract.gazetteer import entity_rows
@@ -38,7 +39,6 @@ def link_mentions(spark, mentions):
     With a 1-candidate dictionary the cosine score is informational; with
     ambiguous surfaces a row_number window keeps the best-scoring candidate.
     """
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 

@@ -1,0 +1,157 @@
+"""Table writer: partitioned Parquet with manifest, lineage, and
+merge-by-key resume semantics.
+
+The reference writes to ArangoDB with ``insert_many(overwrite_mode="update",
+merge=True)`` (main.py:3916-3970) and patches graph edge definitions by
+unioning from/to collection sets (main.py:3278-3364). Here:
+
+- vertices/edges → Parquet partitioned by ``collection`` (an Iceberg catalog
+  slots in transparently when ``spark.sql.catalog.*`` is configured — the
+  logical layout is identical; this sandbox has no Iceberg runtime jar);
+- ``edge_definitions`` → JSON manifest, read-modify-write unioning with any
+  existing definitions (multi-import behavior, tests/test_main.py:4928-4997);
+- D2 upsert-merge: :func:`merge_by_key` merges property JSON objects per
+  (collection, _key), new values winning per property key — the
+  checkpoint/resume primitive (idempotent: re-running a completed stage
+  converges to the same table);
+- lineage: per-run (run_id, stage, partition_id, input_rows, output_rows,
+  status) appended to ``{base}/lineage`` — the north rule's per-partition
+  lineage + metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_table(df: DataFrame, path: str, partition_by: str | None = "collection"):
+    w = df.write.mode("overwrite")
+    if partition_by and partition_by in df.columns:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def write_lineage(spark, base: str, run_id: str, stage: str, rows: list[tuple]):
+    """rows: (partition_id, input_rows, output_rows, status)"""
+    df = spark.createDataFrame(
+        [(run_id, stage, int(p), int(i), int(o), s) for p, i, o, s in rows],
+        "run_id string, stage string, partition_id int, input_rows long, "
+        "output_rows long, status string",
+    ).withColumn("written_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
+    df.write.mode("append").parquet(os.path.join(base, "lineage"))
+
+
+def partition_counts(df: DataFrame) -> list[tuple]:
+    """(partition_id, rows) per partition — one narrow pass."""
+    rows = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    return [(r["__pid"], r["count"]) for r in rows]
+
+
+def merge_edge_definitions(existing: dict, new_rows: list) -> dict:
+    """Union from/to collection sets per edge collection (main.py:3278-3364)."""
+    out = {k: {"from": sorted(set(v["from"])), "to": sorted(set(v["to"]))} for k, v in existing.items()}
+    for r in new_rows:
+        e = out.setdefault(r["edge_collection"], {"from": [], "to": []})
+        e["from"] = sorted(set(e["from"]) | set(r["from_cols"]))
+        e["to"] = sorted(set(e["to"]) | set(r["to_cols"]))
+    return out
+
+
+def write_graph(
+    graph: dict[str, DataFrame],
+    base: str,
+    run_id: str = "run0",
+    name: str = "graph",
+) -> dict:
+    """Materialize {vertices, edges, edge_definitions} under ``base``.
+
+    Returns the written manifest. Idempotent per run_id: writes are
+    overwrite-mode per table, the manifest unions with prior imports.
+    """
+    spark = graph["vertices"].sparkSession
+    os.makedirs(base, exist_ok=True)
+
+    v_counts = partition_counts(graph["vertices"])
+    write_table(graph["vertices"], os.path.join(base, "vertices"))
+    e_counts = partition_counts(graph["edges"])
+    write_table(graph["edges"], os.path.join(base, "edges"))
+
+    manifest_path = os.path.join(base, f"{name}.manifest.json")
+    existing = {}
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as f:
+            existing = json.load(f).get("edge_definitions", {})
+    edefs = merge_edge_definitions(existing, [r.asDict() for r in graph["edge_definitions"].collect()])
+    manifest = {
+        "graph": name,
+        "run_id": run_id,
+        "edge_definitions": edefs,
+        "vertices_rows": sum(c for _, c in v_counts),
+        "edges_rows": sum(c for _, c in e_counts),
+    }
+    with open(manifest_path, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+
+    write_lineage(
+        spark,
+        base,
+        run_id,
+        "write_graph",
+        [(p, c, c, "ok") for p, c in v_counts] + [(p, c, c, "ok") for p, c in e_counts],
+    )
+    return manifest
+
+
+def merge_properties_json(a: str | None, b: str | None) -> str | None:
+    """Merge two property JSON objects, b's keys winning (ArangoDB
+    merge=True upsert semantics, main.py:3935-3940)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    da, db = json.loads(a), json.loads(b)
+    da.update(db)
+    # compact separators: identical rendering to the engine's JVM-built
+    # property JSON, so repeated merges are byte-stable (idempotent resume)
+    return json.dumps(da, sort_keys=True, separators=(",", ":"))
+
+
+def merge_by_key(old: DataFrame, new: DataFrame) -> DataFrame:
+    """D2 cross-batch upsert-merge keyed on (collection, _key).
+
+    Rows present in both merge property JSON (new wins per key) and take the
+    new row's other attributes. Expressed as a full outer join — on Iceberg
+    this becomes ``MERGE INTO ... WHEN MATCHED THEN UPDATE``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def merge_props(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [merge_properties_json(x, y) for x, y in zip(a, b)], dtype="object"
+        )
+
+    keys = ["collection", "_key"]
+    o = old.select([F.col(c).alias(f"old_{c}") if c not in keys else F.col(c) for c in old.columns])
+    n = new.select([F.col(c).alias(f"new_{c}") if c not in keys else F.col(c) for c in new.columns])
+    joined = o.join(n, keys, "full")
+    cols = [F.col(c) for c in keys]
+    for c in new.columns:
+        if c in keys:
+            continue
+        if c == "properties":
+            cols.append(merge_props(F.col("old_properties"), F.col("new_properties")).alias(c))
+        else:
+            cols.append(F.coalesce(F.col(f"new_{c}"), F.col(f"old_{c}")).alias(c))
+    return joined.select(cols)

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k against a query vector taken from the
+  table itself (so the DuckDB oracle can reference the same vector without
+  literals). Dot products run in codegen via zip_with/aggregate.
+- blocked_near_dup: cosine near-duplicate pairs within label blocks — the
+  pre-partitioned (coarse-quantized) variant: at 100 TB the label plays the
+  role of an IVF cell id, so the pair join is block-local instead of a full
+  cross join.
+- ivf_topk: two-stage IVF search — per-label centroids (the "coarse
+  quantizer"), probe the closest n_probe cells, exact search inside. The
+  shuffle is bounded by cell size, not table size.
+
+Cosines are rounded (6 d.p.) so float noise cannot flip the oracle's
+value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(
+        F.transform(a, lambda v: v.cast("double")), F.transform(b, lambda v: v.cast("double"))
+    ) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_id: int = 0, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by cosine vs the row with id == query_id.
+
+    (k+1 scan then drop self; ties broken by id asc — fully deterministic.)
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("qvec"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def blocked_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Cosine near-dup pairs within blocks: (id_a, id_b, score ≥ threshold)."""
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Two-stage approximate search: probe the n_probe closest cells (by
+    centroid cosine), exact cosine inside. Returns (vec_id, score)."""
+    dim_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    # centroids via dimension explode + partial-aggregated avg (map-side
+    # combine keeps the shuffle at |cells|·dim rows)
+    ex = emb.select(
+        F.col(cell_col).alias("cell"), F.posexplode(dim_vec).alias("pos", "val")
+    )
+    cells = (
+        ex.groupBy("cell", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cell", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qvec"), F.col(cell_col).alias("qcell")
+    )
+    probed = (
+        cells.crossJoin(F.broadcast(q))
+        .select("cell", cosine(F.col("centroid"), F.col("qvec")).alias("cscore"))
+        .orderBy(F.col("cscore").desc(), F.col("cell").asc())
+        .limit(n_probe)
+    )
+    cand = emb.join(
+        F.broadcast(probed.select(F.col("cell").alias(cell_col))), cell_col, "inner"
+    ).filter(F.col(id_col) != query_id)
+    scored = cand.crossJoin(F.broadcast(q.select("qvec"))).select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,125 @@
+"""Training-data operators: dedup, similarity, text analysis.
+
+The driver testdata has near-duplicates but no exact duplicates, so exact-dup
+behavior is exercised by planting duplicates (union with a prefix of itself).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkrdf.dedupe import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from sparkrdf.similarity import blocked_near_dup, brute_force_topk, ivf_topk
+from sparkrdf.textops import lang_id, quality_score, token_count
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Plant 5 exact duplicates with fresh doc_ids."""
+    clones = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return docs.unionByName(clones).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs, docs_with_dups):
+    assert exact_dedup(docs).count() == 0  # no exact dups in the raw table
+    groups = exact_dedup(docs_with_dups).collect()
+    assert len(groups) == 5
+    for g in groups:
+        assert g["n_dups"] == 2 and g["keep_id"] < 1_000_000
+
+
+def test_minhash_identical_docs_always_pair(spark, docs_with_dups):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_with_dups).collect()}
+    for i in range(5):
+        orig = docs_with_dups.orderBy("doc_id").limit(5).collect()[i]["doc_id"]
+    # every planted clone must pair with its original (identical signatures)
+    originals = [r["doc_id"] for r in docs_with_dups.filter("doc_id < 1000000").orderBy("doc_id").limit(5).collect()]
+    for o in originals:
+        assert (o, o + 1_000_000) in pairs
+
+
+def test_minhash_signature_shape(spark):
+    df = spark.createDataFrame(
+        [("a b c d e f",), ("a b c d e f",), ("completely different words here now",)],
+        "text string",
+    )
+    sigs = df.select(minhash_signature(F.col("text")).alias("sig")).collect()
+    assert sigs[0]["sig"] == sigs[1]["sig"]
+    assert sigs[0]["sig"] != sigs[2]["sig"]
+    assert len(sigs[0]["sig"]) == 12
+
+
+def test_ngram_jaccard_thresholds(spark, docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    assert pairs
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+    assert [r for r in pairs if r["jaccard"] == 1.0]  # the planted exact dups
+
+
+def test_simhash_groups_contain_exact_dups(spark, docs_with_dups):
+    groups = simhash_groups(docs_with_dups).collect()
+    assert groups
+    assert sum(g["n"] for g in groups) >= 10  # 5 planted pairs at minimum
+
+
+def test_brute_force_topk(spark, emb):
+    top = brute_force_topk(emb, query_id=0, k=10).collect()
+    assert len(top) == 10
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["vec_id"] != 0 for r in top)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, query_id=0, k=10, n_probe=3).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_blocked_near_dup_bounds(spark, emb):
+    pairs = blocked_near_dup(emb, threshold=0.35).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"] and -1.0 <= r["score"] <= 1.0
+
+
+def test_textops(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick fox and the dog of war to win with style", "en-ish"),
+            ("der hund und die katze mit das auto", "de-ish"),
+            ("", "empty"),
+        ],
+        "text string, tag string",
+    )
+    out = {
+        r["tag"]: r
+        for r in df.select(
+            "tag",
+            token_count(F.col("text")).alias("n"),
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out["en-ish"]["lang"] == "en"
+    assert out["de-ish"]["lang"] == "de"
+    assert out["empty"]["n"] == 0 and out["empty"]["lang"] == "und"
+    assert 0 <= out["en-ish"]["q"] <= 100

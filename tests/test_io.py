@@ -1,0 +1,77 @@
+"""Writer / manifest / merge-by-key / lineage tests."""
+
+import json
+import os
+
+from sparkrdf.io import merge_by_key, merge_edge_definitions, merge_properties_json, write_graph
+
+
+def test_merge_properties_json():
+    assert merge_properties_json(None, '{"a":1}') == '{"a":1}'
+    assert merge_properties_json('{"a":1}', None) == '{"a":1}'
+    out = json.loads(merge_properties_json('{"a":1,"b":2}', '{"b":3,"c":4}'))
+    assert out == {"a": 1, "b": 3, "c": 4}
+
+
+def test_merge_edge_definitions_union():
+    existing = {"knows": {"from": ["Person"], "to": ["Person"]}}
+    rows = [
+        {"edge_collection": "knows", "from_cols": ["Robot"], "to_cols": ["Person"]},
+        {"edge_collection": "owns", "from_cols": ["Person"], "to_cols": ["Thing"]},
+    ]
+    out = merge_edge_definitions(existing, rows)
+    assert out["knows"]["from"] == ["Person", "Robot"]
+    assert out["owns"] == {"from": ["Person"], "to": ["Thing"]}
+
+
+def test_write_graph_and_resume(spark, tmp_path):
+    base = str(tmp_path / "g")
+    v = spark.createDataFrame(
+        [("Person", "1", None), ("Person", "2", '{"x":1}')],
+        "collection string, _key string, properties string",
+    )
+    e = spark.createDataFrame(
+        [("knows", "9", "Person/1", "Person/2")],
+        "collection string, _key string, _from string, _to string",
+    )
+    d = spark.createDataFrame(
+        [("knows", ["Person"], ["Person"])],
+        "edge_collection string, from_cols array<string>, to_cols array<string>",
+    )
+    m1 = write_graph({"vertices": v, "edges": e, "edge_definitions": d}, base, "r1")
+    assert m1["vertices_rows"] == 2 and m1["edges_rows"] == 1
+    # resume: second import with a new from-collection unions the manifest
+    d2 = spark.createDataFrame(
+        [("knows", ["Robot"], ["Person"])],
+        "edge_collection string, from_cols array<string>, to_cols array<string>",
+    )
+    m2 = write_graph({"vertices": v, "edges": e, "edge_definitions": d2}, base, "r2")
+    assert m2["edge_definitions"]["knows"]["from"] == ["Person", "Robot"]
+    # lineage rows exist
+    lineage = spark.read.parquet(os.path.join(base, "lineage"))
+    assert lineage.filter("run_id = 'r1'").count() > 0
+    assert lineage.filter("run_id = 'r2'").count() > 0
+    # tables readable back, partitioned by collection
+    vv = spark.read.parquet(os.path.join(base, "vertices"))
+    assert vv.count() == 2 and "collection" in vv.columns
+
+
+def test_merge_by_key_upsert(spark):
+    old = spark.createDataFrame(
+        [("P", "1", '{"a":1}', "u1"), ("P", "2", None, "u2")],
+        "collection string, _key string, properties string, _uri string",
+    )
+    new = spark.createDataFrame(
+        [("P", "2", '{"b":2}', "u2b"), ("P", "3", None, "u3")],
+        "collection string, _key string, properties string, _uri string",
+    )
+    out = {r["_key"]: r for r in merge_by_key(old, new).collect()}
+    assert set(out) == {"1", "2", "3"}
+    assert out["1"]["properties"] == '{"a":1}' and out["1"]["_uri"] == "u1"
+    assert json.loads(out["2"]["properties"]) == {"b": 2}
+    assert out["2"]["_uri"] == "u2b"
+    # idempotence: merging the same new batch again converges
+    again = {r["_key"]: r for r in merge_by_key(merge_by_key(old, new), new).collect()}
+    assert {k: (v["properties"], v["_uri"]) for k, v in out.items()} == {
+        k: (v["properties"], v["_uri"]) for k, v in again.items()
+    }
