@@ -62,37 +62,51 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def minhash_signature(text: Column, k: int = MINHASH_K) -> Column:
-    """array<bigint> of k min-hashes over word shingles."""
+    """array<bigint> of k min-hashes over word shingles.
+
+    Built as ONE expression tree: the (md5-derived) shingle-hash array appears
+    a single time and the k permutations map over it, so each shingle is
+    hashed once per row — an F.array of k independent array_min(transform(..))
+    expressions would re-evaluate the md5 work k times (Catalyst does not CSE
+    across array elements)."""
     sh = word_shingles(text)
+    # md5 exactly once per shingle: the permutation lambda receives the hash
+    # as a *lambda variable* (a bound value, free to reference k times). Any
+    # structure where the hash expression itself sits inside another lambda
+    # body re-evaluates the md5 work per outer element (measured 10x
+    # slowdown at sf0.1).
     hashes = F.transform(sh, lambda s: h64(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashes, lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % MINHASH_P
-                )
-            )
-            for j in range(k)
-        ]
+    per_shingle = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[
+                (F.lit(MINHASH_A[j]).cast("bigint") * h + F.lit(MINHASH_B[j])) % MINHASH_P
+                for j in range(k)
+            ]
+        ),
     )
-    return sig
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(k)])
+    return F.aggregate(
+        per_shingle, init, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
 
 
 def minhash_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, band_idx, band_hash) — LSH banding of the MinHash signature."""
+    """(id, band_idx, band_hash) — LSH banding of the MinHash signature.
+
+    One projection computes the signature once and posexplodes the band
+    hashes (a per-band union would recompute the shingle+hash work B times).
+    """
     r = MINHASH_K // MINHASH_BANDS
     sig = minhash_signature(F.col(text_col))
     with_sig = docs.select(F.col(id_col).alias("id"), sig.alias("sig"))
-    bands = []
-    for b in range(MINHASH_BANDS):
-        band = F.md5(F.concat_ws("-", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
-        bands.append(
-            with_sig.select("id", F.lit(b).alias("band_idx"), band.alias("band_hash"))
-        )
-    out = bands[0]
-    for df in bands[1:]:
-        out = out.unionByName(df)
-    return out
+    band_arr = F.array(
+        *[
+            F.md5(F.concat_ws("-", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]))
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    return with_sig.select("id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

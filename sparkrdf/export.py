@@ -51,10 +51,42 @@ def _term_lookup(vertices: DataFrame, graph_ns: str) -> DataFrame:
 
 
 def edges_to_statements(
-    vertices: DataFrame, edges: DataFrame, graph_ns: str = "http://www.arangodb.com"
+    vertices: DataFrame,
+    edges: DataFrame,
+    graph_ns: str = "http://www.arangodb.com",
+    reify_property_edges: bool = True,
+    include_adb_e_key_statements: bool = False,
 ) -> DataFrame:
-    """Edge tables → statement rows (reference __process_adb_edge, main.py:1875-1936)."""
+    """Edge tables → statement rows (reference __process_adb_edge, main.py:1875-1936).
+
+    An edge with property data, or one referenced by another edge's
+    ``_from``/``_to`` (edge-of-edge), cannot be a plain triple — it is
+    re-reified (main.py:1919-1934, 2061-2099): the base triple is replaced by
+    4 reification statements about ``edge_uri = {_uri}#{_key}``, and the edge
+    properties attach to that URI. The edge-reference detection is a semi-join
+    of endpoint ids against the edge table's own (collection/_key) ids — the
+    reference does this with per-row point lookups.
+    """
+    edges = _with_optional_cols(edges, ["properties", "_sub_graph_uri"])
+    # materialize once: this function references `edges` four times and
+    # `vertices` twice — without a barrier each reference re-executes the
+    # full upstream transform DAG (and the optimizer re-analyzes a plan that
+    # grows multiplicatively)
+    vertices = vertices.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     terms = _term_lookup(vertices, graph_ns)
+
+    # endpoints may reference other EDGES (flattened reification) — union the
+    # edge docs into the term lookup as URIRef terms of their edge_uri
+    edge_ids = edges.select(
+        F.concat(F.col("collection"), F.lit("/"), F.col("_key")).alias("doc_id"),
+        F.lit("URIRef").alias("kind"),
+        F.concat(F.col("_uri"), F.lit("#"), F.col("_key")).alias("id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    terms = terms.unionByName(edge_ids.join(terms, "doc_id", "left_anti"))
+
     s_terms = terms.select(
         F.col("doc_id").alias("_from"),
         F.col("kind").alias("s_kind"),
@@ -67,65 +99,147 @@ def edges_to_statements(
         F.col("lang").alias("o_lang"),
         F.col("datatype").alias("o_datatype"),
     )
-    out = (
-        edges.select("_from", "_to", "_uri", "_sub_graph_uri")
+    resolved = (
+        edges.select(
+            "collection", "_key", "_from", "_to", "_uri", "_sub_graph_uri", "properties"
+        )
         .join(s_terms, "_from", "inner")
         .join(o_terms, "_to", "inner")
-        .select(
-            "s_kind",
-            "s",
-            F.col("_uri").alias("p"),
-            "o_kind",
-            "o",
-            "o_lang",
-            "o_datatype",
+    )
+
+    if reify_property_edges:
+        referenced = (
+            edges.select(F.col("_from").alias("ref"))
+            .unionByName(edges.select(F.col("_to").alias("ref")))
+            .dropDuplicates()
+        )
+        own_id = F.concat(F.col("collection"), F.lit("/"), F.col("_key"))
+        resolved = resolved.withColumn("own_id", own_id).join(
+            referenced, resolved["_from"].isNotNull() & (own_id == referenced["ref"]), "left"
+        )
+        needs_reify = (
+            F.col("properties").isNotNull()
+            | F.col("ref").isNotNull()
+            | F.lit(include_adb_e_key_statements)
+        )
+        resolved = resolved.withColumn("needs_reify", needs_reify).drop("ref", "own_id")
+    else:
+        resolved = resolved.withColumn("needs_reify", F.lit(False))
+
+    plain = resolved.filter(~F.col("needs_reify")).select(
+        "s_kind",
+        "s",
+        F.col("_uri").alias("p"),
+        "o_kind",
+        "o",
+        "o_lang",
+        "o_datatype",
+        F.col("_sub_graph_uri").alias("sub_graph"),
+    )
+
+    reif = resolved.filter(F.col("needs_reify"))
+    if reif.isEmpty():
+        return plain.select(*STATEMENT_COLUMNS)
+
+    edge_uri = F.concat(F.col("_uri"), F.lit("#"), F.col("_key"))
+    from sparkrdf import terms as T
+
+    def rstmt(p, o_kind, o, o_lang=None, o_dt=None):
+        return [
+            F.lit("URIRef").alias("s_kind"),
+            edge_uri.alias("s"),
+            F.lit(p).alias("p") if isinstance(p, str) else p.alias("p"),
+            (F.lit(o_kind) if isinstance(o_kind, str) else o_kind).alias("o_kind"),
+            o.alias("o"),
+            (o_lang if o_lang is not None else F.lit(None).cast("string")).alias("o_lang"),
+            (o_dt if o_dt is not None else F.lit(None).cast("string")).alias("o_datatype"),
             F.col("_sub_graph_uri").alias("sub_graph"),
+        ]
+
+    reified_stmts = (
+        reif.select(*rstmt(T.RDF_TYPE, "URIRef", F.lit(T.RDF_STATEMENT)))
+        .unionByName(reif.select(*rstmt(T.RDF_SUBJECT, F.col("s_kind"), F.col("s"))))
+        .unionByName(reif.select(*rstmt(T.RDF_PREDICATE, "URIRef", F.col("_uri"))))
+        .unionByName(
+            reif.select(
+                *rstmt(
+                    T.RDF_OBJECT,
+                    F.col("o_kind"),
+                    F.col("o"),
+                    F.col("o_lang"),
+                    F.col("o_datatype"),
+                )
+            )
         )
     )
-    return out.select(*STATEMENT_COLUMNS)
+    if include_adb_e_key_statements:
+        reified_stmts = reified_stmts.unionByName(
+            reif.select(*rstmt(T.ADB_KEY_URI, "Literal", F.col("_key")))
+        )
+
+    # edge properties unpack as statements about the edge_uri
+    prop_stmts = pgt_properties_to_statements(
+        reif.select(
+            F.lit("URIRef").alias("_rdftype"),
+            edge_uri.alias("_uri"),
+            F.col("collection"),
+            F.col("_key"),
+            F.col("properties"),
+        ),
+        _property_uri_map(vertices),
+        graph_ns,
+    )
+    return (
+        plain.unionByName(reified_stmts).unionByName(prop_stmts).select(*STATEMENT_COLUMNS)
+    )
 
 
-def pgt_vertices_to_statements(
-    vertices: DataFrame,
-    graph_ns: str = "http://www.arangodb.com",
-    list_conversion_mode: str = "static",
-    dict_conversion_mode: str = "static",
-) -> DataFrame:
-    """PGT vertex property documents → datatype-property statements
-    (reference __process_adb_vertex / __unpack_adb_doc, main.py:1830-1999,
-    list modes __adb_val_to_rdf_val main.py:2101-2173).
-
-    - each JSON property (label → value) becomes ``(term, p_uri, Literal)``;
-      the predicate IRI is recovered from the Property collection's
-      label → _uri map (main.py:372-379), falling back to
-      ``{graph_ns}/{label}``;
-    - value typing mirrors rdflib Literal inference: int → xsd:integer,
-      float → xsd:double, bool → xsd:boolean, str → plain literal;
-    - ``static`` list mode: one statement per element, recursing into nested
-      lists (structure is flattened — faithful to the reference);
-      ``serialize``: one statement with the JSON text as a string literal.
-
-    The per-row JSON unpack runs in an Arrow-batched mapInPandas (export is a
-    row-expansion over opaque JSON — not expressible as built-in columns).
-    """
-    import json as _json
-
-    import pandas as pd
-
-    # broadcast label -> predicate IRI map from the Property collection
-    prop_map_rows = (
+def _property_uri_map(vertices: DataFrame) -> dict[str, str]:
+    """label → predicate IRI from the Property collection (main.py:372-379)."""
+    rows = (
         vertices.filter(F.col("collection") == "Property")
         .select("_label", "_uri")
         .dropDuplicates(["_label"])
         .collect()
     )
-    prop_map = {r["_label"]: r["_uri"] for r in prop_map_rows if r["_uri"]}
-    xsd = "http://www.w3.org/2001/XMLSchema#"
+    return {r["_label"]: r["_uri"] for r in rows if r["_uri"]}
 
-    vertices = _with_optional_cols(vertices, ["_uri", "properties"])
-    src = vertices.select("collection", "_key", "_uri", "_rdftype", "properties").filter(
-        F.col("properties").isNotNull()
-    )
+
+def pgt_properties_to_statements(
+    src: DataFrame,
+    prop_map: dict[str, str],
+    graph_ns: str = "http://www.arangodb.com",
+    list_conversion_mode: str = "static",
+    dict_conversion_mode: str = "static",
+) -> DataFrame:
+    """Unpack property-JSON documents → statements (reference
+    __unpack_adb_doc main.py:1976-1999, __adb_val_to_rdf_val main.py:2101-2173).
+
+    src columns: _rdftype, _uri, collection, _key, properties.
+
+    - value typing mirrors rdflib Literal inference: int → xsd:integer,
+      float → xsd:double, bool → xsd:boolean, str → plain literal;
+    - list modes: ``static`` one statement per element, recursing (structure
+      flattened — faithful); ``collection`` rebuilds rdf:first/rest chains;
+      ``container`` rebuilds rdf:_n members; ``serialize`` emits the JSON
+      text as a string literal;
+    - dict modes: ``static`` mints a BNode + one statement per key;
+      ``serialize`` emits JSON text;
+    - minted BNode labels are deterministic (farmhash of subject|prop|path),
+      unlike the reference's random rdflib BNodes — resumed exports produce
+      identical graphs.
+
+    Runs in an Arrow-batched mapInPandas (a row-expansion over opaque JSON).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    from sparkrdf.hashing import farmhash_key
+    from sparkrdf.terms import RDF_FIRST, RDF_NIL, RDF_REST, RDF_NS
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    src = src.filter(F.col("properties").isNotNull())
 
     def unpack(batches):
         for pdf in batches:
@@ -140,35 +254,52 @@ def pgt_vertices_to_statements(
                     s_kind, s = "BNode", r["_key"]
                 props = _json.loads(r["properties"])
 
-                def emit_val(p_uri, v):
+                def emit(sk, sv, p_uri, v, path):
                     if isinstance(v, bool):
-                        out.append((s_kind, s, p_uri, "Literal", "true" if v else "false", None, xsd + "boolean"))
+                        out.append((sk, sv, p_uri, "Literal", "true" if v else "false", None, xsd + "boolean"))
                     elif isinstance(v, int):
-                        out.append((s_kind, s, p_uri, "Literal", str(v), None, xsd + "integer"))
+                        out.append((sk, sv, p_uri, "Literal", str(v), None, xsd + "integer"))
                     elif isinstance(v, float):
-                        out.append((s_kind, s, p_uri, "Literal", repr(v), None, xsd + "double"))
+                        out.append((sk, sv, p_uri, "Literal", repr(v), None, xsd + "double"))
                     elif isinstance(v, str):
-                        out.append((s_kind, s, p_uri, "Literal", v, None, None))
+                        out.append((sk, sv, p_uri, "Literal", v, None, None))
                     elif isinstance(v, list):
                         if list_conversion_mode == "serialize":
-                            out.append(
-                                (s_kind, s, p_uri, "Literal", _json.dumps(v), None, None)
-                            )
+                            out.append((sk, sv, p_uri, "Literal", _json.dumps(v), None, None))
+                        elif list_conversion_mode == "collection":
+                            node = "x" + farmhash_key(f"{sv}|{path}|coll")
+                            out.append((sk, sv, p_uri, "BNode", node, None, None))
+                            for i, el in enumerate(v):
+                                emit("BNode", node, RDF_FIRST, el, f"{path}.{i}")
+                                if i == len(v) - 1:
+                                    out.append(("BNode", node, RDF_REST, "URIRef", RDF_NIL, None, None))
+                                else:
+                                    nxt = "x" + farmhash_key(f"{sv}|{path}|coll|{i + 1}")
+                                    out.append(("BNode", node, RDF_REST, "BNode", nxt, None, None))
+                                    node = nxt
+                        elif list_conversion_mode == "container":
+                            node = "x" + farmhash_key(f"{sv}|{path}|cont")
+                            out.append((sk, sv, p_uri, "BNode", node, None, None))
+                            for i, el in enumerate(v, 1):
+                                emit("BNode", node, f"{RDF_NS}_{i}", el, f"{path}.{i}")
                         else:  # static: flatten recursively (main.py:2129-2156)
-                            for el in v:
-                                emit_val(p_uri, el)
+                            for i, el in enumerate(v):
+                                emit(sk, sv, p_uri, el, f"{path}.{i}")
                     elif isinstance(v, dict):
                         if dict_conversion_mode == "serialize":
-                            out.append(
-                                (s_kind, s, p_uri, "Literal", _json.dumps(v), None, None)
-                            )
-                        # static dict mode mints BNodes (main.py:2158-2169) — TODO
+                            out.append((sk, sv, p_uri, "Literal", _json.dumps(v), None, None))
+                        else:  # static (main.py:2158-2169)
+                            node = "x" + farmhash_key(f"{sv}|{path}|dict")
+                            out.append((sk, sv, p_uri, "BNode", node, None, None))
+                            for k2, v2 in v.items():
+                                p2 = prop_map.get(k2, f"{graph_ns}/{k2}")
+                                emit("BNode", node, p2, v2, f"{path}.{k2}")
                     elif v is None:
                         pass
 
                 for label, val in props.items():
                     p_uri = prop_map.get(label, f"{graph_ns}/{label}")
-                    emit_val(p_uri, val)
+                    emit(s_kind, s, p_uri, val, label)
             yield pd.DataFrame(
                 out,
                 columns=["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype"],
@@ -178,10 +309,58 @@ def pgt_vertices_to_statements(
         "s_kind string, s string, p string, o_kind string, o string, "
         "o_lang string, o_datatype string"
     )
-    stmts = src.mapInPandas(unpack, schema)
+    stmts = src.select("_rdftype", "_uri", "collection", "_key", "properties").mapInPandas(
+        unpack, schema
+    )
     return stmts.withColumn("sub_graph", F.lit(None).cast("string")).select(
         *STATEMENT_COLUMNS
     )
+
+
+def pgt_vertices_to_statements(
+    vertices: DataFrame,
+    graph_ns: str = "http://www.arangodb.com",
+    list_conversion_mode: str = "static",
+    dict_conversion_mode: str = "static",
+    include_adb_v_col_statements: bool = False,
+) -> DataFrame:
+    """PGT vertex property documents → datatype-property statements
+    (reference __process_adb_vertex, main.py:1830-1873)."""
+    vertices = _with_optional_cols(vertices, ["_uri", "properties"])
+    vertices = vertices.localCheckpoint(eager=True)  # referenced 2-3 times
+    out = pgt_properties_to_statements(
+        vertices.select("collection", "_key", "_uri", "_rdftype", "properties"),
+        _property_uri_map(vertices),
+        graph_ns,
+        list_conversion_mode,
+        dict_conversion_mode,
+    )
+    if include_adb_v_col_statements:
+        from sparkrdf import terms as T
+
+        col_stmts = vertices.filter(F.col("_rdftype") != "Literal").select(
+            F.col("_rdftype").alias("s_kind"),
+            F.coalesce(
+                F.col("_uri"),
+                F.when(F.col("_rdftype") == "BNode", F.col("_key")).otherwise(
+                    F.concat(
+                        F.lit(graph_ns),
+                        F.lit("/"),
+                        F.col("collection"),
+                        F.lit("#"),
+                        F.col("_key"),
+                    )
+                ),
+            ).alias("s"),
+            F.lit(T.ADB_COL_URI).alias("p"),
+            F.lit("Literal").alias("o_kind"),
+            F.col("collection").alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("sub_graph"),
+        )
+        out = out.unionByName(col_stmts.select(*STATEMENT_COLUMNS))
+    return out
 
 
 def pgt_to_statements(

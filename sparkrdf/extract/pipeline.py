@@ -62,48 +62,48 @@ def extract_triples(spark, pages: DataFrame) -> DataFrame:
     )
     p = PREDICATES
 
-    page_meta = (
-        pages.select(
-            *_stmt(F.col("page_iri"), F.lit(RDF_TYPE).alias("p"), "URIRef", F.lit(CLS_WEBPAGE))
+    # all per-page metadata statements in ONE projection + explode — a union
+    # of 5 selects would rescan (and re-synthesize) the pages source 5 times
+    def meta(pred, o_kind, o, dt=None):
+        return F.struct(
+            F.lit(pred).alias("p"),
+            F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("o_datatype"),
         )
-        .unionByName(
-            pages.select(
-                *_stmt(F.col("page_iri"), F.lit(p["url"]).alias("p"), "Literal", F.col("url"))
-            )
-        )
-        .unionByName(
-            pages.select(
-                *_stmt(F.col("page_iri"), F.lit(p["lang"]).alias("p"), "Literal", F.col("lang"))
-            )
-        )
-        .unionByName(
-            pages.select(
-                *_stmt(
-                    F.col("page_iri"),
-                    F.lit(p["fetchedAt"]).alias("p"),
-                    "Literal",
-                    F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-                    XSD + "dateTime",
-                )
-            )
-        )
-        .unionByName(
-            pages.select(
-                *_stmt(
-                    F.col("page_iri"),
-                    F.lit(p["tokenCount"]).alias("p"),
-                    "Literal",
-                    F.col("token_count").cast("string"),
-                    XSD + "integer",
-                )
-            )
-        )
+
+    meta_arr = F.array(
+        meta(RDF_TYPE, "URIRef", F.lit(CLS_WEBPAGE)),
+        meta(p["url"], "Literal", F.col("url")),
+        meta(p["lang"], "Literal", F.col("lang")),
+        meta(
+            p["fetchedAt"],
+            "Literal",
+            F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            XSD + "dateTime",
+        ),
+        meta(p["tokenCount"], "Literal", F.col("token_count").cast("string"), XSD + "integer"),
+    )
+    page_meta = pages.select(
+        F.col("page_iri"), F.explode(meta_arr).alias("m")
+    ).select(
+        F.lit("URIRef").alias("s_kind"),
+        F.col("page_iri").alias("s"),
+        F.col("m.p").alias("p"),
+        F.col("m.o_kind").alias("o_kind"),
+        F.col("m.o").alias("o"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.col("m.o_datatype").alias("o_datatype"),
+        F.lit(None).cast("string").alias("sub_graph"),
     )
 
     mentions = detect_mentions(pages)
     links = link_mentions(spark, mentions)
     page_keys = pages.select("url", "page_iri")
-    linked = links.join(page_keys, "url", "inner")
+    # persist: both the mention statements and the entity-type statements
+    # derive from this (small) set — without a barrier the whole NER+linking
+    # chain re-executes per consumer
+    linked = links.join(page_keys, "url", "inner").persist()
 
     mention_stmts = linked.select(
         *_stmt(

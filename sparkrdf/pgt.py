@@ -202,7 +202,22 @@ def pgt_transform(
         F.col("o").alias("id"),
         F.col("o_kind").alias("kind"),
     )
-    # subjects of list-head statements may carry ONLY list properties
+    # subjects AND predicates of list-head statements get term docs even when
+    # the statement itself becomes a property (reference processes s_meta and
+    # p_meta before routing to list assembly, main.py:2632-2679)
+    head_pred = (
+        heads.select(F.col("p").alias("id"))
+        .dropDuplicates()
+        .withColumn("kind", F.lit("URIRef"))
+        .withColumn("_key", farmhash_udf(F.col("id")))
+        .join(mapping, "id", "left")
+        .select(
+            F.coalesce("collection", F.lit(unknown)).alias("collection"),
+            "_key",
+            "id",
+            "kind",
+        )
+    )
     head_subj = (
         heads.select(F.col("s").alias("id"), F.col("s_kind").alias("kind"))
         .dropDuplicates(["id"])
@@ -227,6 +242,7 @@ def pgt_transform(
         subj_docs.unionByName(pred_docs)
         .unionByName(obj_docs)
         .unionByName(head_subj)
+        .unionByName(head_pred)
         .dropDuplicates(["collection", "_key"])
     )
     vertices_base = term_docs.select(

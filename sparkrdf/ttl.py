@@ -112,6 +112,7 @@ class TurtleParser:
             "xsd": XSD,
             "adb": "http://www.arangodb.com/",
         }
+        self.declared_prefixes: dict[str, str] = {}
         self.base = ""
         self.bnode_n = 0
         self.bnode_prefix = bnode_prefix
@@ -157,6 +158,7 @@ class TurtleParser:
                 pn = self._next().val
                 iri = self._next().val
                 self.prefixes[pn[:-1]] = self._resolve_iri_token(iri)
+                self.declared_prefixes[pn[:-1]] = self.prefixes[pn[:-1]]
                 if self._peek() and self._peek().val == ".":
                     self._next()
             elif low in ("@base", "base"):
@@ -325,6 +327,25 @@ STATEMENT_COLUMNS = ["s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype", 
 def parse_ttl(text: str, bnode_prefix: str = "b") -> list[tuple]:
     """Parse Turtle/TriG text → list of statement rows (STATEMENT_COLUMNS)."""
     return TurtleParser(text, bnode_prefix=bnode_prefix).parse()
+
+
+def parse_ttl_with_prefixes(
+    text: str, bnode_prefix: str = "b"
+) -> tuple[list[tuple], dict[str, str]]:
+    """Like parse_ttl but also returns the declared prefix bindings (for the
+    namespaces sink — reference main.py:1178-1193)."""
+    p = TurtleParser(text, bnode_prefix=bnode_prefix)
+    rows = p.parse()
+    return rows, dict(p.declared_prefixes)
+
+
+def namespaces_df(spark, prefixes: dict[str, str]):
+    """(prefix, uri, _key=farmhash(uri)) rows — the reference's namespaces
+    collection (main.py:1178-1193)."""
+    from sparkrdf.hashing import farmhash_key
+
+    rows = [(p, u, farmhash_key(u)) for p, u in sorted(prefixes.items())]
+    return spark.createDataFrame(rows, "prefix string, uri string, _key string")
 
 
 def parse_ttl_file(path: str, bnode_prefix: str | None = None) -> list[tuple]:

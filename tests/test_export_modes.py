@@ -1,0 +1,114 @@
+"""Export-direction parity: re-reification, list conversion modes, adb:col
+statements, namespaces — mirroring the reference's export tests
+(test_main.py:4442-4563 list-mode counts, 1917-1920 col statements)."""
+
+from pyspark.sql import functions as F
+
+from sparkrdf.export import edges_to_statements, pgt_to_statements, pgt_vertices_to_statements
+from sparkrdf.hashing import farmhash_key
+from sparkrdf.pgt import pgt_transform
+from sparkrdf.ttl import namespaces_df, parse_ttl_file, parse_ttl_with_prefixes, statements_df
+from tests.conftest import ref_case
+
+EX = "http://example.com/"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_reified_edge_reexports_as_reification(spark):
+    """Case 8: a PGT edge carrying statement properties exports as 4
+    reification statements + the property about edge_uri (main.py:1919-1934)."""
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/8.ttl")))
+    out = pgt_transform(stmts, "E8")
+    exported = pgt_to_statements(out["vertices"], out["edges"]).collect()
+    by_p = {}
+    for r in exported:
+        by_p.setdefault(r["p"], []).append(r)
+    assert len(by_p[RDF_NS + "subject"]) == 1
+    assert len(by_p[RDF_NS + "predicate"]) == 1
+    assert len(by_p[RDF_NS + "object"]) == 1
+    assert len(by_p[RDF_NS + "type"]) == 1
+    edge_uri = by_p[RDF_NS + "subject"][0]["s"]
+    assert edge_uri.startswith(EX + "likes#")
+    cert = by_p[EX + "certainty"]
+    assert cert[0]["s"] == edge_uri and cert[0]["o"] == "0.5"
+    # the plain (alice likes bob) triple is REPLACED by the reification
+    assert (EX + "likes") not in by_p
+
+
+def test_collection_mode_counts(spark):
+    """collection.ttl exported with list_conversion_mode='collection' must
+    reproduce the reference's exact counts: 55 rdf:first, 55 rdf:rest,
+    123 statements total (test_main.py:4496-4500)."""
+    stmts = statements_df(spark, parse_ttl_file(ref_case("collection.ttl")))
+    out = pgt_transform(stmts, "ECol")
+    exported = pgt_to_statements(
+        out["vertices"], out["edges"], list_conversion_mode="collection"
+    ).collect()
+    firsts = [r for r in exported if r["p"] == RDF_NS + "first"]
+    rests = [r for r in exported if r["p"] == RDF_NS + "rest"]
+    assert len(firsts) == 55
+    assert len(rests) == 55
+    assert len(exported) == 123
+
+
+def test_container_mode_counts(spark):
+    """container.ttl exported with list_conversion_mode='container' →
+    51 statements total (test_main.py:4555-4560)."""
+    stmts = statements_df(spark, parse_ttl_file(ref_case("container.ttl")))
+    out = pgt_transform(stmts, "ECont")
+    exported = pgt_to_statements(
+        out["vertices"], out["edges"], list_conversion_mode="container"
+    ).collect()
+    assert len(exported) == 51
+    members = [r for r in exported if r["p"].startswith(RDF_NS + "_")]
+    assert members
+
+
+def test_serialize_mode(spark):
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/4.ttl")))
+    out = pgt_transform(stmts, "ESer")
+    exported = pgt_vertices_to_statements(
+        out["vertices"], list_conversion_mode="serialize"
+    ).collect()
+    vals = [r for r in exported if r["p"] == EX + "contents"]
+    assert len(vals) == 1
+    assert vals[0]["o"] == '["one", "two", "three"]'
+
+
+def test_adb_col_statements_regenerated(spark):
+    """include_adb_v_col_statements regenerates the collection mapping
+    (test_main.py:1917-1920 compares against write_adb_col_statements)."""
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/1.ttl")))
+    out = pgt_transform(stmts, "ECols")
+    exported = pgt_vertices_to_statements(
+        out["vertices"], include_adb_v_col_statements=True
+    ).collect()
+    cols = {
+        r["s"]: r["o"]
+        for r in exported
+        if r["p"] == "http://www.arangodb.com/collection"
+    }
+    assert cols[EX + "alice"] == "Person"
+    assert cols[EX + "Person"] == "Class"
+    assert cols[EX + "meets"] == "Property"
+
+
+def test_namespaces_sink(spark):
+    rows, prefixes = parse_ttl_with_prefixes(
+        open(ref_case("cases/1.ttl"), encoding="utf-8").read()
+    )
+    assert prefixes == {"ex": EX}
+    ns = namespaces_df(spark, prefixes).collect()
+    assert ns[0]["prefix"] == "ex" and ns[0]["_key"] == farmhash_key(EX)
+
+
+def test_edge_of_edge_forces_reification(spark):
+    """cases/13_1: the inner edge is referenced by the outer edge's _from →
+    both export reified even without property data."""
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/13_1.ttl")))
+    out = pgt_transform(stmts, "E13")
+    exported = edges_to_statements(out["vertices"], out["edges"]).collect()
+    subj_stmts = [r for r in exported if r["p"] == RDF_NS + "subject"]
+    # inner (position) and outer (mentionedBy) edges both reify;
+    # the source edge stays plain
+    assert len(subj_stmts) >= 2
