@@ -3,16 +3,23 @@
 The gazetteer is tiny → broadcast hash join (never shuffles the mention
 stream). Where a surface has multiple candidate entities, the winner is the
 highest cosine similarity between a hashed-character-trigram embedding of the
-mention's page context and of the entity id — fully deterministic (no model
-weights in this environment; the embedding is a real vectorized computation
-with the plumbing a learned encoder would use: Arrow batch in, fixed-dim
-float vector out).
+surface and of the entity label — deterministic (no model weights in this
+environment; the embedding is the real vectorized computation a learned
+encoder would slot into).
+
+Scale note: the deterministic embedding depends only on (surface,
+entity_label), so scoring collapses to the DISTINCT dictionary pairs —
+computed once on the driver and broadcast — and candidate selection is a
+plain max over ≤|gazetteer| rows. No per-row Python, no window over the
+mention stream (an earlier per-row pandas-UDF version spent ~40 s at 800k
+pages embedding 6.5M rows that had ≤40 distinct inputs). A context-sensitive
+encoder would instead batch per distinct (surface, context-window) — still
+Arrow-batched, still never a row-at-a-time UDF.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import functions as F
 
 from sparkrdf.extract.gazetteer import entity_rows
@@ -32,33 +39,25 @@ def embed_text(s: str) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def scored_gazetteer():
+    """(surface, entity_iri, class_iri, entity_label, score) — cosine scored,
+    best candidate per surface already selected (deterministic tie-break)."""
+    best: dict[str, tuple] = {}
+    for surface, ent, cls, label in entity_rows():
+        score = float(np.dot(embed_text(surface), embed_text(label)))
+        cand = (surface, ent, cls, label, round(score, 6))
+        cur = best.get(surface)
+        # highest score wins; ties broken by entity IRI ascending
+        if cur is None or cand[4] > cur[4] or (cand[4] == cur[4] and cand[1] < cur[1]):
+            best[surface] = cand
+    return sorted(best.values())
+
+
 def link_mentions(spark, mentions):
     """mentions(url, surface, n, first_off) →
-    links(url, surface, n, entity_iri, class_iri, entity_label, score).
-
-    With a 1-candidate dictionary the cosine score is informational; with
-    ambiguous surfaces a row_number window keeps the best-scoring candidate.
-    """
-    from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
-
+    links(url, surface, n, entity_iri, class_iri, entity_label, score)."""
     gaz = spark.createDataFrame(
-        entity_rows(), "surface string, entity_iri string, class_iri string, entity_label string"
+        scored_gazetteer(),
+        "surface string, entity_iri string, class_iri string, entity_label string, score double",
     )
-    cand = mentions.join(F.broadcast(gaz), "surface", "inner")
-
-    @pandas_udf("double")
-    def cosine(surface: pd.Series, label: pd.Series) -> pd.Series:
-        return pd.Series(
-            [float(np.dot(embed_text(a), embed_text(b))) for a, b in zip(surface, label)]
-        )
-
-    scored = cand.withColumn("score", cosine(F.col("surface"), F.col("entity_label")))
-    w = Window.partitionBy("url", "surface").orderBy(
-        F.col("score").desc(), F.col("entity_iri").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return mentions.join(F.broadcast(gaz), "surface", "inner")

@@ -25,7 +25,7 @@ def spark():
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.driver.memory", "8g")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -34,3 +34,27 @@ def spark():
     )
     yield spark
     spark.stop()
+
+
+@pytest.fixture(scope="session")
+def pgt_case(spark):
+    """Memoized, materialized PGT transform per fixture case. Graph name is
+    derived from the case file ('G<case>'). Saves minutes of repeated
+    transform work across test files."""
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl_file, statements_df
+
+    cache: dict = {}
+
+    def get(case: str):
+        if case not in cache:
+            import re
+
+            name = "G" + re.sub(r"\W+", "_", case.rsplit(".", 1)[0])
+            stmts = statements_df(spark, parse_ttl_file(ref_case(case)))
+            out = pgt_transform(stmts, name)
+            out = {k: v.localCheckpoint(eager=True) for k, v in out.items()}
+            cache[case] = (name, stmts, out)
+        return cache[case]
+
+    return get

@@ -2,23 +2,19 @@
 statements, namespaces — mirroring the reference's export tests
 (test_main.py:4442-4563 list-mode counts, 1917-1920 col statements)."""
 
-from pyspark.sql import functions as F
-
 from sparkrdf.export import edges_to_statements, pgt_to_statements, pgt_vertices_to_statements
 from sparkrdf.hashing import farmhash_key
-from sparkrdf.pgt import pgt_transform
-from sparkrdf.ttl import namespaces_df, parse_ttl_file, parse_ttl_with_prefixes, statements_df
+from sparkrdf.ttl import namespaces_df, parse_ttl_with_prefixes
 from tests.conftest import ref_case
 
 EX = "http://example.com/"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
-def test_reified_edge_reexports_as_reification(spark):
+def test_reified_edge_reexports_as_reification(spark, pgt_case):
     """Case 8: a PGT edge carrying statement properties exports as 4
     reification statements + the property about edge_uri (main.py:1919-1934)."""
-    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/8.ttl")))
-    out = pgt_transform(stmts, "E8")
+    _, _, out = pgt_case("cases/8.ttl")
     exported = pgt_to_statements(out["vertices"], out["edges"]).collect()
     by_p = {}
     for r in exported:
@@ -35,12 +31,11 @@ def test_reified_edge_reexports_as_reification(spark):
     assert (EX + "likes") not in by_p
 
 
-def test_collection_mode_counts(spark):
+def test_collection_mode_counts(spark, pgt_case):
     """collection.ttl exported with list_conversion_mode='collection' must
     reproduce the reference's exact counts: 55 rdf:first, 55 rdf:rest,
     123 statements total (test_main.py:4496-4500)."""
-    stmts = statements_df(spark, parse_ttl_file(ref_case("collection.ttl")))
-    out = pgt_transform(stmts, "ECol")
+    _, _, out = pgt_case("collection.ttl")
     exported = pgt_to_statements(
         out["vertices"], out["edges"], list_conversion_mode="collection"
     ).collect()
@@ -51,11 +46,10 @@ def test_collection_mode_counts(spark):
     assert len(exported) == 123
 
 
-def test_container_mode_counts(spark):
+def test_container_mode_counts(spark, pgt_case):
     """container.ttl exported with list_conversion_mode='container' →
     51 statements total (test_main.py:4555-4560)."""
-    stmts = statements_df(spark, parse_ttl_file(ref_case("container.ttl")))
-    out = pgt_transform(stmts, "ECont")
+    _, _, out = pgt_case("container.ttl")
     exported = pgt_to_statements(
         out["vertices"], out["edges"], list_conversion_mode="container"
     ).collect()
@@ -64,9 +58,8 @@ def test_container_mode_counts(spark):
     assert members
 
 
-def test_serialize_mode(spark):
-    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/4.ttl")))
-    out = pgt_transform(stmts, "ESer")
+def test_serialize_mode(spark, pgt_case):
+    _, _, out = pgt_case("cases/4.ttl")
     exported = pgt_vertices_to_statements(
         out["vertices"], list_conversion_mode="serialize"
     ).collect()
@@ -75,11 +68,10 @@ def test_serialize_mode(spark):
     assert vals[0]["o"] == '["one", "two", "three"]'
 
 
-def test_adb_col_statements_regenerated(spark):
+def test_adb_col_statements_regenerated(spark, pgt_case):
     """include_adb_v_col_statements regenerates the collection mapping
     (test_main.py:1917-1920 compares against write_adb_col_statements)."""
-    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/1.ttl")))
-    out = pgt_transform(stmts, "ECols")
+    _, _, out = pgt_case("cases/1.ttl")
     exported = pgt_vertices_to_statements(
         out["vertices"], include_adb_v_col_statements=True
     ).collect()
@@ -102,13 +94,10 @@ def test_namespaces_sink(spark):
     assert ns[0]["prefix"] == "ex" and ns[0]["_key"] == farmhash_key(EX)
 
 
-def test_edge_of_edge_forces_reification(spark):
+def test_edge_of_edge_forces_reification(spark, pgt_case):
     """cases/13_1: the inner edge is referenced by the outer edge's _from →
     both export reified even without property data."""
-    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/13_1.ttl")))
-    out = pgt_transform(stmts, "E13")
+    _, _, out = pgt_case("cases/13_1.ttl")
     exported = edges_to_statements(out["vertices"], out["edges"]).collect()
     subj_stmts = [r for r in exported if r["p"] == RDF_NS + "subject"]
-    # inner (position) and outer (mentionedBy) edges both reify;
-    # the source edge stays plain
     assert len(subj_stmts) >= 2
