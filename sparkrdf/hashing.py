@@ -178,8 +178,8 @@ def _fingerprint64_py(s: bytes) -> int:
     w0 = (w0 + ((n - 1) & 63)) & MASK64
     v0 = (v0 + w0) & MASK64
     w0 = (w0 + v0) & MASK64
-    x = (_rotr((x + y + v0 + _fetch64(s, i + 8)) & MASK64, 37) * K1) & MASK64
-    y = (_rotr((y + v1 + _fetch64(s, i + 48)) & MASK64, 42) * K1) & MASK64
+    x = (_rotr((x + y + v0 + _fetch64(s, i + 8)) & MASK64, 37) * mul) & MASK64
+    y = (_rotr((y + v1 + _fetch64(s, i + 48)) & MASK64, 42) * mul) & MASK64
     x ^= (w1 * 9) & MASK64
     y = (y + v0 * 9 + _fetch64(s, i + 40)) & MASK64
     z = (_rotr((z + w0) & MASK64, 33) * mul) & MASK64
@@ -392,8 +392,8 @@ def fingerprint64_many(strings) -> np.ndarray:
             w0 = w0 + ((ln - 1) & 63).astype(np.uint64)
             v0 = v0 + w0
             w0 = w0 + v0
-            x = _rotr_v(x + y + v0 + _fetch64_v(buf, p + 8), 37) * _K1v
-            y = _rotr_v(y + v1 + _fetch64_v(buf, p + 48), 42) * _K1v
+            x = _rotr_v(x + y + v0 + _fetch64_v(buf, p + 8), 37) * mul
+            y = _rotr_v(y + v1 + _fetch64_v(buf, p + 48), 42) * mul
             x = x ^ (w1 * _U(9))
             y = y + v0 * _U(9) + _fetch64_v(buf, p + 40)
             z = _rotr_v(z + w0, 33) * mul
@@ -410,12 +410,24 @@ def fingerprint64_many(strings) -> np.ndarray:
 
 # Prefer the real C wheel when present (production clusters); cross-check the
 # vendored implementation against it on import so drift is caught immediately.
+# The import may fail (wheel absent in this sandbox) — that falls back quietly.
+# A cross-check MISMATCH, however, means our vendored algorithm is wrong and
+# every key the engine emits would diverge from the reference: fail loudly.
 try:  # pragma: no cover - wheel absent in this sandbox
     import farmhash as _farmhash_c
+except ImportError:
+    _farmhash_c = None
 
+if _farmhash_c is not None:  # pragma: no cover - wheel absent in this sandbox
     _PROBES = [b"", b"a", b"abc", b"http://example.com/Person#Bob", b"x" * 200]
     for _p in _PROBES:
-        assert _farmhash_c.Fingerprint64(_p.decode()) == _fingerprint64_py(_p), _p
+        _want = _farmhash_c.Fingerprint64(_p.decode())
+        _got = _fingerprint64_py(_p)
+        if _want != _got:
+            raise AssertionError(
+                f"vendored Fingerprint64 diverges from farmhash wheel on "
+                f"{_p!r}: wheel={_want} vendored={_got}"
+            )
 
     def fingerprint64(s: str | bytes) -> int:
         """FarmHash Fingerprint64 (C wheel)."""
@@ -424,7 +436,7 @@ try:  # pragma: no cover - wheel absent in this sandbox
         return _farmhash_c.Fingerprint64(s)
 
     BACKEND = "farmhash-c"
-except Exception:
+else:
 
     def fingerprint64(s: str | bytes) -> int:
         """FarmHash Fingerprint64 (vendored pure Python)."""
@@ -475,19 +487,27 @@ def register_udfs():
 
     @pandas_udf("string")
     def farmhash_udf(ids: pd.Series) -> pd.Series:
+        # RDF terms are Zipf-distributed (rdf:type alone is ~1/5 of all
+        # statement predicates), so hash each DISTINCT string once per Arrow
+        # batch and gather back (pd.factorize), instead of re-hashing every
+        # occurrence. Shuffle-free: the dedup is local to the batch.
         mask = ids.notna()
-        vals = fingerprint64_many(ids[mask].tolist())
+        codes, uniques = pd.factorize(ids[mask].to_numpy())
+        vals = fingerprint64_many(list(uniques))
+        uniq_strs = np.array([str(v) for v in vals], dtype=object)
         out = pd.Series([None] * len(ids), index=ids.index, dtype="object")
-        out[mask] = [str(v) for v in vals]
+        out[mask] = uniq_strs[codes]
         return out
 
     @pandas_udf("string")
     def edge_key_udf(sk: pd.Series, pk: pd.Series, ok: pd.Series) -> pd.Series:
         mask = sk.notna() & pk.notna() & ok.notna()
-        joined = (sk[mask] + "-" + pk[mask] + "-" + ok[mask]).tolist()
-        vals = fingerprint64_many(joined)
+        joined = (sk[mask] + "-" + pk[mask] + "-" + ok[mask]).to_numpy()
+        codes, uniques = pd.factorize(joined)
+        vals = fingerprint64_many(list(uniques))
+        uniq_strs = np.array([str(v) for v in vals], dtype=object)
         out = pd.Series([None] * len(sk), index=sk.index, dtype="object")
-        out[mask] = [str(v) for v in vals]
+        out[mask] = uniq_strs[codes]
         return out
 
     return farmhash_udf, edge_key_udf

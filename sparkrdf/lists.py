@@ -116,8 +116,10 @@ def split_list_statements(
     list_heads — (s_kind, s, p, root, sub_graph): non-list statements whose
                  object roots a list (main.py:2936-2941).
     """
+    # list-subject sets grow with the corpus's list data — no broadcast
+    # hints; AQE broadcasts when a side is actually small.
     coll, cont = rdf_list_subjects(stmts)
-    coll_b, cont_b = F.broadcast(coll), F.broadcast(cont)
+    coll_b, cont_b = coll, cont
 
     with_flags = (
         stmts.join(

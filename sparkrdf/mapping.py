@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -207,7 +208,9 @@ def build_candidates(stmts: DataFrame, reif: DataFrame) -> DataFrame:
         .filter(~F.col("cls").isin(blacklist))
         .dropDuplicates()
     )
-    scope_b = F.broadcast(scope)
+    # scope derives from in-graph rdfs:domain/range statements, so it is not
+    # strictly bounded — no broadcast hint; AQE broadcasts when small.
+    scope_b = scope
 
     dom = (
         stmts.join(
@@ -238,15 +241,89 @@ def build_candidates(stmts: DataFrame, reif: DataFrame) -> DataFrame:
     return explicit.unionByName(dr).dropDuplicates(["id", "cls"])
 
 
-def best_class(candidates: DataFrame, depths: dict[str, int]) -> DataFrame:
+class BestClassController:
+    """Pluggable best-class strategy, mirroring ``ArangoRDFController``
+    (reference controller.py:12-94). Subclass and override
+    :meth:`identify_best_class` to customize the ArangoDB Collection Mapping
+    Process; the default reproduces the reference rule exactly:
+
+    - single candidate → it;
+    - any candidate in the subclass tree → max depth, with ties broken by
+      sorted iteration + strict ``>`` (lexicographically-first max wins);
+    - none in tree → lexicographic min.
+
+    Must be picklable (it ships to executors inside an Arrow-batched UDF).
+    """
+
+    def identify_best_class(
+        self, term_id: str, class_set: frozenset, depths: dict[str, int]
+    ) -> str:
+        if len(class_set) == 1:
+            return next(iter(class_set))
+        if any(c in depths for c in class_set):
+            best_depth, best = -1, ""
+            for c in sorted(class_set):
+                d = depths.get(c, -1)
+                if d > best_depth:
+                    best_depth, best = d, c
+            return best
+        return sorted(class_set)[0]
+
+
+def best_class(
+    candidates: DataFrame,
+    depths: dict[str, int],
+    controller: BestClassController | None = None,
+) -> DataFrame:
     """C6: (id, collection) via the controller's selection rule
     (controller.py:78-94): max tree depth, lexicographic-first ties;
-    no candidate in tree → lexicographic min."""
+    no candidate in tree → lexicographic min.
+
+    The default rule is a pure-Catalyst window (no Python in the hot path).
+    A custom **controller** runs as an Arrow-batched pandas UDF over one
+    (id, candidate-set) row per term — the user contract matches the
+    reference exactly (term, class set, depth map in; class IRI out).
+    """
     spark = candidates.sparkSession
-    if depths:
-        depth_df = F.broadcast(
-            spark.createDataFrame(list(depths.items()), "cls string, depth int")
+
+    if controller is not None and type(controller) is not BestClassController:
+        import sys
+
+        from pyspark.sql.functions import pandas_udf
+
+        depths_local = dict(depths)
+        ctrl = controller
+
+        # User controllers are typically defined in modules that are not on
+        # the executors' import path (a notebook, a test file). Register the
+        # defining module for by-value pickling so the class ships inside the
+        # closure instead of being re-imported worker-side.
+        mod = sys.modules.get(type(ctrl).__module__)
+        if mod is not None and not type(ctrl).__module__.startswith("sparkrdf"):
+            try:
+                from pyspark.cloudpickle import cloudpickle as _cp
+
+                _cp.register_pickle_by_value(mod)
+            except Exception:
+                pass
+
+        @pandas_udf("string")
+        def pick(ids: pd.Series, clss: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    ctrl.identify_best_class(i, frozenset(cs), depths_local)
+                    for i, cs in zip(ids, clss)
+                ]
+            )
+
+        grouped = candidates.groupBy("id").agg(F.collect_set("cls").alias("clss"))
+        return grouped.select(
+            "id", T.adb_label(pick(F.col("id"), F.col("clss"))).alias("collection")
         )
+
+    if depths:
+        # driver-built local table: exact size stats, AQE broadcasts it
+        depth_df = spark.createDataFrame(list(depths.items()), "cls string, depth int")
         cand = candidates.join(depth_df, "cls", "left").withColumn(
             "depth", F.coalesce("depth", F.lit(-1))
         )
@@ -264,6 +341,7 @@ def collection_mapping(
     stmts: DataFrame,
     overrides: DataFrame | None = None,
     resource_collection: str | None = None,
+    controller: BestClassController | None = None,
 ) -> DataFrame:
     """Full mapping pipeline → (id, collection) for every mapped term.
 
@@ -280,7 +358,7 @@ def collection_mapping(
 
     depths = build_subclass_depths(stmts)
     cand = build_candidates(stmts, reif)
-    best = best_class(cand, depths)
+    best = best_class(cand, depths, controller)
 
     pins_p = pins.select("id", F.col("collection").alias("pin_col"))
     over_p = (

@@ -44,7 +44,8 @@ def migrate_unknown_resources(
         .withColumn("old_id", F.concat(F.lit(ur_col), F.lit("/"), F.col("_key")))
         .withColumn("new_id", F.concat(F.col("new_col"), F.lit("/"), F.col("_key")))
     )
-    moves_b = F.broadcast(moves)
+    # moves = UR ∩ uri_map grows with the corpus — no broadcast hint
+    moves_b = moves
 
     new_vertices = (
         vertices.join(moves_b.select("_key", "new_col"), "_key", "left")

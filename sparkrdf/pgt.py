@@ -74,7 +74,10 @@ def pgt_transform(
     stmts: DataFrame,
     name: str,
     resource_collection: str | None = None,
+    controller=None,
 ) -> dict[str, DataFrame]:
+    """**controller**: optional ``mapping.BestClassController`` subclass
+    overriding the best-class rule (reference controller.py:12-94)."""
     farmhash_udf, edge_key_udf = register_udfs()
     unknown = f"{name}_UnknownResource"
 
@@ -86,7 +89,7 @@ def pgt_transform(
     keys_df, data = extract_adb_key_statements(data)
     overrides, data = extract_adb_col_statements(data)
     # 3. mapping (pre-flatten graph, like the reference)
-    mapping = collection_mapping(data, overrides, resource_collection)
+    mapping = collection_mapping(data, overrides, resource_collection, controller)
     # 4. flatten reified triples
     data, reified_map = flatten_reified(data, keys_df)
     # 5. list routing + assembly
@@ -122,9 +125,11 @@ def pgt_transform(
     kb = keys_df
     s_over = kb.select(F.col("id").alias("s"), F.col("custom_key").alias("s_custom"))
     o_over = kb.select(F.col("id").alias("o"), F.col("custom_key").alias("o_custom"))
+    # no broadcast hints: adb:key overrides grow with the corpus (the
+    # flagship workload pins one per document) — AQE picks the strategy.
     keyed = (
-        keyed.join(F.broadcast(s_over), "s", "left")
-        .join(F.broadcast(o_over), "o", "left")
+        keyed.join(s_over, "s", "left")
+        .join(o_over, "o", "left")
         .withColumn("s_key", F.coalesce("s_custom", "s_key0"))
         .withColumn(
             "o_key",
@@ -143,12 +148,14 @@ def pgt_transform(
     r_o = reified_map.select(
         F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), F.col("p_label").alias("o_rcol")
     )
+    # mapping and reified maps are data-sized too (mapping covers every
+    # typed term; reified map grows with reified statement count): no hints.
     keyed = (
         keyed.join(m_s, "s", "left")
         .join(m_o, "o", "left")
-        .join(F.broadcast(m_p), "p", "left")
-        .join(F.broadcast(r_s), "s", "left")
-        .join(F.broadcast(r_o), "o", "left")
+        .join(m_p, "p", "left")
+        .join(r_s, "s", "left")
+        .join(r_o, "o", "left")
     )
     if resource_collection is not None:
         # everything except Class/Property maps to the resource collection
@@ -224,9 +231,7 @@ def pgt_transform(
         .withColumn("_key", farmhash_udf(F.col("id")))
     )
     head_subj = (
-        head_subj.join(
-            F.broadcast(kb.select(F.col("id"), F.col("custom_key"))), "id", "left"
-        )
+        head_subj.join(kb.select(F.col("id"), F.col("custom_key")), "id", "left")
         .withColumn("_key", F.coalesce("custom_key", F.col("_key")))
         .drop("custom_key")
         .join(mapping, "id", "left")

@@ -47,8 +47,9 @@ def flatten_reified(
 
     e_key = farmhash_udf(F.col("x"))
     if keys_df is not None:
+        # no broadcast hint (adb:key overrides are unbounded — AQE decides)
         over = keys_df.select(F.col("id").alias("x"), F.col("custom_key").alias("x_custom"))
-        reif = reif.join(F.broadcast(over), "x", "left")
+        reif = reif.join(over, "x", "left")
         e_key = F.coalesce(F.col("x_custom"), e_key)
 
     reified_map = reif.select(

@@ -78,12 +78,15 @@ def with_term_keys(stmts: DataFrame, keys_df: DataFrame | None = None) -> DataFr
         .withColumn("o_key", farmhash_udf(F.col("o")))
     )
     if keys_df is not None:
+        # no broadcast hint: adb:key overrides are unbounded (the flagship
+        # workload attaches one per document), so the join strategy is left
+        # to AQE, which broadcasts only when the side is actually small.
         s_over = keys_df.select(F.col("id").alias("s_id"), F.col("custom_key").alias("s_custom"))
         o_over = keys_df.select(F.col("id").alias("o_id"), F.col("custom_key").alias("o_custom"))
         out = (
-            out.join(F.broadcast(s_over), F.col("s") == F.col("s_id"), "left")
+            out.join(s_over, F.col("s") == F.col("s_id"), "left")
             .drop("s_id")
-            .join(F.broadcast(o_over), F.col("o") == F.col("o_id"), "left")
+            .join(o_over, F.col("o") == F.col("o_id"), "left")
             .drop("o_id")
             .withColumn("s_key", F.coalesce("s_custom", "s_key"))
             .withColumn(
@@ -98,15 +101,24 @@ def with_term_keys(stmts: DataFrame, keys_df: DataFrame | None = None) -> DataFr
 
 
 def rpt_vertices(keyed: DataFrame, name: str) -> DataFrame:
-    """Vertex documents for all subject/object terms (main.py:2266-2332)."""
-    subj = keyed.select(
+    """Vertex documents for all subject/object terms (main.py:2266-2332).
+
+    Terms that are reified statement subjects emit NO vertex document — the
+    reference routes them to the Statement edge collection and skips the doc
+    (main.py:2286-2289, the ``t in self.__reified_subject_map`` branch).
+    ``keyed`` marks those rows with optional ``s_reified``/``o_reified``.
+    """
+    cols = keyed.columns
+    subj_src = keyed.filter(~F.col("s_reified")) if "s_reified" in cols else keyed
+    obj_src = keyed.filter(~F.col("o_reified")) if "o_reified" in cols else keyed
+    subj = subj_src.select(
         F.col("s_kind").alias("kind"),
         F.col("s").alias("id"),
         F.col("s_key").alias("_key"),
         F.lit(None).cast("string").alias("lang"),
         F.lit(None).cast("string").alias("datatype"),
     )
-    obj = keyed.select(
+    obj = obj_src.select(
         F.col("o_kind").alias("kind"),
         F.col("o").alias("id"),
         F.col("o_key").alias("_key"),
@@ -163,6 +175,13 @@ def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
         .when(F.col("o_kind") == "BNode", F.lit(f"{name}_BNode"))
         .otherwise(F.lit(f"{name}_Literal"))
     )
+    # edge-of-edge: a term that is a reified statement subject lives in the
+    # Statement collection (main.py:2286-2289), so edges referencing it point
+    # at the edge document itself.
+    if "s_reified" in cols:
+        s_col = F.when(F.col("s_reified"), F.lit(f"{name}_Statement")).otherwise(s_col)
+    if "o_reified" in cols:
+        o_col = F.when(F.col("o_reified"), F.lit(f"{name}_Statement")).otherwise(o_col)
     out = keyed.select(
         F.lit(f"{name}_Statement").alias("collection"),
         F.coalesce(e_key, edge_key_udf(F.col("s_key"), F.col("p_key"), F.col("o_key"))).alias(
@@ -179,13 +198,48 @@ def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
     return out.dropDuplicates(["collection", "_key"])
 
 
-def rpt_transform(stmts: DataFrame, name: str) -> dict[str, DataFrame]:
-    """Full RPT pipeline: adb:key extraction → term keys → vertices + edges.
+def rpt_transform(
+    stmts: DataFrame, name: str, flatten_reified_triples: bool = True
+) -> dict[str, DataFrame]:
+    """Full RPT pipeline: adb:key extraction → reified-triple flattening →
+    term keys → vertices + edges.
+
+    Reference default is to flatten (main.py:668 ``flatten_reified_triples=
+    True``, applied at main.py:801-809): every ``x a rdf:Statement`` node is
+    collapsed to its base (s, p, o) edge keyed by ``key(x)``, the 4
+    reification statements disappear, and any other statement mentioning x
+    resolves to the Statement edge document (edge-of-edge).
 
     Returns {"vertices": df, "edges": df, "edge_definitions": df}.
     """
+    from sparkrdf.reify import flatten_reified
+
     keys_df, data = extract_adb_key_statements(stmts)
+    if flatten_reified_triples:
+        data, reified_map = flatten_reified(data, keys_df)
+    else:
+        reified_map = None
     keyed = with_term_keys(data, keys_df)
+    if reified_map is not None:
+        # Mark statements whose subject/object is a reified statement node.
+        # The term key is unchanged (key(x) — already computed with the same
+        # farmhash + adb:key coalesce), only collection routing changes, so we
+        # join for membership and coalesce the key defensively.
+        r_s = reified_map.select(
+            F.col("x").alias("s"), F.col("e_key").alias("s_rkey")
+        )
+        r_o = reified_map.select(
+            F.col("x").alias("o"), F.col("e_key").alias("o_rkey")
+        )
+        keyed = (
+            keyed.join(r_s, "s", "left")
+            .join(r_o, "o", "left")
+            .withColumn("s_reified", F.col("s_rkey").isNotNull())
+            .withColumn("o_reified", F.col("o_rkey").isNotNull())
+            .withColumn("s_key", F.coalesce("s_rkey", F.col("s_key")))
+            .withColumn("o_key", F.coalesce("o_rkey", F.col("o_key")))
+            .drop("s_rkey", "o_rkey")
+        )
     vertices = rpt_vertices(keyed, name)
     edges = rpt_edges(keyed, name)
     # static edge definition (main.py:2429-2444)

@@ -58,3 +58,25 @@ def pgt_case(spark):
         return cache[case]
 
     return get
+
+
+@pytest.fixture(scope="session")
+def rpt_case(spark):
+    """Memoized, materialized RPT transform per fixture case (name 'R<case>')."""
+    from sparkrdf.rpt import rpt_transform
+    from sparkrdf.ttl import parse_ttl_file, statements_df
+
+    cache: dict = {}
+
+    def get(case: str):
+        if case not in cache:
+            import re
+
+            name = "R" + re.sub(r"\W+", "_", case.rsplit(".", 1)[0])
+            stmts = statements_df(spark, parse_ttl_file(ref_case(case)))
+            out = rpt_transform(stmts, name)
+            out = {k: v.localCheckpoint(eager=True) for k, v in out.items()}
+            cache[case] = (name, stmts, out)
+        return cache[case]
+
+    return get

@@ -23,8 +23,8 @@ GOLDENS = {
     "x" * 32: 12901576723999808517,
     "x" * 33: 12270365409943098935,
     "y" * 64: 4471793200125962424,
-    "y" * 65: 14859276694318293164,
-    "z" * 129: 8118045740410269441,
+    "y" * 65: 13246502507848426076,
+    "z" * 129: 7040814056546431796,
     "http://example.com/alice": 9864391589899011802,
     "http://example.com/Person#Bob": 18151162308732569256,
 }

@@ -116,3 +116,107 @@ def test_rpt_literal_key_is_lexical_hash(spark):
     lits = {r["_key"] for r in out["vertices"].collect() if r["_rdftype"] == "Literal"}
     assert farmhash_key("Book") in lits
     assert farmhash_key("Bog") in lits
+
+
+def test_rpt_case_8(spark):
+    """Reference test_rpt_case_8 (test_main.py:601-677): the reified triple
+    is flattened to its base edge keyed by the reified subject's key; the
+    reification plumbing statements vanish; statements about the reified
+    subject become edge-of-edge Statements; no vertex for the reified node."""
+    stmts = _load(spark, "cases/8.ttl")
+    out = rpt_transform(stmts, "T8")
+
+    v = {r["_key"]: r for r in out["vertices"].collect()}
+    e = {r["_key"]: r for r in out["edges"].collect()}
+
+    alice, bob = farmhash_key(EX + "alice"), farmhash_key(EX + "bob")
+    certainty = farmhash_key(EX + "certainty")
+    lit05 = farmhash_key("0.5")
+    x_key = farmhash_key("8_b1")  # the reified subject BNode's id
+
+    # NUM_URIREFS=2 + NUM_LITERALS=1, no BNode vertex for the reified subject
+    assert set(v) == {alice, bob, lit05}
+    assert {r["_rdftype"] for r in v.values()} == {"URIRef", "Literal"}
+
+    # NUM_TRIPLES=2: flattened base edge + the certainty edge-of-edge
+    assert set(e) == {x_key, farmhash_key(f"{x_key}-{certainty}-{lit05}")}
+    base = e[x_key]
+    assert base["_uri"] == EX + "likes"
+    assert base["_from"] == f"T8_URIRef/{alice}"
+    assert base["_to"] == f"T8_URIRef/{bob}"
+    meta = e[farmhash_key(f"{x_key}-{certainty}-{lit05}")]
+    assert meta["_from"] == f"T8_Statement/{x_key}"
+    assert meta["_to"] == f"T8_Literal/{lit05}"
+
+
+def test_rpt_case_13_1(spark):
+    """Reference test_rpt_case_13_1 (test_main.py:1061-1158): nested
+    reification — the inner reified subject is itself the subject of the
+    outer reified statement; both flatten, outer edges point at edges."""
+    stmts = _load(spark, "cases/13_1.ttl")
+    out = rpt_transform(stmts, "T13")
+
+    v = {r["_key"]: r for r in out["vertices"].collect()}
+    e = {r["_key"]: r for r in out["edges"].collect()}
+
+    steve, ceo = farmhash_key(EX + "steve"), farmhash_key(EX + "CEO")
+    book, journal = farmhash_key(EX + "book"), farmhash_key(EX + "journal")
+    source = farmhash_key(EX + "source")
+    inner = farmhash_key(EX + "steve_position_ceo")  # URIRef reified subject
+    rows = stmts.filter(
+        "p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate' "
+        "and o = 'http://example.com/mentionedBy'"
+    ).collect()
+    outer = farmhash_key(rows[0]["s"])  # the outer BNode reified subject
+
+    # NUM_URIREFS=4 (predicates and reified subjects emit no vertex docs)
+    assert set(v) == {steve, ceo, book, journal}
+
+    # NUM_TRIPLES=3
+    assert set(e) == {inner, outer, farmhash_key(f"{outer}-{source}-{journal}")}
+    assert e[inner]["_from"] == f"T13_URIRef/{steve}"
+    assert e[inner]["_to"] == f"T13_URIRef/{ceo}"
+    assert e[outer]["_from"] == f"T13_Statement/{inner}"
+    assert e[outer]["_to"] == f"T13_URIRef/{book}"
+    assert e[outer]["_uri"] == EX + "mentionedBy"
+    s_j = e[farmhash_key(f"{outer}-{source}-{journal}")]
+    assert s_j["_from"] == f"T13_Statement/{outer}"
+    assert s_j["_to"] == f"T13_URIRef/{journal}"
+
+
+def test_rpt_reified_adb_key_override(spark):
+    """adb:key on a reified subject pins the flattened edge's key and the
+    edge-of-edge references to it (test_main.py:656-677 second import)."""
+    from sparkrdf.ttl import parse_ttl
+
+    ttl = """
+    @prefix ex: <http://example.com/> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix adb: <http://www.arangodb.com/> .
+    ex:st a rdf:Statement ;
+        rdf:subject ex:alice ;
+        rdf:predicate ex:likes ;
+        rdf:object ex:bob ;
+        adb:key "42" ;
+        ex:certainty "0.5" .
+    """
+    stmts = statements_df(spark, parse_ttl(ttl))
+    out = rpt_transform(stmts, "TRK")
+    e = {r["_key"]: r for r in out["edges"].collect()}
+    certainty, lit05 = farmhash_key(EX + "certainty"), farmhash_key("0.5")
+    assert "42" in e
+    assert e["42"]["_uri"] == EX + "likes"
+    meta_key = farmhash_key(f"42-{certainty}-{lit05}")
+    assert meta_key in e
+    assert e[meta_key]["_from"] == "TRK_Statement/42"
+
+
+def test_rpt_flatten_disabled(spark):
+    """flatten_reified_triples=False keeps the raw reification statements
+    (reference main.py:668 flag)."""
+    stmts = _load(spark, "cases/8.ttl")
+    out = rpt_transform(stmts, "T8R", flatten_reified_triples=False)
+    e = out["edges"].collect()
+    uris = {r["_uri"] for r in e}
+    assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#subject" in uris
+    assert len(e) == 5

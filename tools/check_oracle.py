@@ -37,8 +37,11 @@ def norm_cell(v):
         return "true" if v else "false"
     if isinstance(v, float):
         return repr(round(v, 9))
+    # decimals stringify as-is (no normalize): the driver's hash compares the
+    # rendered scale too, so queries must pin one explicit DECIMAL type on
+    # both the Spark and oracle sides.
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return str(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     return str(v)
