@@ -34,6 +34,7 @@ from sparkrdf.dedupe import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_groups,
+    simhash_near_pairs,
 )
 from sparkrdf.hashing import farmhash_key
 from sparkrdf.pgt import pgt_transform
@@ -193,6 +194,13 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_h3(spark, sf_dir):
+    """Hamming ≤ 3 near-dup pairs via lossless bit-band blocking; the oracle
+    is the brute-force all-pairs definition, so the hash-match proves the
+    banding loses nothing."""
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def q_text_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return d.select(
@@ -317,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_h3": q_dedup_simhash_h3,
         "text_stats": q_text_stats,
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
@@ -369,12 +378,16 @@ def _minhash_bands_sql() -> str:
     return "WITH " + _minhash_sig_ctes() + "\n" + "\nUNION ALL\n".join(parts)
 
 
-def _simhash_sql() -> str:
-    bits = " + ".join(
+def _simhash_bits_expr() -> str:
+    return " + ".join(
         f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN {2**i} ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
+
+
+def _simhash_sql() -> str:
+    bits = _simhash_bits_expr()
     return f"""
 WITH d AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
 tok AS (SELECT doc_id, ('0x' || substr(md5(t.u), 1, 7))::BIGINT AS h
@@ -549,6 +562,19 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 """
 
     sql["dedup_simhash"] = _simhash_sql()
+
+    # brute-force all-pairs hamming oracle: independent of the banding
+    # implementation, so a hash match proves the blocking is lossless
+    sql["dedup_simhash_h3"] = f"""
+WITH d AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents),
+tok AS (SELECT doc_id, ('0x' || substr(md5(t.u), 1, 7))::BIGINT AS h
+        FROM d, unnest(d.w) AS t(u)),
+sigs AS (SELECT doc_id, CAST({_simhash_bits_expr()} AS BIGINT) AS sig FROM tok GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
     sql["text_stats"] = f"""
 WITH base AS (

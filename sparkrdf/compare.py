@@ -43,8 +43,51 @@ def _norm_rows(rows) -> tuple[set, int]:
     return out, len(bnodes)
 
 
+#: above this many statements the diff stays distributed (exceptAll) instead
+#: of collecting both sets to the driver — fixtures collect, bench-scale
+#: graphs never do.
+COLLECT_THRESHOLD = 100_000
+
+
+def _norm_df(df: DataFrame) -> DataFrame:
+    """Distributed bnode-wildcard normalization of a statements DataFrame."""
+    return df.select(
+        "s_kind",
+        F.when(F.col("s_kind") == "BNode", F.lit("*")).otherwise(F.col("s")).alias("s"),
+        "p",
+        "o_kind",
+        F.when(F.col("o_kind") == "BNode", F.lit("*")).otherwise(F.col("o")).alias("o"),
+        "o_lang",
+        "o_datatype",
+        "sub_graph",
+    ).dropDuplicates()
+
+
+def _bnode_count(df: DataFrame) -> int:
+    return (
+        df.select(F.when(F.col("s_kind") == "BNode", F.col("s")).alias("b"))
+        .unionByName(df.select(F.when(F.col("o_kind") == "BNode", F.col("o")).alias("b")))
+        .filter(F.col("b").isNotNull())
+        .distinct()
+        .count()
+    )
+
+
 def round_trip_diff(original: DataFrame, exported: DataFrame) -> dict:
-    """Symmetric difference between two statement DataFrames (bnode-wildcarded)."""
+    """Symmetric difference between two statement DataFrames
+    (bnode-wildcarded). Small graphs collect for readable diffs; above
+    COLLECT_THRESHOLD the diff runs distributed via exceptAll and only the
+    differing rows come back (bounded)."""
+    n = original.count()
+    if n > COLLECT_THRESHOLD:
+        a, b = _norm_df(original), _norm_df(exported)
+        missing = [tuple(r) for r in a.exceptAll(b).limit(1000).collect()]
+        extra = [tuple(r) for r in b.exceptAll(a).limit(1000).collect()]
+        return {
+            "missing": sorted(missing),
+            "extra": sorted(extra),
+            "bnode_counts": (_bnode_count(original), _bnode_count(exported)),
+        }
     a, a_bn = _norm_rows(original.collect())
     b, b_bn = _norm_rows(exported.collect())
     return {

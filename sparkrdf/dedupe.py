@@ -178,3 +178,65 @@ def simhash_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n") > 1)
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate pairs within SimHash hamming distance ≤ max_hamming,
+    via bit-band blocking.
+
+    Pigeonhole: split the signature into ``max_hamming + 1`` bit bands — any
+    pair differing in ≤ max_hamming bits agrees EXACTLY on at least one band,
+    so candidates = pairs sharing a (band_idx, band_value) bucket; the exact
+    hamming distance is then verified with ``bit_count(sig_a ^ sig_b)``.
+    The blocking is LOSSLESS (recall 1.0 at the distance bound), unlike
+    probabilistic LSH.
+
+    100 TB story: only (band_idx, band_value) shuffles — no all-pairs join;
+    a hot band bucket (e.g. many near-empty documents hashing alike) is
+    bounded by splitting via AQE skew-join; the verify step is a projection.
+    """
+    n_bands = max_hamming + 1
+    sigs = docs.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+    )
+    band_structs = []
+    offset = 0
+    for b in range(n_bands):
+        width = bits // n_bands + (1 if b < bits % n_bands else 0)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sig"), offset)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        offset += width
+    exploded = sigs.select(
+        "id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -19,6 +19,7 @@ can plan as broadcast (small graphs) or sort-merge with pruned columns.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -373,3 +374,98 @@ def pgt_to_statements(
     return edges_to_statements(vertices, edges, graph_ns).unionByName(
         pgt_vertices_to_statements(vertices, graph_ns, **modes)
     )
+
+
+def _project_properties(df: DataFrame, attrs_by_col: dict) -> DataFrame:
+    """Keep only the metagraph-listed attribute keys inside ``properties``
+    per collection (reference KEEP projection, main.py:1767-1772). An empty
+    attr set keeps the collection with no dynamic attributes."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    attrs_local = {k: set(v) for k, v in attrs_by_col.items()}
+
+    @pandas_udf("string")
+    def keep(col: pd.Series, props: pd.Series) -> pd.Series:
+        out = []
+        for c, p in zip(col, props):
+            if p is None:
+                out.append(None)
+                continue
+            want = attrs_local.get(c, set())
+            d = {k: v for k, v in json.loads(p).items() if k in want}
+            out.append(json.dumps(d, sort_keys=True) if d else None)
+        return pd.Series(out, dtype="object")
+
+    df = _with_optional_cols(df, ["properties"])
+    return df.withColumn("properties", keep(F.col("collection"), F.col("properties")))
+
+
+def _drop_properties(df: DataFrame, ignored: set) -> DataFrame:
+    """UNSET projection (main.py:1774-1775): drop the listed attribute keys
+    from every document's dynamic properties."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ignored_local = set(ignored)
+
+    @pandas_udf("string")
+    def drop(props: pd.Series) -> pd.Series:
+        out = []
+        for p in props:
+            if p is None:
+                out.append(None)
+                continue
+            d = {k: v for k, v in json.loads(p).items() if k not in ignored_local}
+            out.append(json.dumps(d, sort_keys=True) if d else None)
+        return pd.Series(out, dtype="object")
+
+    df = _with_optional_cols(df, ["properties"])
+    return df.withColumn("properties", drop(F.col("properties")))
+
+
+def metagraph_to_statements(
+    vertices: DataFrame,
+    edges: DataFrame,
+    metagraph: dict,
+    explicit_metagraph: bool = True,
+    ignored_attributes: set | None = None,
+    graph_ns: str = "http://www.arangodb.com",
+    **modes,
+) -> DataFrame:
+    """Metagraph-driven selective export (reference ``arangodb_to_rdf``,
+    main.py:229-456).
+
+    **metagraph**: ``{"vertexCollections": {col: {attr, ...}},
+    "edgeCollections": {col: {attr, ...}}}`` — only the listed collections
+    are exported. With **explicit_metagraph** (default, main.py:255-258)
+    only the listed attributes survive inside each document's dynamic
+    properties; reserved RDF attributes (``_uri``/``_value``/… — the fixed
+    columns here) always survive, like the reference's SYSTEM+RESERVED KEEP
+    list. **ignored_attributes** (main.py:306-312) drops the listed keys
+    instead, and is mutually exclusive with **explicit_metagraph**
+    (validated, main.py:315-317).
+    """
+    if explicit_metagraph and ignored_attributes:
+        raise ValueError(
+            "**ignored_attributes** cannot be used if **explicit_metagraph** is True"
+        )
+
+    v_cols = dict(metagraph.get("vertexCollections", {}))
+    e_cols = dict(metagraph.get("edgeCollections", {}))
+
+    v = vertices.filter(F.col("collection").isin(list(v_cols)))
+    e = edges.filter(F.col("collection").isin(list(e_cols)))
+
+    if explicit_metagraph:
+        v = _project_properties(v, v_cols)
+        e = _project_properties(e, e_cols)
+    elif ignored_attributes:
+        v = _drop_properties(v, ignored_attributes)
+        e = _drop_properties(e, ignored_attributes)
+
+    return pgt_to_statements(v, e, graph_ns, **modes)

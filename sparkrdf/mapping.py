@@ -342,6 +342,7 @@ def collection_mapping(
     overrides: DataFrame | None = None,
     resource_collection: str | None = None,
     controller: BestClassController | None = None,
+    uri_map: DataFrame | None = None,
 ) -> DataFrame:
     """Full mapping pipeline → (id, collection) for every mapped term.
 
@@ -373,6 +374,18 @@ def collection_mapping(
         out = out.join(over_p, "id", "full")
     else:
         out = out.withColumn("over_col", F.lit(None).cast("string"))
+    if uri_map is not None:
+        # URI-map preload (main.py:1283-1291, overwrite=True at stage 0):
+        # beats user adb:collection overrides and best-class inference, loses
+        # to the later Class/Property pins.
+        uri_p = (
+            uri_map.filter(F.col("_uri").isNotNull())
+            .select(F.col("_uri").alias("id"), F.col("collection").alias("uri_col"))
+            .dropDuplicates(["id"])
+        )
+        out = out.join(uri_p, "id", "full")
+    else:
+        out = out.withColumn("uri_col", F.lit(None).cast("string"))
     return out.select(
-        "id", F.coalesce("pin_col", "over_col", "best_col").alias("collection")
+        "id", F.coalesce("pin_col", "uri_col", "over_col", "best_col").alias("collection")
     ).filter(F.col("collection").isNotNull())

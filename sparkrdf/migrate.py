@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def uri_map_from_vertices(vertices: DataFrame) -> DataFrame:
+    """URI-map rows (_key, _uri, collection) from an import's vertex table —
+    the Spark analog of the reference's URI-map collection upkeep
+    (``uri_map_collection_name``, main.py:998-1008): one row per URI term
+    recording where it landed, consumed by a later import's mapping preload
+    or by :func:`migrate_unknown_resources`."""
+    return (
+        vertices.filter(F.col("_uri").isNotNull())
+        .select("_key", "_uri", "collection")
+        .dropDuplicates(["_key"])
+    )
+
+
 def migrate_unknown_resources(
     vertices: DataFrame,
     edges: DataFrame,

@@ -75,9 +75,17 @@ def pgt_transform(
     name: str,
     resource_collection: str | None = None,
     controller=None,
+    contextualize_graph: bool = False,
+    meta_stmts: DataFrame | None = None,
+    uri_map: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """**controller**: optional ``mapping.BestClassController`` subclass
-    overriding the best-class rule (reference controller.py:12-94)."""
+    overriding the best-class rule (reference controller.py:12-94).
+
+    **contextualize_graph** (M7, off by default like the reference
+    main.py:861): unions **meta_stmts** into the data and emits
+    untyped-predicate typing, DR inference, and DR introspection edges
+    (main.py:3972-4130) in collections "type"/"domain"/"range"."""
     farmhash_udf, edge_key_udf = register_udfs()
     unknown = f"{name}_UnknownResource"
 
@@ -88,8 +96,15 @@ def pgt_transform(
     # 2. controller statements
     keys_df, data = extract_adb_key_statements(data)
     overrides, data = extract_adb_col_statements(data)
-    # 3. mapping (pre-flatten graph, like the reference)
-    mapping = collection_mapping(data, overrides, resource_collection, controller)
+    if contextualize_graph and meta_stmts is not None:
+        # meta ontologies are imported like data and the mapping sees them
+        # (main.py:1055 __load_meta_ontology before write_adb_col_statements)
+        data = data.unionByName(meta_stmts, allowMissingColumns=True)
+    # 3. mapping (pre-flatten graph, like the reference); uri_map preloads
+    # prior-import collection assignments (main.py:1283-1291)
+    mapping = collection_mapping(
+        data, overrides, resource_collection, controller, uri_map
+    )
     # 4. flatten reified triples
     data, reified_map = flatten_reified(data, keys_df)
     # 5. list routing + assembly
@@ -142,21 +157,20 @@ def pgt_transform(
     m_s = mapping.select(F.col("id").alias("s"), F.col("collection").alias("s_map"))
     m_o = mapping.select(F.col("id").alias("o"), F.col("collection").alias("o_map"))
     m_p = mapping.select(F.col("id").alias("p"), F.col("collection").alias("p_map"))
-    r_s = reified_map.select(
-        F.col("x").alias("s"), F.col("e_key").alias("s_rkey"), F.col("p_label").alias("s_rcol")
-    )
-    r_o = reified_map.select(
-        F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), F.col("p_label").alias("o_rcol")
-    )
     # mapping and reified maps are data-sized too (mapping covers every
     # typed term; reified map grows with reified statement count): no hints.
-    keyed = (
-        keyed.join(m_s, "s", "left")
-        .join(m_o, "o", "left")
-        .join(m_p, "p", "left")
-        .join(r_s, "s", "left")
-        .join(r_o, "o", "left")
-    )
+    keyed = keyed.join(m_s, "s", "left").join(m_o, "o", "left").join(m_p, "p", "left")
+    if reified_map is not None:
+        r_s = reified_map.select(
+            F.col("x").alias("s"), F.col("e_key").alias("s_rkey"), F.col("p_label").alias("s_rcol")
+        )
+        r_o = reified_map.select(
+            F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), F.col("p_label").alias("o_rcol")
+        )
+        keyed = keyed.join(r_s, "s", "left").join(r_o, "o", "left")
+    else:
+        for c in ("s_rkey", "s_rcol", "o_rkey", "o_rcol"):
+            keyed = keyed.withColumn(c, F.lit(None).cast("string"))
     if resource_collection is not None:
         # everything except Class/Property maps to the resource collection
         s_map = F.when(F.col("s_map").isin("Class", "Property"), F.col("s_map")).otherwise(
@@ -351,6 +365,12 @@ def pgt_transform(
             "o_col",
         )
     )
+
+    if contextualize_graph:
+        from sparkrdf.contextualize import contextualize_edges
+
+        ctx = contextualize_edges(keyed, name, is_pgt=True, meta_stmts=meta_stmts)
+        edges = edges.unionByName(ctx).dropDuplicates(["collection", "_key"])
 
     # --- edge definitions (M4) ---
     edge_definitions = edges.groupBy(F.col("collection").alias("edge_collection")).agg(

@@ -31,8 +31,9 @@ from sparkrdf.mapping import _reified_spo
 
 def flatten_reified(
     stmts: DataFrame, keys_df: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """Returns (statements', reified_map).
+) -> tuple[DataFrame, DataFrame | None]:
+    """Returns (statements', reified_map) — reified_map is None when the
+    graph contains no reified statements (fast path).
 
     statements' = non-reification statements ∪ flattened base statements,
     with two extra columns: ``reified_subject`` (null for normal rows) and
@@ -41,6 +42,22 @@ def flatten_reified(
     reified_map = (x, x_kind, e_key, p_label) for every flattened node.
     """
     farmhash_udf, _ = register_udfs()
+
+    # Fast path: a web-extraction corpus usually has ZERO reified statements,
+    # and the flatten pipeline below costs ~6 passes/joins over the statement
+    # stream. One limit(1) probe (early-terminating scan) skips all of it.
+    has_reified = (
+        stmts.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT))
+        .limit(1)
+        .count()
+        > 0
+    )
+    if not has_reified:
+        passthrough = stmts.withColumn(
+            "reified_subject", F.lit(None).cast("string")
+        ).withColumn("e_key_override", F.lit(None).cast("string"))
+        return passthrough, None  # None ⇒ callers skip the reified joins too
+
     reif = _reified_spo(stmts).filter(
         F.col("rs").isNotNull() & F.col("rp").isNotNull() & F.col("ro").isNotNull()
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkrdf import terms as T
-from sparkrdf.hashing import register_udfs
+from sparkrdf.hashing import farmhash_key, register_udfs
 
 VERTEX_COLUMNS = [
     "collection",
@@ -199,7 +199,11 @@ def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
 
 
 def rpt_transform(
-    stmts: DataFrame, name: str, flatten_reified_triples: bool = True
+    stmts: DataFrame,
+    name: str,
+    flatten_reified_triples: bool = True,
+    contextualize_graph: bool = False,
+    meta_stmts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Full RPT pipeline: adb:key extraction → reified-triple flattening →
     term keys → vertices + edges.
@@ -210,11 +214,19 @@ def rpt_transform(
     reification statements disappear, and any other statement mentioning x
     resolves to the Statement edge document (edge-of-edge).
 
+    **contextualize_graph** (M7, off by default like the reference
+    main.py:667): unions **meta_stmts** (the vendored ontologies,
+    ``contextualize.load_meta_statements``) into the data, emits
+    untyped-predicate ``rdf:Property`` edges + DR inference/introspection
+    edges, and materializes predicate vertex docs (main.py:2389-2414).
+
     Returns {"vertices": df, "edges": df, "edge_definitions": df}.
     """
     from sparkrdf.reify import flatten_reified
 
     keys_df, data = extract_adb_key_statements(stmts)
+    if contextualize_graph and meta_stmts is not None:
+        data = data.unionByName(meta_stmts, allowMissingColumns=True)
     if flatten_reified_triples:
         data, reified_map = flatten_reified(data, keys_df)
     else:
@@ -242,6 +254,31 @@ def rpt_transform(
         )
     vertices = rpt_vertices(keyed, name)
     edges = rpt_edges(keyed, name)
+    if contextualize_graph:
+        from sparkrdf.contextualize import contextualize_edges
+
+        ctx = contextualize_edges(keyed, name, is_pgt=False, meta_stmts=meta_stmts)
+        edges = edges.unionByName(ctx).dropDuplicates(["collection", "_key"])
+        # predicates become URIRef term docs (__rpt_process_term(p),
+        # main.py:2412), plus the rdf:Property endpoint doc
+        spark = keyed.sparkSession
+        prop_row = spark.createDataFrame(
+            [(T.RDF_PROPERTY,)], "p string"
+        ).withColumn("p_key", F.lit(farmhash_key(T.RDF_PROPERTY)))
+        pred_docs = (
+            keyed.select("p", "p_key").dropDuplicates(["p"]).unionByName(prop_row)
+            .select(
+                F.lit(f"{name}_URIRef").alias("collection"),
+                F.col("p_key").alias("_key"),
+                F.col("p").alias("_uri"),
+                F.lit(None).cast("string").alias("_value"),
+                T.adb_label(F.col("p")).alias("_label"),
+                F.lit("URIRef").alias("_rdftype"),
+                F.lit(None).cast("string").alias("_lang"),
+                F.lit(None).cast("string").alias("_datatype"),
+            )
+        )
+        vertices = vertices.unionByName(pred_docs).dropDuplicates(["collection", "_key"])
     # static edge definition (main.py:2429-2444)
     edge_defs = edges.sparkSession.createDataFrame(
         [

@@ -67,6 +67,13 @@ def stream_pages_to_graph(
     v_path = os.path.join(base_dir, "vertices")
     e_path = os.path.join(base_dir, "edges")
 
+    def _fs(path_str: str):
+        """Hadoop FileSystem handle — works on HDFS/S3A/local alike, unlike
+        os.path (driver-local only)."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
@@ -75,13 +82,31 @@ def stream_pages_to_graph(
             rpt_transform(stmts, name) if transform == "rpt" else pgt_transform(stmts, name)
         )
         for key, path in (("vertices", v_path), ("edges", e_path)):
+            # Merge into a STAGING path first, then swap: the current table
+            # stays intact for the whole (re)computation, so a lost executor
+            # mid-write can never recompute against a half-overwritten input.
+            # (A true MERGE INTO sink — Iceberg/Delta — replaces this whole
+            # dance when a catalog is configured; this is the plain-parquet
+            # sandbox equivalent, O(table) per batch by construction.)
+            fs, hpath, jvm = _fs(path)
             new = graph[key].localCheckpoint(eager=True)
-            if os.path.exists(path):
+            if fs.exists(hpath):
                 old = spark.read.parquet(path)
-                merged = merge_by_key(old, new).localCheckpoint(eager=True)
+                merged = merge_by_key(old, new)
             else:
                 merged = new
-            write_table(merged, path)
+            staging = f"{path}.staging-{batch_id}"
+            write_table(merged, staging)
+            backup = f"{path}.replaced-{batch_id}"
+            _, hstaging, _ = _fs(staging)
+            _, hbackup, _ = _fs(backup)
+            if fs.exists(hbackup):
+                fs.delete(hbackup, True)
+            if fs.exists(hpath):
+                fs.rename(hpath, hbackup)
+            fs.rename(hstaging, hpath)
+            if fs.exists(hbackup):
+                fs.delete(hbackup, True)
 
     writer = pages_stream.writeStream.foreachBatch(process_batch).outputMode("update")
     if checkpoint_dir:

@@ -23,8 +23,11 @@ def spark():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[4]")
-        .config("spark.driver.memory", "8g")
+        SparkSession.builder.master("local[8]")
+        # one long-lived JVM serves the whole suite; transforms cache
+        # intermediates, so size the heap for accumulation and clear the SQL
+        # cache in the memoized fixtures (see pgt_case/rpt_case)
+        .config("spark.driver.memory", "24g")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -34,6 +37,16 @@ def spark():
     )
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _clear_sql_cache(spark):
+    """Drop cached plans after every test so the session-long JVM doesn't
+    accumulate each transform's keyed.cache(). Cheap no-op when nothing is
+    cached; the memoized fixture outputs are localCheckpointed RDD blocks
+    and survive."""
+    yield
+    spark.catalog.clearCache()
 
 
 @pytest.fixture(scope="session")

@@ -47,7 +47,10 @@ def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
     from CPU steal; min is the standard noise-robust throughput estimator)."""
     best = None
     for _ in range(reps):
-        code = _JOB.format(repo=REPO, cpus=cpus, parts=2 * cpus, n_pages=n_pages)
+        # 4 partitions per core: the Arrow-batched extraction dominates, and
+        # finer partitions keep stragglers from serializing the tail (the
+        # round-1 0.65 efficiency was partly one slow partition per wave)
+        code = _JOB.format(repo=REPO, cpus=cpus, parts=4 * cpus, n_pages=n_pages)
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
         )
