@@ -232,6 +232,28 @@ def q_sim_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal plumbing: synthesized deterministic binary images →
+    Arrow-batched decode + feature extraction (width/height/luma/phash).
+    No oracle: binary container decode is not SQL-expressible; correctness
+    is pinned by tests/test_multimodal.py (determinism + corrupt-row
+    survival + resize/frame-sample composition)."""
+    from sparkrdf.multimodal import image_features, synthesize_media
+
+    n = max(200, int(2000 * _sf_of(sf_dir) * 100))
+    media = synthesize_media(spark, n, kind="image")
+    return image_features(media).select(
+        "doc_id", "width", "height", "channels", "phash", "ok"
+    )
+
+
+def _sf_of(sf_dir):
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.01
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -330,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "mm_image_features": q_mm_image_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_join_rollup": q_rel_join_rollup,
         "rel_window_topk": q_rel_window_topk,

@@ -252,6 +252,9 @@ def rpt_transform(
             .withColumn("o_key", F.coalesce("o_rkey", F.col("o_key")))
             .drop("s_rkey", "o_rkey")
         )
+    # vertices and edges both consume the keyed stream; without persistence
+    # the farmhash pass over every statement runs once per output table.
+    keyed = keyed.persist()
     vertices = rpt_vertices(keyed, name)
     edges = rpt_edges(keyed, name)
     if contextualize_graph:

@@ -71,6 +71,21 @@ def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_con
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
+    # Local mode only: shuffle/spill to tmpfs when available. A single
+    # shared disk is an Amdahl term that caps multi-core scaling; RAM-backed
+    # scratch scales with cores. Real clusters manage SPARK_LOCAL_DIRS
+    # themselves (per-node SSD arrays), so never override there.
+    is_local = (master or "").startswith("local") or (
+        not master and not os.environ.get("SPARK_MASTER")
+    )
+    if (
+        is_local
+        and "spark.local.dir" not in extra_conf
+        and os.access("/dev/shm", os.W_OK)
+    ):
+        shm = "/dev/shm/sparkrdf-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

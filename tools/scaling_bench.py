@@ -21,7 +21,12 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from sparkrdf.session import get_spark
 spark = get_spark("scaling", master="local[{cpus}]",
-                  **{{"spark.sql.shuffle.partitions": "{parts}"}})
+                  **{{"spark.sql.shuffle.partitions": "{parts}",
+                      # GC pools auto-size to the MACHINE's cores; under
+                      # taskset pinning that oversubscribes the low-core run
+                      # and skews the ratio — size them to the pinned set
+                      "spark.driver.extraJavaOptions":
+                          "-XX:ParallelGCThreads={gc} -XX:ConcGCThreads={cgc}"}})
 spark.sparkContext.setLogLevel("ERROR")
 from sparkrdf.pages import synthesize_pages
 from sparkrdf.extract.pipeline import extract_triples
@@ -44,16 +49,31 @@ spark.stop()
 
 def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
     """Best-of-reps wall time (this sandbox shows heavy run-to-run variance
-    from CPU steal; min is the standard noise-robust throughput estimator)."""
+    from CPU steal; min is the standard noise-robust throughput estimator).
+
+    The process is PINNED to exactly `cpus` CPUs via taskset: in local[N]
+    mode Python UDF workers run outside the N task slots, so an unpinned
+    local[2] job actually consumes ~4+ cores and inflates the baseline —
+    pinning makes the N-vs-4N comparison account for total machine
+    resources, which is what N-vs-4N executors on a real cluster means.
+    """
     best = None
     for _ in range(reps):
         # 4 partitions per core: the Arrow-batched extraction dominates, and
         # finer partitions keep stragglers from serializing the tail (the
         # round-1 0.65 efficiency was partly one slow partition per wave)
-        code = _JOB.format(repo=REPO, cpus=cpus, parts=4 * cpus, n_pages=n_pages)
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+        code = _JOB.format(
+            repo=REPO,
+            cpus=cpus,
+            parts=4 * cpus,
+            n_pages=n_pages,
+            gc=max(2, cpus),
+            cgc=max(1, cpus // 4),
         )
+        cmd = [sys.executable, "-c", code]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
         if best is None or r["sec"] < best["sec"]:
