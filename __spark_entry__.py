@@ -117,6 +117,18 @@ def q_kg_rpt_edges(spark, sf_dir):
     )
 
 
+def q_kg_rpt_ctx_edges(spark, sf_dir):
+    """M7 contextualization on the RPT path, oracle-checked: untyped
+    predicates gain rdf:Property typing edges and typed subjects/objects
+    introspect rdfs:domain/range edges onto their predicates
+    (reference main.py:3972-4130)."""
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir), with_adb_keys=True)
+    edges = rpt_transform(stmts, "KG", contextualize_graph=True)["edges"]
+    return edges.filter(~F.col("_to").startswith("KG_Literal/")).select(
+        "collection", "_from", "_to", "_uri", "_label"
+    )
+
+
 def q_kg_rpt_vertices(spark, sf_dir):
     stmts = dockg.doc_triples(spark, _docs(spark, sf_dir), with_adb_keys=True)
     v = rpt_transform(stmts, "KG")["vertices"]
@@ -337,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_doc_triples": q_kg_doc_triples,
         "kg_rpt_edges": q_kg_rpt_edges,
+        "kg_rpt_ctx_edges": q_kg_rpt_ctx_edges,
         "kg_rpt_vertices": q_kg_rpt_vertices,
         "kg_pgt_vertices": q_kg_pgt_vertices,
         "kg_pgt_edges": q_kg_pgt_edges,
@@ -484,6 +497,64 @@ UNION
 SELECT DISTINCT 'KG_Statement', 'KG_URIRef/' || ent_key,
   'KG_URIRef/' || cls_key, '{_RDF_TYPE}', 'type'
 FROM mentions
+"""
+
+    # contextualized RPT = base edges ∪ M7 edges, all keys precomputed in
+    # Python (fixed predicate/class vocabulary) and baked in as literals
+    _pk = {k: farmhash_key(v) for k, v in _PRED.items()}
+    _prop_k = farmhash_key(T.RDF_NS + "Property")
+    _rdfs_dom = "http://www.w3.org/2000/01/rdf-schema#domain"
+    _rdfs_rng = "http://www.w3.org/2000/01/rdf-schema#range"
+    _doc_cls_k = _CLS_KEY["Document"]
+    sql["kg_rpt_ctx_edges"] = f"""
+WITH {_DOC_CTES}
+SELECT DISTINCT 'KG_Statement' AS collection,
+  'KG_URIRef/d' || doc_id AS _from,
+  'KG_URIRef/' || ent_key AS _to,
+  '{dockg.P_MENTIONS}' AS _uri, 'mentions' AS _label
+FROM mentions
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/d' || doc_id,
+  'KG_URIRef/{_doc_cls_k}', '{_RDF_TYPE}', 'type'
+FROM docs
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/' || ent_key,
+  'KG_URIRef/' || cls_key, '{_RDF_TYPE}', 'type'
+FROM mentions
+-- M7: untyped predicates gain p -type-> rdf:Property (data-dependent for
+-- mentions; always present for type/lang/tokenCount which every doc emits)
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["mentions"]}',
+  'KG_URIRef/{_prop_k}', '{_RDF_TYPE}', 'type' FROM mentions
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["type"]}',
+  'KG_URIRef/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["lang"]}',
+  'KG_URIRef/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["tokenCount"]}',
+  'KG_URIRef/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+-- M7 introspection: typed subjects give their predicate a domain edge,
+-- typed non-literal objects a range edge
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["mentions"]}',
+  'KG_URIRef/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM mentions
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["mentions"]}',
+  'KG_URIRef/' || cls_key, '{_rdfs_rng}', 'range' FROM mentions
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["type"]}',
+  'KG_URIRef/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["type"]}',
+  'KG_URIRef/' || cls_key, '{_rdfs_dom}', 'domain' FROM mentions
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["lang"]}',
+  'KG_URIRef/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
+UNION
+SELECT DISTINCT 'KG_Statement', 'KG_URIRef/{_pk["tokenCount"]}',
+  'KG_URIRef/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
 """
 
     sql["kg_rpt_vertices"] = f"""
