@@ -149,6 +149,14 @@ def q_kg_pgt_edges(spark, sf_dir):
     return e.select("collection", "_from", "_to", "_uri", "_label")
 
 
+def q_kg_pgt_ctx_edges(spark, sf_dir):
+    """M7 on the PGT path: type edges land in collection 'type' with
+    Property/Class endpoints; introspection edges in 'domain'/'range'."""
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir), with_adb_keys=True)
+    e = pgt_transform(stmts, "KG", contextualize_graph=True)["edges"]
+    return e.select("collection", "_from", "_to", "_uri", "_label")
+
+
 def q_kg_pgt_edge_defs(spark, sf_dir):
     stmts = dockg.doc_triples(spark, _docs(spark, sf_dir), with_adb_keys=True)
     d = pgt_transform(stmts, "KG")["edge_definitions"]
@@ -353,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rpt_vertices": q_kg_rpt_vertices,
         "kg_pgt_vertices": q_kg_pgt_vertices,
         "kg_pgt_edges": q_kg_pgt_edges,
+        "kg_pgt_ctx_edges": q_kg_pgt_ctx_edges,
         "kg_pgt_edge_defs": q_kg_pgt_edge_defs,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "dedup_exact": q_dedup_exact,
@@ -604,6 +613,53 @@ UNION
 SELECT DISTINCT 'type', cls_label || '/' || ent_key, 'Class/' || cls_key,
   '{_RDF_TYPE}', 'type'
 FROM mentions
+"""
+
+    sql["kg_pgt_ctx_edges"] = f"""
+WITH {_DOC_CTES}
+SELECT DISTINCT 'mentions' AS collection, 'Document/d' || doc_id AS _from,
+  cls_label || '/' || ent_key AS _to, '{dockg.P_MENTIONS}' AS _uri, 'mentions' AS _label
+FROM mentions
+UNION
+SELECT DISTINCT 'type', 'Document/d' || doc_id, 'Class/{_CLS_KEY["Document"]}',
+  '{_RDF_TYPE}', 'type'
+FROM docs
+UNION
+SELECT DISTINCT 'type', cls_label || '/' || ent_key, 'Class/' || cls_key,
+  '{_RDF_TYPE}', 'type'
+FROM mentions
+-- M7 PGT: untyped predicates p -type-> rdf:Property (Property/Class cols)
+UNION
+SELECT DISTINCT 'type', 'Property/{_pk["mentions"]}',
+  'Class/{_prop_k}', '{_RDF_TYPE}', 'type' FROM mentions
+UNION
+SELECT DISTINCT 'type', 'Property/{_pk["type"]}',
+  'Class/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+UNION
+SELECT DISTINCT 'type', 'Property/{_pk["lang"]}',
+  'Class/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+UNION
+SELECT DISTINCT 'type', 'Property/{_pk["tokenCount"]}',
+  'Class/{_prop_k}', '{_RDF_TYPE}', 'type' FROM docs
+-- M7 PGT introspection in 'domain'/'range' collections
+UNION
+SELECT DISTINCT 'domain', 'Property/{_pk["mentions"]}',
+  'Class/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM mentions
+UNION
+SELECT DISTINCT 'range', 'Property/{_pk["mentions"]}',
+  'Class/' || cls_key, '{_rdfs_rng}', 'range' FROM mentions
+UNION
+SELECT DISTINCT 'domain', 'Property/{_pk["type"]}',
+  'Class/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
+UNION
+SELECT DISTINCT 'domain', 'Property/{_pk["type"]}',
+  'Class/' || cls_key, '{_rdfs_dom}', 'domain' FROM mentions
+UNION
+SELECT DISTINCT 'domain', 'Property/{_pk["lang"]}',
+  'Class/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
+UNION
+SELECT DISTINCT 'domain', 'Property/{_pk["tokenCount"]}',
+  'Class/{_doc_cls_k}', '{_rdfs_dom}', 'domain' FROM docs
 """
 
     sql["kg_pgt_edge_defs"] = f"""

@@ -101,3 +101,34 @@ def test_edge_of_edge_forces_reification(spark, pgt_case):
     exported = edges_to_statements(out["vertices"], out["edges"]).collect()
     subj_stmts = [r for r in exported if r["p"] == RDF_NS + "subject"]
     assert len(subj_stmts) >= 2
+
+
+def test_rpt_case8_second_generation_round_trip(spark):
+    """Reference test_rpt_case_8 (test_main.py:646-677): the first export
+    re-reifies with a minted URIRef subject (not the original BNode — both
+    engines do this, main.py:2061-2099), so the asserted identities are:
+    same edge/vertex keys on RE-import with the exported adb:key statements,
+    and export₂ ≡ export₁ (the transformation is a fixpoint from
+    generation 2 onward)."""
+    from sparkrdf.compare import assert_round_trip
+    from sparkrdf.rpt import rpt_transform
+    from sparkrdf.ttl import parse_ttl_file, statements_df
+
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/8.ttl")))
+    out1 = rpt_transform(stmts, "X8")
+    exp1 = edges_to_statements(
+        out1["vertices"], out1["edges"], include_adb_e_key_statements=True
+    ).localCheckpoint(eager=True)
+
+    out2 = rpt_transform(exp1, "X8")
+    e1 = {r["_key"]: (r["_from"], r["_to"], r["_uri"]) for r in out1["edges"].collect()}
+    e2 = {r["_key"]: (r["_from"], r["_to"], r["_uri"]) for r in out2["edges"].collect()}
+    assert e1 == e2
+    v1 = {(r["collection"], r["_key"]) for r in out1["vertices"].collect()}
+    v2 = {(r["collection"], r["_key"]) for r in out2["vertices"].collect()}
+    assert v1 == v2
+
+    exp2 = edges_to_statements(
+        out2["vertices"], out2["edges"], include_adb_e_key_statements=True
+    )
+    assert_round_trip(exp1, exp2)
