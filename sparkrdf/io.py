@@ -93,10 +93,25 @@ def write_graph(
         with open(manifest_path, encoding="utf-8") as f:
             existing = json.load(f).get("edge_definitions", {})
     edefs = merge_edge_definitions(existing, [r.asDict() for r in graph["edge_definitions"].collect()])
+    # vertex collections include vertex-ONLY ones (Property, Class, orphan
+    # resources) that never appear as edge endpoints — the manifest must
+    # record them or a manifest-driven export loses their documents
+    prior_vcols = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as f:
+            prior_vcols = set(json.load(f).get("vertex_collections", []))
+    v_cols = sorted(
+        prior_vcols
+        | {
+            r["collection"]
+            for r in graph["vertices"].select("collection").distinct().collect()
+        }
+    )
     manifest = {
         "graph": name,
         "run_id": run_id,
         "edge_definitions": edefs,
+        "vertex_collections": v_cols,
         "vertices_rows": sum(c for _, c in v_counts),
         "edges_rows": sum(c for _, c in e_counts),
     }
@@ -111,6 +126,45 @@ def write_graph(
         [(p, c, c, "ok") for p, c in v_counts] + [(p, c, c, "ok") for p, c in e_counts],
     )
     return manifest
+
+
+def read_graph(spark, base: str, name: str = "graph") -> dict:
+    """Load a materialized graph back: {vertices, edges, manifest}.
+
+    The manifest drives WHICH collections belong to the graph — the analog
+    of the reference's ``arangodb_graph_to_rdf`` reading the ArangoDB graph
+    definition (main.py:563-657): vertex/edge tables are filtered to the
+    collections named by the edge definitions, so sibling graphs sharing the
+    same base directory don't leak in.
+    """
+    manifest_path = os.path.join(base, f"{name}.manifest.json")
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    edefs = manifest.get("edge_definitions", {})
+    e_cols = sorted(edefs)
+    # manifest-recorded vertex collections (includes vertex-only ones like
+    # Property/Class); fall back to the edge-def endpoint union for
+    # manifests written before vertex_collections existed
+    v_cols = sorted(manifest.get("vertex_collections", [])) or sorted(
+        {c for d in edefs.values() for c in d.get("from", []) + d.get("to", [])}
+    )
+    vertices = spark.read.parquet(os.path.join(base, "vertices"))
+    edges = spark.read.parquet(os.path.join(base, "edges"))
+    if v_cols:
+        vertices = vertices.filter(F.col("collection").isin(v_cols))
+    if e_cols:
+        edges = edges.filter(F.col("collection").isin(e_cols))
+    return {"vertices": vertices, "edges": edges, "manifest": manifest}
+
+
+def graph_to_statements(spark, base: str, name: str = "graph", **modes):
+    """Manifest-driven export: read a materialized graph and return its RDF
+    statements (reference ``arangodb_graph_to_rdf``, main.py:563-657 — the
+    collections come from the graph definition, not a user metagraph)."""
+    from sparkrdf.export import pgt_to_statements
+
+    g = read_graph(spark, base, name)
+    return pgt_to_statements(g["vertices"], g["edges"], **modes)
 
 
 def merge_properties_json(a: str | None, b: str | None) -> str | None:

@@ -1,0 +1,121 @@
+"""Robustness: property-based round-trip identity (hypothesis), concurrent
+independent imports (reference tests/test_main.py:5655-5698 semantics), and
+manifest-driven graph export (arangodb_graph_to_rdf analog)."""
+
+import threading
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkrdf.compare import assert_round_trip
+from sparkrdf.export import edges_to_statements
+from sparkrdf.rpt import rpt_transform
+from sparkrdf.ttl import statements_df
+
+EX = "http://example.com/"
+
+_uri = st.integers(0, 6).map(lambda i: ("URIRef", f"{EX}r{i}"))
+_bnode = st.integers(0, 3).map(lambda i: ("BNode", f"b{i}"))
+_lit = st.tuples(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+        max_size=12,
+    ),
+    st.sampled_from([None, "en", "da"]),
+).map(lambda t: ("Literal", t[0], t[1]))
+_pred = st.integers(0, 4).map(lambda i: f"{EX}p{i}")
+
+
+def _to_row(s, p, o):
+    if o[0] == "Literal":
+        return (s[0], s[1], p, "Literal", o[1], o[2], None, None)
+    return (s[0], s[1], p, o[0], o[1], None, None, None)
+
+
+_stmt = st.tuples(st.one_of(_uri, _bnode), _pred, st.one_of(_uri, _bnode, _lit)).map(
+    lambda t: _to_row(*t)
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_stmt, min_size=1, max_size=12))
+def test_random_graph_round_trips(spark, rows):
+    """Any plain statement set (URIRef/BNode subjects, arbitrary unicode
+    literals with optional lang) survives RPT → export identically
+    (bnode-wildcarded set identity, the reference's subtract_graphs gate)."""
+    stmts = statements_df(spark, rows)
+    out = rpt_transform(stmts, "HYP")
+    exported = edges_to_statements(out["vertices"], out["edges"])
+    assert_round_trip(stmts, exported)
+
+
+def test_concurrent_independent_imports(spark):
+    """Two transforms of DIFFERENT graphs run in parallel threads on one
+    session and produce exactly the serial results (the reference's
+    concurrency contract: independent imports only, flatten off —
+    test_main.py:5655-5698; our transforms are pure functions, so the whole
+    pipeline is thread-safe, not just the insert path)."""
+    rows_a = [("URIRef", f"{EX}a{i}", f"{EX}pa", "URIRef", f"{EX}a{i+1}", None, None, None) for i in range(40)]
+    rows_b = [("URIRef", f"{EX}b{i}", f"{EX}pb", "Literal", str(i), None, None, None) for i in range(40)]
+
+    serial = {}
+    for name, rows in (("CA", rows_a), ("CB", rows_b)):
+        out = rpt_transform(
+            statements_df(spark, rows), name, flatten_reified_triples=False
+        )
+        serial[name] = {r["_key"] for r in out["edges"].collect()}
+
+    results, errors = {}, []
+
+    def work(name, rows):
+        try:
+            out = rpt_transform(
+                statements_df(spark, rows), name, flatten_reified_triples=False
+            )
+            results[name] = {r["_key"] for r in out["edges"].collect()}
+        except Exception as e:  # pragma: no cover
+            errors.append((name, e))
+
+    threads = [
+        threading.Thread(target=work, args=("CA", rows_a)),
+        threading.Thread(target=work, args=("CB", rows_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results == serial
+
+
+def test_manifest_driven_graph_export(spark, tmp_path):
+    """write_graph → read_graph/graph_to_statements round-trip: the manifest
+    decides which collections belong to the graph (main.py:563-657)."""
+    from sparkrdf.io import graph_to_statements, read_graph, write_graph
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl
+
+    ttl = """
+    @prefix ex: <http://example.com/> .
+    ex:alice a ex:Person ; ex:meets ex:bob .
+    ex:bob a ex:Person ; ex:name "Bob" .
+    """
+    stmts = statements_df(spark, parse_ttl(ttl))
+    out = pgt_transform(stmts, "MDG")
+    base = str(tmp_path / "g")
+    manifest = write_graph(out, base, run_id="r1", name="MDG")
+    assert "meets" in manifest["edge_definitions"]
+
+    g = read_graph(spark, base, "MDG")
+    assert g["manifest"]["graph"] == "MDG"
+    assert set(g["edges"].select("collection").distinct().toPandas()["collection"]) == {
+        "meets",
+        "type",
+    }
+
+    exported = graph_to_statements(spark, base, "MDG")
+    assert_round_trip(stmts, exported)
