@@ -169,6 +169,32 @@ def q_kg_pgt_edge_defs(spark, sf_dir):
     return froms.unionByName(tos)
 
 
+# phrase dictionary for the oracle-checked NER stage over `documents`:
+# vocabulary of the driver's synthetic text, with overlapping phrases so
+# leftmost-longest resolution is actually exercised ("sort table" beats
+# "table", which beats nothing once consumed)
+DOC_NER_DICT = [
+    "hash value", "sort table", "table part", "window", "table",
+    "merge", "spark", "hash", "part", "scan",
+]
+
+
+def q_kg_doc_mentions(spark, sf_dir):
+    """The pipeline's dictionary-NER stage (Arrow-batched mapInPandas regex,
+    sparkrdf/extract/ner.py) over the documents table. Oracle: DuckDB
+    regexp_extract_all with the identical longest-first alternation —
+    verified to reproduce Python re's leftmost-first scan exactly.
+    first_off is projected away (substring position is not recoverable via
+    regexp_extract_all); n is the attributed non-overlapping match count."""
+    from sparkrdf.extract.ner import detect_mentions
+
+    m = detect_mentions(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    return m.select("doc_id", "surface", F.col("n").cast("int").alias("n"))
+
+
 def q_kg_pages_pipeline(spark, sf_dir):
     """The real Common-Crawl-style pipeline (binary html → triples). Pages are
     synthesized deterministically (no testdata view exists for this shape →
@@ -363,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pgt_edges": q_kg_pgt_edges,
         "kg_pgt_ctx_edges": q_kg_pgt_ctx_edges,
         "kg_pgt_edge_defs": q_kg_pgt_edge_defs,
+        "kg_doc_mentions": q_kg_doc_mentions,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -750,6 +777,22 @@ SELECT doc_id,
   {lang_case} AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM langed
+"""
+
+    # identical alternation order as the Spark mapInPandas stage; RE2 has no
+    # lookarounds, but \b ≡ (?<!\w)/(?!\w) for surfaces bounded by word chars
+    from sparkrdf.extract.ner import mention_pattern
+
+    ner_pat = (
+        mention_pattern(DOC_NER_DICT)
+        .replace(r"(?<!\w)", r"\b")
+        .replace(r"(?!\w)", r"\b")
+    )
+    sql["kg_doc_mentions"] = f"""
+SELECT doc_id, surface, COUNT(*)::INT AS n
+FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS surface
+      FROM documents)
+GROUP BY doc_id, surface
 """
 
     sql["sim_topk"] = f"""

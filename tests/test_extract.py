@@ -90,3 +90,28 @@ def test_text_sha_goldens(spark):
         page_url(i): hashlib.sha256(page_row(i)[3].encode()).hexdigest()[:16]
         for i in range(5)
     }
+
+
+def test_mention_detection_custom_dictionary(spark):
+    """Parametrized dictionary + overlap resolution: leftmost-longest wins
+    ('sort table' consumes 'table'; the remainder still yields 'part')."""
+    rows = [
+        (1, "sort table part hash value plain table"),
+        (2, "no hits here at all"),
+        (3, None),
+        (4, "partition is not part nor is scanner scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from __spark_entry__ import DOC_NER_DICT
+
+    m = detect_mentions(df, dictionary=DOC_NER_DICT,
+                        id_col="doc_id", text_col="text")
+    got = {(r["doc_id"], r["surface"]): r["n"] for r in m.collect()}
+    assert got == {
+        (1, "sort table"): 1,
+        (1, "part"): 1,
+        (1, "hash value"): 1,
+        (1, "table"): 1,
+        (4, "part"): 1,
+        (4, "scan"): 1,
+    }
