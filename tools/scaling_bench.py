@@ -2,8 +2,17 @@
 identical flagship job at local[N] and local[4N] on the same input and report
 throughput at both + scaling efficiency = (T_{4N} / T_N) / 4.
 
-Usage: python tools/scaling_bench.py [n_low] [sf_dir]
-Writes the measured table into BENCH.md and prints one JSON line.
+Methodology (v2, paired): this sandbox shows heavy run-to-run noise from VM
+CPU steal — identical runs vary ±20%. Single-level best-of-N draws the two
+levels' minima from DIFFERENT noise windows and can swing the ratio either
+way (measured 0.64 and 0.89 on back-to-back identical configurations). So
+reps are INTERLEAVED low,high,low,high,... and efficiency is computed
+per adjacent pair, reported as the per-pair median (plus the full spread);
+each rep also records the host's CPU-steal delta from /proc/stat as direct
+evidence of how noisy its window was.
+
+Usage: python tools/scaling_bench.py [n_low] [n_pages] [pairs]
+Appends the measured table to BENCH.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -47,72 +56,99 @@ spark.stop()
 """
 
 
-def run(cpus: int, n_pages: int, reps: int = 3) -> dict:
-    """Best-of-reps wall time (this sandbox shows heavy run-to-run variance
-    from CPU steal; min is the standard noise-robust throughput estimator).
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8])  # cpu: user nice system idle iowait irq softirq steal
 
-    The process is PINNED to exactly `cpus` CPUs via taskset: in local[N]
-    mode Python UDF workers run outside the N task slots, so an unpinned
-    local[2] job actually consumes ~4+ cores and inflates the baseline —
-    pinning makes the N-vs-4N comparison account for total machine
-    resources, which is what N-vs-4N executors on a real cluster means.
-    """
-    best = None
-    for _ in range(reps):
-        # 4 partitions per core: the Arrow-batched extraction dominates, and
-        # finer partitions keep stragglers from serializing the tail (the
-        # round-1 0.65 efficiency was partly one slow partition per wave)
-        code = _JOB.format(
-            repo=REPO,
-            cpus=cpus,
-            parts=4 * cpus,
-            n_pages=n_pages,
-            gc=max(2, cpus),
-            cgc=max(1, cpus // 4),
-        )
-        cmd = [sys.executable, "-c", code]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
-        if best is None or r["sec"] < best["sec"]:
-            best = r
-    return best
+
+def run_once(cpus: int, n_pages: int) -> dict:
+    """One pinned run. taskset to exactly `cpus` CPUs: in local[N] mode
+    Python UDF workers run outside the N task slots, so an unpinned local[2]
+    job actually consumes ~4+ cores and inflates the baseline — pinning makes
+    the N-vs-4N comparison account for total machine resources, which is
+    what N-vs-4N executors on a real cluster means."""
+    # 4 partitions per core: the Arrow-batched extraction dominates, and
+    # finer partitions keep stragglers from serializing the tail (the
+    # round-1 0.65 efficiency was partly one slow partition per wave)
+    code = _JOB.format(
+        repo=REPO,
+        cpus=cpus,
+        parts=4 * cpus,
+        n_pages=n_pages,
+        gc=max(2, cpus),
+        cgc=max(1, cpus // 4),
+    )
+    cmd = [sys.executable, "-c", code]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    s0 = _steal_jiffies()
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    steal = _steal_jiffies() - s0
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    r = json.loads(line)
+    r["steal_jiffies"] = steal
+    r["steal_pct_of_run"] = round(100.0 * steal / 100.0 / max(r["sec"], 1e-9), 2)
+    return r
 
 
 def main():
-    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
+    pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     n_high = 4 * n_low
 
-    lo = run(n_low, n_pages)
-    hi = run(n_high, n_pages)
-    eff = (lo["sec"] / hi["sec"]) / 4.0
+    rows = []
+    for i in range(pairs):
+        lo = run_once(n_low, n_pages)
+        hi = run_once(n_high, n_pages)
+        eff = (lo["sec"] / hi["sec"]) / 4.0
+        rows.append({"pair": i + 1, "lo": lo, "hi": hi, "eff": round(eff, 3)})
+        print(json.dumps({"pair": i + 1, "sec_low": round(lo["sec"], 2),
+                          "sec_high": round(hi["sec"], 2), "eff": round(eff, 3),
+                          "steal_low": lo["steal_pct_of_run"],
+                          "steal_high": hi["steal_pct_of_run"]}), flush=True)
+
+    effs = sorted(r["eff"] for r in rows)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    best_pair = max(rows, key=lambda r: r["eff"])
     result = {
         "n_pages": n_pages,
         "low_cpus": n_low,
         "high_cpus": n_high,
-        "sec_low": round(lo["sec"], 2),
-        "sec_high": round(hi["sec"], 2),
-        "rows_per_sec_low": round(lo["triples_per_sec"], 1),
-        "rows_per_sec_high": round(hi["triples_per_sec"], 1),
-        "scaling_efficiency": round(eff, 3),
+        "pairs": [
+            {"sec_low": round(r["lo"]["sec"], 2), "sec_high": round(r["hi"]["sec"], 2),
+             "eff": r["eff"], "steal_low_pct": r["lo"]["steal_pct_of_run"],
+             "steal_high_pct": r["hi"]["steal_pct_of_run"]}
+            for r in rows
+        ],
+        "median_efficiency": median_eff,
+        "best_efficiency": best_pair["eff"],
+        "rows_per_sec_high_best": round(
+            max(r["hi"]["triples_per_sec"] for r in rows), 1),
     }
     print(json.dumps(result))
 
     bench_md = os.path.join(REPO, "BENCH.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
-    with open(bench_md, "a", encoding="utf-8") as f:
-        f.write(
-            f"\n## Scaling run {stamp}\n\n"
-            f"| pages | local[{n_low}] sec | local[{n_high}] sec | "
-            f"rows/s @{n_low} | rows/s @{n_high} | efficiency (target ≥0.8) |\n"
-            f"|---|---|---|---|---|---|\n"
-            f"| {n_pages} | {result['sec_low']} | {result['sec_high']} | "
-            f"{result['rows_per_sec_low']} | {result['rows_per_sec_high']} | "
-            f"{result['scaling_efficiency']} |\n"
+    lines = [
+        f"\n## Paired scaling run {stamp} ({n_pages} pages, {n_low}→{n_high} cores)\n\n",
+        "| pair | sec @low | sec @high | steal%@low | steal%@high | efficiency |\n",
+        "|---|---|---|---|---|---|\n",
+    ]
+    for r in result["pairs"]:
+        lines.append(
+            f"| {result['pairs'].index(r) + 1} | {r['sec_low']} | {r['sec_high']} | "
+            f"{r['steal_low_pct']} | {r['steal_high_pct']} | {r['eff']} |\n"
         )
+    lines.append(
+        f"\n**median efficiency {median_eff}** (target ≥0.8), best pair "
+        f"{best_pair['eff']}, best high-side throughput "
+        f"{result['rows_per_sec_high_best']} rows/s.\n"
+    )
+    with open(bench_md, "a", encoding="utf-8") as f:
+        f.writelines(lines)
 
 
 if __name__ == "__main__":
