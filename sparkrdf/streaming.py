@@ -114,3 +114,58 @@ def stream_pages_to_graph(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_first_seen(docs_stream: DataFrame, fp_col: str = "fp"):
+    """Cross-batch streaming exact-dedup: emit each fingerprint's row only the
+    FIRST time it is ever seen, keeping per-fingerprint state across
+    micro-batches (``applyInPandasWithState`` — the custom-stateful-operator
+    scale path; ``foreachBatch`` + merge cannot answer "is this new?" without
+    re-reading the sink).
+
+    Input: a streaming DataFrame with at least (``fp_col``, doc_id).
+    Output stream: (fp, first_doc_id, n_dups_so_far) — one UPDATE row per
+    fingerprint per micro-batch in which it appears; ``first_doc_id`` is
+    pinned by the first batch that saw the fingerprint (ties within that
+    batch broken by min doc_id, so replays are deterministic).
+
+    State per fingerprint: (first_doc_id, n_seen). Keyed by the content
+    fingerprint, state is hash-partitioned across executors exactly like a
+    batch groupBy — no skew beyond the dedup key's own distribution, and the
+    state store scales horizontally with executor count.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n_new = 0
+        first_id = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            batch_min = int(pdf["doc_id"].min())
+            first_id = batch_min if first_id is None else min(first_id, batch_min)
+        if state.exists:
+            prev_first, prev_n = state.get
+            state.update((int(prev_first), int(prev_n + n_new)))
+            yield pd.DataFrame(
+                {"fp": [key[0]], "first_doc_id": [int(prev_first)],
+                 "n_dups_so_far": [int(prev_n + n_new - 1)]}
+            )
+        else:
+            state.update((int(first_id), int(n_new)))
+            yield pd.DataFrame(
+                {"fp": [key[0]], "first_doc_id": [int(first_id)],
+                 "n_dups_so_far": [int(n_new - 1)]}
+            )
+
+    return (
+        docs_stream.select(F.col(fp_col).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="fp string, first_doc_id long, n_dups_so_far long",
+            stateStructType="first_doc_id long, n_seen long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -68,3 +68,69 @@ def test_crawl_metrics_windowing(spark, tmp_path):
         spark.table("crawlmetrics").columns
     )
     assert sum(r["n_pages"] for r in rows) <= 200
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Cross-batch stateful dedup (applyInPandasWithState): fp state survives
+    micro-batch boundaries within a run AND a query restart from checkpoint
+    (foreachBatch sink — the memory sink cannot recover a checkpoint)."""
+    from sparkrdf.streaming import stream_dedup_first_seen
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    # batch 1: fps a (doc 1), b (docs 2+3 — in-batch dup);
+    # batch 2: dup of a (doc 9), new c (doc 10)
+    spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "fp string, doc_id long"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("a", 9), ("c", 10)], "fp string, doc_id long"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    import pyspark.sql.functions as F
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    def run_query():
+        stream = (
+            spark.readStream.schema("fp string, doc_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream_dedup_first_seen(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_query()
+    got = {
+        (r["fp"], r["batch_id"]): r for r in spark.read.parquet(out_dir).collect()
+    }
+    # in-batch dup resolved (b count 1, min doc wins); cross-batch state:
+    # a's first_doc_id stays 1 in batch 2, dup count incremented
+    assert got[("a", 0)]["first_doc_id"] == 1 and got[("a", 0)]["n_dups_so_far"] == 0
+    assert got[("b", 0)]["first_doc_id"] == 2 and got[("b", 0)]["n_dups_so_far"] == 1
+    assert got[("a", 1)]["first_doc_id"] == 1 and got[("a", 1)]["n_dups_so_far"] == 1
+    assert got[("c", 1)]["first_doc_id"] == 10 and got[("c", 1)]["n_dups_so_far"] == 0
+
+    # restart from checkpoint: a third file arrives; restored state must
+    # remember b's origin and prior count
+    spark.createDataFrame(
+        [("b", 20)], "fp string, doc_id long"
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    run_query()
+    rows = [
+        r
+        for r in spark.read.parquet(out_dir).collect()
+        if r["fp"] == "b" and r["batch_id"] >= 2
+    ]
+    assert len(rows) == 1
+    assert rows[0]["first_doc_id"] == 2 and rows[0]["n_dups_so_far"] == 2
