@@ -67,12 +67,21 @@ def blocked_near_dup(
     vec_col: str = "embedding",
     block_col: str = "label",
 ) -> DataFrame:
-    """Cosine near-dup pairs within blocks: (id_a, id_b, score ≥ threshold)."""
+    """Cosine near-dup pairs within blocks: (id_a, id_b, score ≥ threshold).
+
+    The double-cast vector and its norm are computed ONCE PER ROW before the
+    pair join (each row participates in O(block) pairs, so per-pair work
+    drops from dot+2 norms to a single dot). The final value is the same
+    dot/(norm_a*norm_b) fold as :func:`cosine`, so results are bit-identical
+    to the unoptimized form."""
+    dv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     a = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
+        dv.alias("va"), _norm(F.col(vec_col)).alias("na"),
     )
     b = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
+        dv.alias("vb"), _norm(F.col(vec_col)).alias("nb"),
     )
     return (
         a.join(b, "blk")
@@ -80,7 +89,9 @@ def blocked_near_dup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
