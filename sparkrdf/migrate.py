@@ -92,14 +92,22 @@ def migrate_edges_to_attributes(
     max_depth: int = 1,
     direction: str = "OUTBOUND",
     return_attr: str = "_label",
+    edge_label: str | None = None,
 ) -> DataFrame:
     """Collect traversal-target labels into an array attribute on every start
     vertex (sorted, mirroring the reference's SORT v._label default).
 
+    **edge_label** restricts the traversal to edges with that ``_label`` —
+    the reference's ``filter_clause="e._label == '...'"`` (used with LPG's
+    single edge collection, main.py:1610-1616).
+
     Returns the vertices DataFrame with ``attribute_name`` added
     (array<string>, empty list when no path — the reference writes [] too).
     """
-    e = edges.filter(F.col("collection").isin(edge_collections)).select("_from", "_to")
+    e = edges.filter(F.col("collection").isin(edge_collections))
+    if edge_label is not None:
+        e = e.filter(F.col("_label") == edge_label)
+    e = e.select("_from", "_to")
     if direction == "INBOUND":
         e = e.select(F.col("_to").alias("_from"), F.col("_from").alias("_to"))
     elif direction == "ANY":

@@ -78,6 +78,7 @@ def pgt_transform(
     contextualize_graph: bool = False,
     meta_stmts: DataFrame | None = None,
     uri_map: DataFrame | None = None,
+    predicate_collection: str | None = None,
 ) -> dict[str, DataFrame]:
     """**controller**: optional ``mapping.BestClassController`` subclass
     overriding the best-class rule (reference controller.py:12-94).
@@ -85,7 +86,13 @@ def pgt_transform(
     **contextualize_graph** (M7, off by default like the reference
     main.py:861): unions **meta_stmts** into the data and emits
     untyped-predicate typing, DR inference, and DR introspection edges
-    (main.py:3972-4130) in collections "type"/"domain"/"range"."""
+    (main.py:3972-4130) in collections "type"/"domain"/"range".
+
+    **predicate_collection** (main.py:867/1007-1011, 1055-1056): route ALL
+    edges into this single edge collection instead of one collection per
+    predicate label (``_label`` keeps the label, so label-filtered
+    migrations still work) — with ``resource_collection`` this is the LPG
+    model (:func:`lpg_transform`)."""
     farmhash_udf, edge_key_udf = register_udfs()
     unknown = f"{name}_UnknownResource"
 
@@ -161,11 +168,18 @@ def pgt_transform(
     # typed term; reified map grows with reified statement count): no hints.
     keyed = keyed.join(m_s, "s", "left").join(m_o, "o", "left").join(m_p, "p", "left")
     if reified_map is not None:
+        # a reified statement's edge lives in the collection named after its
+        # predicate label — or in the single predicate collection (LPG)
+        r_col = (
+            F.lit(predicate_collection)
+            if predicate_collection is not None
+            else F.col("p_label")
+        )
         r_s = reified_map.select(
-            F.col("x").alias("s"), F.col("e_key").alias("s_rkey"), F.col("p_label").alias("s_rcol")
+            F.col("x").alias("s"), F.col("e_key").alias("s_rkey"), r_col.alias("s_rcol")
         )
         r_o = reified_map.select(
-            F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), F.col("p_label").alias("o_rcol")
+            F.col("x").alias("o"), F.col("e_key").alias("o_rkey"), r_col.alias("o_rcol")
         )
         keyed = keyed.join(r_s, "s", "left").join(r_o, "o", "left")
     else:
@@ -328,9 +342,15 @@ def pgt_transform(
         .select(*VERTEX_COLUMNS)
     )
 
-    # --- edges (M3): every non-literal statement; e_col = predicate label ---
+    # --- edges (M3): every non-literal statement; e_col = predicate label,
+    # or the single predicate collection in LPG mode ---
+    e_col = (
+        F.lit(predicate_collection)
+        if predicate_collection is not None
+        else F.col("p_label")
+    )
     edges_base = nonlit.select(
-        F.col("p_label").alias("collection"),
+        e_col.alias("collection"),
         F.coalesce(
             F.col("e_key_override"),
             edge_key_udf(F.col("s_key"), F.col("p_key"), F.col("o_key")),
@@ -370,6 +390,10 @@ def pgt_transform(
         from sparkrdf.contextualize import contextualize_edges
 
         ctx = contextualize_edges(keyed, name, is_pgt=True, meta_stmts=meta_stmts)
+        if predicate_collection is not None:
+            # LPG: contextualization edges route to the single edge
+            # collection like every other statement (main.py:1055-1056)
+            ctx = ctx.withColumn("collection", F.lit(predicate_collection))
         edges = edges.unionByName(ctx).dropDuplicates(["collection", "_key"])
 
     # --- edge definitions (M4) ---
@@ -383,3 +407,30 @@ def pgt_transform(
         "edges": edges.drop("s_col", "o_col"),
         "edge_definitions": edge_definitions,
     }
+
+
+def lpg_transform(
+    stmts: DataFrame,
+    name: str,
+    resource_collection: str = "Node",
+    predicate_collection: str = "Edge",
+    **pgt_kwargs,
+) -> dict[str, DataFrame]:
+    """RDF → Labeled Property Graph: the reference's
+    ``rdf_to_arangodb_by_lpg`` (main.py:1587-1652) — a PGT run where all
+    resources land in one vertex collection (Class/Property pins kept) and
+    all statements in one edge collection carrying the predicate as
+    ``_label``. Follow with ``migrate.migrate_edges_to_attributes(...,
+    edge_label="type")`` to fold rdf:type edges into a vertex attribute, as
+    the reference recommends."""
+    if not resource_collection:
+        raise ValueError("resource_collection is required")
+    if not predicate_collection:
+        raise ValueError("predicate_collection is required")
+    return pgt_transform(
+        stmts,
+        name,
+        resource_collection=resource_collection,
+        predicate_collection=predicate_collection,
+        **pgt_kwargs,
+    )
