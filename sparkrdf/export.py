@@ -469,3 +469,31 @@ def metagraph_to_statements(
         e = _drop_properties(e, ignored_attributes)
 
     return pgt_to_statements(v, e, graph_ns, **modes)
+
+
+def collections_to_statements(
+    vertices: DataFrame,
+    edges: DataFrame,
+    v_cols: set,
+    e_cols: set,
+    ignored_attributes: set | None = None,
+    graph_ns: str = "http://www.arangodb.com",
+    **modes,
+) -> DataFrame:
+    """Collection-name selective export — the reference's
+    ``arangodb_collections_to_rdf`` (main.py:458-561): a metagraph export
+    with every listed collection taken whole (explicit_metagraph=False),
+    optionally dropping **ignored_attributes**."""
+    metagraph = {
+        "vertexCollections": {c: set() for c in v_cols},
+        "edgeCollections": {c: set() for c in e_cols},
+    }
+    return metagraph_to_statements(
+        vertices,
+        edges,
+        metagraph,
+        explicit_metagraph=False,
+        ignored_attributes=ignored_attributes,
+        graph_ns=graph_ns,
+        **modes,
+    )

@@ -75,3 +75,24 @@ def test_explicit_xor_ignored_validation(tables):
             explicit_metagraph=True,
             ignored_attributes={"x"},
         )
+
+
+def test_collections_to_statements_wrapper(tables):
+    """arangodb_collections_to_rdf parity (main.py:458-561): whole
+    collections by name, no attribute projection — all of Person's literal
+    properties survive, Company and Class stay out, listed edges export."""
+    from sparkrdf.export import collections_to_statements
+
+    v, e = tables["vertices"], tables["edges"]
+    # Property carries the predicate-URI map (without it, property URIs
+    # fall back to the graph namespace, like the reference)
+    out = collections_to_statements(v, e, {"Person", "Property"}, {"meets"})
+    stmts = _props_stmts(out)
+    assert (EX + "alice", EX + "name", "Alice") in stmts
+    assert (EX + "alice", EX + "age", "30") in stmts
+    assert (EX + "bob", EX + "city", "Oslo") in stmts
+    assert (EX + "alice", EX + "meets", EX + "bob") in stmts
+    assert not [t for t in stmts if t[0] == EX + "acme"]
+    ns_only = collections_to_statements(v, e, {"Person"}, set())
+    assert ("http://www.arangodb.com/name" in {t[1] for t in _props_stmts(ns_only)})
+
