@@ -149,6 +149,17 @@ def q_kg_pgt_edges(spark, sf_dir):
     return e.select("collection", "_from", "_to", "_uri", "_label")
 
 
+def q_kg_lpg_edges(spark, sf_dir):
+    """LPG model (single Node/Edge collections, sparkrdf/pgt.py
+    lpg_transform): every statement lands in 'Edge' with the predicate kept
+    as _label; resource endpoints move to 'Node', Class pins stay."""
+    from sparkrdf.pgt import lpg_transform
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir), with_adb_keys=True)
+    e = lpg_transform(stmts, "KG")["edges"]
+    return e.select("collection", "_from", "_to", "_uri", "_label")
+
+
 def q_kg_pgt_ctx_edges(spark, sf_dir):
     """M7 on the PGT path: type edges land in collection 'type' with
     Property/Class endpoints; introspection edges in 'domain'/'range'."""
@@ -387,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rpt_vertices": q_kg_rpt_vertices,
         "kg_pgt_vertices": q_kg_pgt_vertices,
         "kg_pgt_edges": q_kg_pgt_edges,
+        "kg_lpg_edges": q_kg_lpg_edges,
         "kg_pgt_ctx_edges": q_kg_pgt_ctx_edges,
         "kg_pgt_edge_defs": q_kg_pgt_edge_defs,
         "kg_doc_mentions": q_kg_doc_mentions,
@@ -638,6 +650,21 @@ SELECT DISTINCT 'type', 'Document/d' || doc_id, 'Class/{_CLS_KEY["Document"]}',
 FROM docs
 UNION
 SELECT DISTINCT 'type', cls_label || '/' || ent_key, 'Class/' || cls_key,
+  '{_RDF_TYPE}', 'type'
+FROM mentions
+"""
+
+    sql["kg_lpg_edges"] = f"""
+WITH {_DOC_CTES}
+SELECT DISTINCT 'Edge' AS collection, 'Node/d' || doc_id AS _from,
+  'Node/' || ent_key AS _to, '{dockg.P_MENTIONS}' AS _uri, 'mentions' AS _label
+FROM mentions
+UNION
+SELECT DISTINCT 'Edge', 'Node/d' || doc_id, 'Class/{_CLS_KEY["Document"]}',
+  '{_RDF_TYPE}', 'type'
+FROM docs
+UNION
+SELECT DISTINCT 'Edge', 'Node/' || ent_key, 'Class/' || cls_key,
   '{_RDF_TYPE}', 'type'
 FROM mentions
 """
