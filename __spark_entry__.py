@@ -284,6 +284,14 @@ def q_sim_ivf_topk(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=2)
 
 
+def q_sim_ivf_exhaustive(spark, sf_dir):
+    """IVF with n_probe >= |cells| degenerates to exact search, so the
+    whole two-stage machinery (centroid build, cell probe, in-cell exact
+    scan) is oracle-checked against the brute-force SQL; the approximate
+    n_probe=2 configuration stays rows-only + recall-tested in pytest."""
+    return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=10**6)
+
+
 # ---------------------------------------------------------------------------
 # relational queries (SURVEY §2.8 standard categories)
 # ---------------------------------------------------------------------------
@@ -413,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_exhaustive": q_sim_ivf_exhaustive,
         "mm_image_features": q_mm_image_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_join_rollup": q_rel_join_rollup,
@@ -830,6 +839,8 @@ WHERE e.vec_id <> 0
 ORDER BY score DESC, e.vec_id ASC
 LIMIT 10
 """
+
+    sql["sim_ivf_exhaustive"] = sql["sim_topk"]
 
     sql["sim_blocked_near_dup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
