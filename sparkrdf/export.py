@@ -324,9 +324,14 @@ def pgt_vertices_to_statements(
     list_conversion_mode: str = "static",
     dict_conversion_mode: str = "static",
     include_adb_v_col_statements: bool = False,
+    infer_type_from_adb_v_col: bool = False,
 ) -> DataFrame:
     """PGT vertex property documents → datatype-property statements
-    (reference __process_adb_vertex, main.py:1830-1873)."""
+    (reference __process_adb_vertex, main.py:1830-1873).
+
+    **infer_type_from_adb_v_col** (main.py:1864-1865): emit
+    ``term rdf:type <graph_ns/collection>`` for every vertex, deriving the
+    class from the collection it lives in."""
     vertices = _with_optional_cols(vertices, ["_uri", "properties"])
     vertices = vertices.localCheckpoint(eager=True)  # referenced 2-3 times
     out = pgt_properties_to_statements(
@@ -336,6 +341,28 @@ def pgt_vertices_to_statements(
         list_conversion_mode,
         dict_conversion_mode,
     )
+    if infer_type_from_adb_v_col:
+        from sparkrdf import terms as T
+
+        type_stmts = vertices.filter(F.col("_rdftype") != "Literal").select(
+            F.col("_rdftype").alias("s_kind"),
+            F.coalesce(
+                F.col("_uri"),
+                F.when(F.col("_rdftype") == "BNode", F.col("_key")).otherwise(
+                    F.concat(
+                        F.lit(graph_ns), F.lit("/"), F.col("collection"),
+                        F.lit("#"), F.col("_key"),
+                    )
+                ),
+            ).alias("s"),
+            F.lit(T.RDF_TYPE).alias("p"),
+            F.lit("URIRef").alias("o_kind"),
+            F.concat(F.lit(graph_ns), F.lit("/"), F.col("collection")).alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("sub_graph"),
+        )
+        out = out.unionByName(type_stmts.select(*STATEMENT_COLUMNS))
     if include_adb_v_col_statements:
         from sparkrdf import terms as T
 

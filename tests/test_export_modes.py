@@ -132,3 +132,32 @@ def test_rpt_case8_second_generation_round_trip(spark):
         out2["vertices"], out2["edges"], include_adb_e_key_statements=True
     )
     assert_round_trip(exp1, exp2)
+
+
+def test_infer_type_from_adb_v_col(spark):
+    """main.py:1864-1865: every vertex gains term rdf:type <ns/collection>
+    statements derived from its collection."""
+    from sparkrdf.export import pgt_vertices_to_statements
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    ttl = """
+    @prefix ex: <http://example.com/> .
+    ex:a a ex:Person ; ex:name "A" .
+    ex:b a ex:Person .
+    """
+    stmts = statements_df(spark, parse_ttl(ttl))
+    out = pgt_transform(stmts, "IT")
+    ns = "http://g.example"
+    got = pgt_vertices_to_statements(
+        out["vertices"], graph_ns=ns, infer_type_from_adb_v_col=True
+    ).collect()
+    types = {
+        (r["s"], r["o"])
+        for r in got
+        if r["p"] == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    }
+    assert ("http://example.com/a", f"{ns}/Person") in types
+    assert ("http://example.com/b", f"{ns}/Person") in types
+    # Class/Property vertices get collection-derived types too
+    assert ("http://example.com/Person", f"{ns}/Class") in types
