@@ -325,13 +325,18 @@ def pgt_vertices_to_statements(
     dict_conversion_mode: str = "static",
     include_adb_v_col_statements: bool = False,
     infer_type_from_adb_v_col: bool = False,
+    include_adb_v_key_statements: bool = False,
 ) -> DataFrame:
     """PGT vertex property documents → datatype-property statements
     (reference __process_adb_vertex, main.py:1830-1873).
 
     **infer_type_from_adb_v_col** (main.py:1864-1865): emit
     ``term rdf:type <graph_ns/collection>`` for every vertex, deriving the
-    class from the collection it lives in."""
+    class from the collection it lives in.
+
+    **include_adb_v_key_statements** (main.py:1870-1871): emit
+    ``term adb:key "_key"`` so a re-import reproduces the same document
+    keys."""
     vertices = _with_optional_cols(vertices, ["_uri", "properties"])
     vertices = vertices.localCheckpoint(eager=True)  # referenced 2-3 times
     out = pgt_properties_to_statements(
@@ -388,6 +393,28 @@ def pgt_vertices_to_statements(
             F.lit(None).cast("string").alias("sub_graph"),
         )
         out = out.unionByName(col_stmts.select(*STATEMENT_COLUMNS))
+    if include_adb_v_key_statements:
+        from sparkrdf import terms as T
+
+        key_stmts = vertices.filter(F.col("_rdftype") != "Literal").select(
+            F.col("_rdftype").alias("s_kind"),
+            F.coalesce(
+                F.col("_uri"),
+                F.when(F.col("_rdftype") == "BNode", F.col("_key")).otherwise(
+                    F.concat(
+                        F.lit(graph_ns), F.lit("/"), F.col("collection"),
+                        F.lit("#"), F.col("_key"),
+                    )
+                ),
+            ).alias("s"),
+            F.lit(T.ADB_KEY_URI).alias("p"),
+            F.lit("Literal").alias("o_kind"),
+            F.col("_key").alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("sub_graph"),
+        )
+        out = out.unionByName(key_stmts.select(*STATEMENT_COLUMNS))
     return out
 
 

@@ -161,3 +161,34 @@ def test_infer_type_from_adb_v_col(spark):
     assert ("http://example.com/b", f"{ns}/Person") in types
     # Class/Property vertices get collection-derived types too
     assert ("http://example.com/Person", f"{ns}/Class") in types
+
+
+def test_include_adb_v_key_statements_round_trip(spark):
+    """main.py:1870-1871: exported adb:key statements let a re-import
+    reproduce the same document keys (the two-import custom-key flow)."""
+    from sparkrdf.export import pgt_to_statements
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.terms import ADB_KEY_URI
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    ttl = """
+    @prefix ex: <http://example.com/> .
+    @prefix adb: <http://www.arangodb.com/> .
+    ex:a a ex:Person ; adb:key "customA" ; ex:name "A" .
+    ex:b a ex:Person .
+    """
+    stmts = statements_df(spark, parse_ttl(ttl))
+    out = pgt_transform(stmts, "VK")
+    exported = pgt_to_statements(
+        out["vertices"], out["edges"], include_adb_v_key_statements=True
+    )
+    keys = {
+        r["s"]: r["o"] for r in exported.collect() if r["p"] == ADB_KEY_URI
+    }
+    assert keys["http://example.com/a"] == "customA"
+    # re-import with those key statements reproduces identical vertex keys
+    out2 = pgt_transform(exported, "VK2")
+    k1 = {r["_uri"]: r["_key"] for r in out["vertices"].collect() if r["_uri"]}
+    k2 = {r["_uri"]: r["_key"] for r in out2["vertices"].collect() if r["_uri"]}
+    for u, k in k1.items():
+        assert k2.get(u, k) == k
