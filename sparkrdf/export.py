@@ -551,3 +551,18 @@ def collections_to_statements(
         graph_ns=graph_ns,
         **modes,
     )
+
+
+def with_rdf_attribute_prefix(df: DataFrame, prefix: str = "_") -> DataFrame:
+    """Rename the reserved RDF attribute columns (``_uri``, ``_value``,
+    ``_rdftype``, ``_label``, ``_sub_graph_uri``, ``_lang``, ``_datatype``)
+    to a custom prefix — the reference's ``rdf_attribute_prefix``
+    constructor option (main.py:92/116-126). ``_key``/``_from``/``_to`` are
+    ArangoDB system attributes and keep their names, like the reference."""
+    if prefix == "_":
+        return df
+    for base in ("uri", "value", "rdftype", "label", "sub_graph_uri", "lang", "datatype"):
+        old = f"_{base}"
+        if old in df.columns:
+            df = df.withColumnRenamed(old, f"{prefix}{base}")
+    return df

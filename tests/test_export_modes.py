@@ -192,3 +192,21 @@ def test_include_adb_v_key_statements_round_trip(spark):
     k2 = {r["_uri"]: r["_key"] for r in out2["vertices"].collect() if r["_uri"]}
     for u, k in k1.items():
         assert k2.get(u, k) == k
+
+
+def test_rdf_attribute_prefix(spark):
+    """main.py:92/116-126: reserved RDF attributes are renamed with a custom
+    prefix; system attributes (_key/_from/_to) keep theirs."""
+    from sparkrdf.export import with_rdf_attribute_prefix
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(
+        spark,
+        parse_ttl('@prefix ex: <http://example.com/> .\nex:a a ex:P .'),
+    )
+    out = pgt_transform(stmts, "PX")
+    e = with_rdf_attribute_prefix(out["edges"], "x_")
+    assert "x_uri" in e.columns and "_uri" not in e.columns
+    assert "_key" in e.columns and "_from" in e.columns
+    assert with_rdf_attribute_prefix(out["edges"]).columns == out["edges"].columns
