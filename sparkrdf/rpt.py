@@ -125,7 +125,15 @@ def rpt_vertices(keyed: DataFrame, name: str) -> DataFrame:
         F.col("o_lang").alias("lang"),
         F.col("o_datatype").alias("datatype"),
     )
-    t = subj.unionByName(obj)
+    # Dedup BEFORE building the doc columns: the shuffle then carries only
+    # (kind, id, _key, lang, datatype) instead of the full rendered document
+    # (label/value strings ≈ 2× the bytes), and literal_value_str/adb_label
+    # run once per DISTINCT term instead of once per occurrence. (kind, _key)
+    # is equivalent to the output's (collection, _key): collection is a pure
+    # function of kind. Duplicate keys with differing lang (the reference
+    # keys literals by lexical form only) resolve arbitrarily either way —
+    # same last-write-wins semantics as the reference.
+    t = subj.unionByName(obj).dropDuplicates(["kind", "_key"])
 
     is_uri = F.col("kind") == "URIRef"
     is_bnode = F.col("kind") == "BNode"
@@ -149,7 +157,7 @@ def rpt_vertices(keyed: DataFrame, name: str) -> DataFrame:
         # lang wins over datatype (main.py:2324-2327)
         F.when(is_lit & F.col("lang").isNull(), F.col("datatype")).alias("_datatype"),
     )
-    return out.dropDuplicates(["collection", "_key"])
+    return out
 
 
 def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
