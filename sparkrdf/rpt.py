@@ -107,6 +107,11 @@ def rpt_vertices(keyed: DataFrame, name: str) -> DataFrame:
     reference routes them to the Statement edge collection and skips the doc
     (main.py:2286-2289, the ``t in self.__reified_subject_map`` branch).
     ``keyed`` marks those rows with optional ``s_reified``/``o_reified``.
+
+    Literal keys hash the LEXICAL FORM only (reference default
+    use_hashed_literals_as_keys=True, main.py:669/2310-2327): the same
+    lexical form under two langs/datatypes collapses into one Literal
+    vertex, last write wins — identical to the reference.
     """
     cols = keyed.columns
     subj_src = keyed.filter(~F.col("s_reified")) if "s_reified" in cols else keyed

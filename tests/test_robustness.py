@@ -37,6 +37,23 @@ _stmt = st.tuples(st.one_of(_uri, _bnode), _pred, st.one_of(_uri, _bnode, _lit))
 )
 
 
+def _one_lang_per_lexical(rows):
+    """Literal keys are the farmhash of the LEXICAL FORM only (matching the
+    reference's default use_hashed_literals_as_keys=True, main.py:669/2321):
+    the same lexical form under two different langs collapses into one
+    Literal vertex there too, so a perfect round trip is only promised for
+    graphs where each lexical form carries a single lang — enforce that on
+    the generated input."""
+    seen: dict = {}
+    out = []
+    for r in rows:
+        if r[3] == "Literal":
+            lang = seen.setdefault(r[4], r[5])
+            r = r[:5] + (lang,) + r[6:]
+        out.append(r)
+    return out
+
+
 @settings(
     max_examples=6,
     deadline=None,
@@ -47,6 +64,7 @@ def test_random_graph_round_trips(spark, rows):
     """Any plain statement set (URIRef/BNode subjects, arbitrary unicode
     literals with optional lang) survives RPT → export identically
     (bnode-wildcarded set identity, the reference's subtract_graphs gate)."""
+    rows = _one_lang_per_lexical(rows)
     stmts = statements_df(spark, rows)
     out = rpt_transform(stmts, "HYP")
     exported = edges_to_statements(out["vertices"], out["edges"])
