@@ -322,14 +322,16 @@ def _sf_of(sf_dir):
 def q_rel_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
-    # final aggregates pinned to DECIMAL(38,2) on both engine and oracle
-    # sides: Spark widens SUM(decimal(18,2)) to (28,2) while DuckDB widens to
-    # (38,2), which hash-mismatches despite equal values.
+    # Aggregates are rendered as BIGINT cents on both engine and oracle sides:
+    # decimal-typed outputs hash-mismatched under the driver's renderer even
+    # with both sides pinned to DECIMAL(38,2) (values proven equal locally —
+    # VERDICT r2 W1); integers hash identically under any renderer.
+    cents = lambda c: F.round(F.sum(dec(c)) * 100).cast("bigint")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            cents("l_quantity").alias("sum_qty_cents"),
+            cents("l_extendedprice").alias("sum_base_price_cents"),
             F.count("*").alias("count_order"),
         )
     )
@@ -345,9 +347,9 @@ def q_rel_join_rollup(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("total_cents"),
         )
     )
 
@@ -381,9 +383,9 @@ def q_evt_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("total_value_cents"),
         )
     )
 
@@ -851,15 +853,15 @@ WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.35
 
     sql["rel_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100) AS BIGINT) AS sum_qty_cents,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS sum_base_price_cents,
   COUNT(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
     sql["rel_join_rollup"] = """
 SELECT n_name, COUNT(*)::BIGINT AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100) AS BIGINT) AS total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -881,7 +883,7 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
     sql["evt_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
   COUNT(*)::BIGINT AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2
 """
 
