@@ -39,10 +39,12 @@ from pyspark.sql import functions as F
 from sparkrdf import terms as T
 from sparkrdf.hashing import farmhash_key, register_udfs
 
-#: default location of the vendored meta ontologies (reference
-#: arango_rdf/meta/*.trig — standard W3C RDF/RDFS/OWL/DC/XSD vocabularies).
+#: default location of the vendored meta ontologies (sparkrdf/meta/*.trig —
+#: standard W3C RDF/RDFS/OWL/DC/XSD vocabularies; see meta/ATTRIBUTION.md).
+#: Mirrors reference arango_rdf/main.py `load_meta_ontology` semantics.
 META_DIR = os.environ.get(
-    "SPARKRDF_META_DIR", "/root/reference/arango_rdf/meta"
+    "SPARKRDF_META_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "meta"),
 )
 
 
@@ -55,6 +57,14 @@ def load_meta_statements(spark, meta_dir: str | None = None) -> DataFrame | None
 
     meta_dir = meta_dir or META_DIR
     if not os.path.isdir(meta_dir):
+        import warnings
+
+        warnings.warn(
+            f"meta-ontology directory {meta_dir!r} is missing; "
+            "contextualization will run over the data graph only "
+            "(no meta-vocabulary union)",
+            stacklevel=2,
+        )
         return None
     rows: list = []
     for fn in sorted(os.listdir(meta_dir)):

@@ -5,16 +5,25 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Reference RDF fixture files (read-only, data not code). Tests that need them
-# skip when the directory is absent so the repo stays standalone.
-REF_RDF_DIR = os.environ.get("SPARKRDF_REF_RDF_DIR", "/root/reference/tests/data/rdf")
-REF_META_DIR = os.environ.get("SPARKRDF_REF_META_DIR", "/root/reference/arango_rdf/meta")
+# RDF fixture files, vendored into the repo (tests/data/rdf/, public
+# Apache-2.0 corpus — see tests/data/rdf/ATTRIBUTION.md) so the suite runs
+# standalone with zero skips. Env vars allow pointing at another checkout.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+REF_RDF_DIR = os.environ.get(
+    "SPARKRDF_REF_RDF_DIR", os.path.join(_HERE, "data", "rdf")
+)
+REF_META_DIR = os.environ.get(
+    "SPARKRDF_REF_META_DIR",
+    os.path.join(os.path.dirname(_HERE), "sparkrdf", "meta"),
+)
 
 
 def ref_case(name: str) -> str:
     path = os.path.join(REF_RDF_DIR, name)
     if not os.path.exists(path):
-        pytest.skip(f"reference fixture {name} not available")
+        raise FileNotFoundError(
+            f"vendored fixture {name} missing from {REF_RDF_DIR}"
+        )
     return path
 
 
