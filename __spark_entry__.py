@@ -206,15 +206,32 @@ def q_kg_doc_mentions(spark, sf_dir):
     return m.select("doc_id", "surface", F.col("n").cast("int").alias("n"))
 
 
+#: the pages pipeline's materialized input — synthesized once per run
+#: (deterministic, idempotent overwrite) so Spark and the DuckDB oracle read
+#: the exact same parquet file. Fixed n=2000 → a static path the oracle SQL
+#: string can bake in.
+PAGES_MAT_PATH = "/tmp/sparkrdf_materialized_pages2000.parquet"
+
+
 def q_kg_pages_pipeline(spark, sf_dir):
-    """The real Common-Crawl-style pipeline (binary html → triples). Pages are
-    synthesized deterministically (no testdata view exists for this shape →
-    rows-only check)."""
+    """The real Common-Crawl-style pipeline (binary html → triples).
+
+    Pages are synthesized deterministically, the page IRI is minted
+    (farmhash — the one non-SQL-expressible step, itself Guava-pinned in
+    test_hashing), and the table is materialized to PAGES_MAT_PATH; both
+    this query and the DuckDB oracle then run over that same file, so the
+    statement generation (metadata explode, NER, linking, canonical
+    predicates) is fully value-checked."""
+    from sparkrdf.extract.mint import with_page_iri
     from sparkrdf.extract.pipeline import extract_triples
     from sparkrdf.pages import synthesize_pages
 
-    pages = synthesize_pages(spark, 2000)
-    t = extract_triples(spark, pages)
+    pages = with_page_iri(synthesize_pages(spark, 2000))
+    pages.select("url", "warc_ts", "text", "lang", "page_iri").coalesce(
+        1
+    ).write.mode("overwrite").parquet(PAGES_MAT_PATH)
+    mat = spark.read.parquet(PAGES_MAT_PATH)
+    t = extract_triples(spark, mat)
     return t.select(
         F.col("s").alias("subj"), F.col("p").alias("pred"), F.col("o").alias("obj")
     )
@@ -831,6 +848,44 @@ SELECT doc_id, surface, COUNT(*)::INT AS n
 FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS surface
       FROM documents)
 GROUP BY doc_id, surface
+"""
+
+    # pages pipeline over the materialized input parquet (written eagerly by
+    # q_kg_pages_pipeline before the oracle runs — same file, both engines).
+    # Gazetteer linking (best candidate per surface, cosine tie-break) is
+    # precomputed driver-side and baked in as VALUES, like _GAZ above; the
+    # farmhash page_iri is a stored column (itself Guava-pinned).
+    from sparkrdf.extract.gazetteer import KG as _EKG
+    from sparkrdf.extract.gazetteer import PREDICATES as _EPRED
+    from sparkrdf.extract.gazetteer import RDF_TYPE as _ERDF_TYPE
+    from sparkrdf.extract.link import scored_gazetteer
+
+    page_pat = (
+        mention_pattern()
+        .replace(r"(?<!\w)", r"\b")
+        .replace(r"(?!\w)", r"\b")
+    )
+    gaz_vals = ", ".join(
+        f"('{s}', '{ent}', '{cls}')" for s, ent, cls, _lbl, _sc in scored_gazetteer()
+    )
+    sql["kg_pages_pipeline"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{PAGES_MAT_PATH}/*.parquet')),
+gaz(surface, ent, cls) AS (VALUES {gaz_vals}),
+mention AS (
+  SELECT page_iri, unnest(regexp_extract_all(text, '{page_pat}', 1)) AS surface
+  FROM pages),
+linked AS (
+  SELECT DISTINCT m.page_iri, g.ent, g.cls
+  FROM mention m JOIN gaz g USING (surface))
+SELECT page_iri AS subj, '{_ERDF_TYPE}' AS pred, '{_EKG}class/WebPage' AS obj FROM pages
+UNION ALL SELECT page_iri, '{_EPRED["url"]}', url FROM pages
+UNION ALL SELECT page_iri, '{_EPRED["lang"]}', lang FROM pages
+UNION ALL SELECT page_iri, '{_EPRED["fetchedAt"]}',
+  strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') FROM pages
+UNION ALL SELECT page_iri, '{_EPRED["tokenCount"]}',
+  CAST(len(string_split_regex(text, '\\s+')) AS VARCHAR) FROM pages
+UNION ALL SELECT DISTINCT page_iri, '{_EPRED["mentions"]}', ent FROM linked
+UNION ALL SELECT DISTINCT ent, '{_ERDF_TYPE}', cls FROM linked
 """
 
     sql["sim_topk"] = f"""
