@@ -64,19 +64,52 @@ def extract_adb_key_statements(stmts: DataFrame) -> tuple[DataFrame, DataFrame]:
     return keys, rest
 
 
-def with_term_keys(stmts: DataFrame, keys_df: DataFrame | None = None) -> DataFrame:
+def with_term_keys(
+    stmts: DataFrame,
+    keys_df: DataFrame | None = None,
+    use_hashed_literals_as_keys: bool = True,
+) -> DataFrame:
     """Add s_key / p_key / o_key columns (farmhash of the term's string form,
     with adb:key overrides broadcast-joined in).
+
+    With ``use_hashed_literals_as_keys=False`` (reference main.py:708-713:
+    "a randomly-generated key will instead be used … literals with the same
+    value will [NOT] be represented as one single document"), the literal
+    o_key becomes a deterministic per-statement key — farmhash of
+    ``s_key-p_key-lexical|lang|datatype`` — so equal lexical forms under
+    different statements yield DISTINCT Literal vertices while re-runs stay
+    idempotent (a true random UUID would break resumable MERGE; the
+    reference's ArangoDB-assigned random keys additionally leave its edges
+    dangling, a quirk this engine does not reproduce). Duplicate (s,p,o)
+    statements still collapse: they derive the same occurrence key.
 
     The farmhash UDF is Arrow-batched and memoized per executor, so the
     Zipf-heavy terms (rdf:type, hot predicates) cost one hash per batch.
     """
     farmhash_udf, _ = register_udfs()
-    out = (
-        stmts.withColumn("s_key", farmhash_udf(F.col("s")))
-        .withColumn("p_key", farmhash_udf(F.col("p")))
-        .withColumn("o_key", farmhash_udf(F.col("o")))
+    out = stmts.withColumn("s_key", farmhash_udf(F.col("s"))).withColumn(
+        "p_key", farmhash_udf(F.col("p"))
     )
+    if use_hashed_literals_as_keys:
+        out = out.withColumn("o_key", farmhash_udf(F.col("o")))
+    else:
+        occurrence = F.concat_ws(
+            "-",
+            F.col("s_key"),
+            F.col("p_key"),
+            F.concat_ws(
+                "|",
+                F.col("o"),
+                F.coalesce(F.col("o_lang"), F.lit("")),
+                F.coalesce(F.col("o_datatype"), F.lit("")),
+            ),
+        )
+        out = out.withColumn(
+            "o_key",
+            F.when(
+                F.col("o_kind") == "Literal", farmhash_udf(occurrence)
+            ).otherwise(farmhash_udf(F.col("o"))),
+        )
     if keys_df is not None:
         # no broadcast hint: adb:key overrides are unbounded (the flagship
         # workload attaches one per document), so the join strategy is left
@@ -217,6 +250,7 @@ def rpt_transform(
     flatten_reified_triples: bool = True,
     contextualize_graph: bool = False,
     meta_stmts: DataFrame | None = None,
+    use_hashed_literals_as_keys: bool = True,
 ) -> dict[str, DataFrame]:
     """Full RPT pipeline: adb:key extraction → reified-triple flattening →
     term keys → vertices + edges.
@@ -233,6 +267,11 @@ def rpt_transform(
     untyped-predicate ``rdf:Property`` edges + DR inference/introspection
     edges, and materializes predicate vertex docs (main.py:2389-2414).
 
+    **use_hashed_literals_as_keys** (reference main.py:669/747/2321, default
+    True): False keys each literal occurrence individually (per-statement
+    deterministic key, see ``with_term_keys``) so equal lexical forms do not
+    collapse into one Literal vertex.
+
     Returns {"vertices": df, "edges": df, "edge_definitions": df}.
     """
     from sparkrdf.reify import flatten_reified
@@ -244,7 +283,7 @@ def rpt_transform(
         data, reified_map = flatten_reified(data, keys_df)
     else:
         reified_map = None
-    keyed = with_term_keys(data, keys_df)
+    keyed = with_term_keys(data, keys_df, use_hashed_literals_as_keys)
     if reified_map is not None:
         # Mark statements whose subject/object is a reified statement node.
         # The term key is unchanged (key(x) — already computed with the same

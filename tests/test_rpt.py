@@ -220,3 +220,43 @@ def test_rpt_flatten_disabled(spark):
     uris = {r["_uri"] for r in e}
     assert "http://www.w3.org/1999/02/22-rdf-syntax-ns#subject" in uris
     assert len(e) == 5
+
+
+def test_rpt_unhashed_literal_keys(spark):
+    """use_hashed_literals_as_keys=False (main.py:669/747/2321): equal
+    lexical forms under different statements yield DISTINCT Literal
+    vertices with per-occurrence keys; edges point at the respective
+    occurrence vertex (no dangling _to); duplicate (s,p,o) statements
+    still collapse; default True behavior is unchanged."""
+    ttl = b"""
+@prefix ex: <http://example.com/> .
+ex:a ex:name "Sam" .
+ex:b ex:name "Sam" .
+ex:b ex:name "Sam" .
+ex:c ex:nick "Sam" .
+"""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".ttl", delete=False) as f:
+        f.write(ttl)
+        path = f.name
+    stmts = statements_df(spark, parse_ttl_file(path))
+
+    # default: one shared Literal vertex keyed by the lexical hash
+    out_t = rpt_transform(stmts, "UH1")
+    lits_t = [r for r in out_t["vertices"].collect() if r["_rdftype"] == "Literal"]
+    assert len(lits_t) == 1 and lits_t[0]["_key"] == farmhash_key("Sam")
+
+    # False: one Literal vertex per distinct (s, p, literal) occurrence
+    out_f = rpt_transform(stmts, "UH2", use_hashed_literals_as_keys=False)
+    lits_f = [r for r in out_f["vertices"].collect() if r["_rdftype"] == "Literal"]
+    assert len(lits_f) == 3
+    assert len({r["_key"] for r in lits_f}) == 3
+    assert all(r["_value"] == "Sam" for r in lits_f)
+    assert farmhash_key("Sam") not in {r["_key"] for r in lits_f}
+
+    edges = out_f["edges"].collect()
+    assert len(edges) == 3  # duplicate ex:b statement collapsed
+    lit_keys = {r["_key"] for r in lits_f}
+    tos = {e["_to"].split("/", 1)[1] for e in edges}
+    assert tos == lit_keys  # every edge resolves to an existing occurrence doc
