@@ -66,6 +66,7 @@ def blocked_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    max_block_rows: int = 10_000,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks: (id_a, id_b, score ≥ threshold).
 
@@ -73,18 +74,36 @@ def blocked_near_dup(
     pair join (each row participates in O(block) pairs, so per-pair work
     drops from dot+2 norms to a single dot). The final value is the same
     dot/(norm_a*norm_b) fold as :func:`cosine`, so results are bit-identical
-    to the unoptimized form."""
+    to the unoptimized form.
+
+    Hot-block salting: the within-block pair join is O(n²) in the largest
+    block, so a block with n rows is split into ``S = ceil(n /
+    max_block_rows)`` salt cells. The left side keeps one deterministic salt
+    per row (``xxhash64(id) mod S``); the right side is replicated into all
+    S cells; the join key becomes (blk, salt). Every ordered pair meets in
+    exactly one cell (the left row's), so results are identical to the
+    unsalted join, while per-task pair work is bounded by n²/S ≈
+    n·max_block_rows and a single dominant label spreads across S shuffle
+    partitions instead of one. Blocks under the threshold get S=1 — the
+    plan degenerates to the plain block join."""
     dv = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    sizes = emb.groupBy(F.col(block_col).alias("blk")).agg(
+        F.ceil(F.count("*") / F.lit(max_block_rows)).cast("int").alias("n_salt")
+    )
     a = emb.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
         dv.alias("va"), _norm(F.col(vec_col)).alias("na"),
-    )
+    ).join(sizes, "blk").withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("id_a")), F.col("n_salt")).cast("int")
+    ).drop("n_salt")
     b = emb.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
         dv.alias("vb"), _norm(F.col(vec_col)).alias("nb"),
-    )
+    ).join(sizes, "blk").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
+    ).drop("n_salt")
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

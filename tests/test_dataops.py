@@ -101,6 +101,21 @@ def test_blocked_near_dup_bounds(spark, emb):
         assert r["id_a"] < r["id_b"] and -1.0 <= r["score"] <= 1.0
 
 
+def test_blocked_near_dup_salting_lossless(spark, emb):
+    """Forcing every block to split into many salt cells (max_block_rows=7)
+    must yield the exact same pair set as the unsalted join — the salting
+    only redistributes work."""
+    plain = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in blocked_near_dup(emb, threshold=0.35).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in blocked_near_dup(emb, threshold=0.35, max_block_rows=7).collect()
+    }
+    assert plain == salted and len(plain) > 0
+
+
 def test_textops(spark):
     df = spark.createDataFrame(
         [
