@@ -45,6 +45,35 @@ def crawl_metrics(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def select_sink(spark, merge_sink: str = "auto") -> str:
+    """Pick the micro-batch sink strategy.
+
+    - ``"table"``: real ``MERGE INTO`` against a catalog table — requires an
+      Iceberg/Delta SQL extension in the session (the scale path: the merge
+      is row-level, not O(table) per batch).
+    - ``"parquet-swap"``: plain-parquet staging-swap (the sandbox fallback,
+      O(table) per batch by construction).
+    - ``"auto"``: ``"table"`` when a MERGE-capable extension is configured,
+      else ``"parquet-swap"``.
+    """
+    if merge_sink not in ("auto", "table", "parquet-swap"):
+        raise ValueError(f"unknown merge_sink {merge_sink!r}")
+    exts = ""
+    try:
+        exts = spark.conf.get("spark.sql.extensions") or ""
+    except Exception:
+        pass
+    merge_capable = "Iceberg" in exts or "Delta" in exts
+    if merge_sink == "table" and not merge_capable:
+        raise ValueError(
+            "merge_sink='table' requires an Iceberg or Delta SQL extension "
+            "(spark.sql.extensions); configure a catalog or use 'parquet-swap'"
+        )
+    if merge_sink == "auto":
+        return "table" if merge_capable else "parquet-swap"
+    return merge_sink
+
+
 def stream_pages_to_graph(
     spark,
     pages_stream: DataFrame,
@@ -53,17 +82,23 @@ def stream_pages_to_graph(
     transform: str = "rpt",
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    merge_sink: str = "auto",
+    table_prefix: str | None = None,
 ):
     """Wire a streaming pages DataFrame into incremental graph materialization.
 
     Returns the StreamingQuery. Each micro-batch:
-      pages → extract_triples → rpt/pgt → merge_by_key into parquet tables.
+      pages → extract_triples → rpt/pgt → merge into the graph tables,
+    via ``MERGE INTO`` on ``{table_prefix}_vertices/_edges`` when a
+    MERGE-capable catalog is configured (see :func:`select_sink`), else the
+    crash-safe parquet staging-swap under ``base_dir``.
     """
     from sparkrdf.extract.pipeline import extract_triples
     from sparkrdf.io import merge_by_key, write_table
     from sparkrdf.pgt import pgt_transform
     from sparkrdf.rpt import rpt_transform
 
+    sink = select_sink(spark, merge_sink)
     v_path = os.path.join(base_dir, "vertices")
     e_path = os.path.join(base_dir, "edges")
 
@@ -74,6 +109,46 @@ def stream_pages_to_graph(
         hpath = jvm.org.apache.hadoop.fs.Path(path_str)
         return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
+    def _rename(fs, src, dst):
+        # HDFS-style FileSystems report failure by RETURNING false, not
+        # raising — an unchecked rename here is silent data loss.
+        if not fs.rename(src, dst):
+            raise IOError(f"fs.rename({src}, {dst}) failed")
+
+    def _restore_backup_if_crashed(path: str):
+        """Crash recovery: if a previous run died between rename(path→backup)
+        and rename(staging→path), the table path is missing but a
+        ``.replaced-N`` backup survives — rename the newest one back before
+        merging, otherwise the replayed batch would silently REPLACE the
+        whole accumulated table (merged = new)."""
+        fs, hpath, _ = _fs(path)
+        if fs.exists(hpath):
+            return
+        parent, base = hpath.getParent(), hpath.getName()
+        if parent is None or not fs.exists(parent):
+            return
+        backups = [
+            st.getPath()
+            for st in fs.listStatus(parent)
+            if st.getPath().getName().startswith(base + ".replaced-")
+        ]
+        if backups:
+            newest = max(
+                backups, key=lambda p: int(p.getName().rsplit("-", 1)[1])
+            )
+            _rename(fs, newest, hpath)
+
+    def _merge_into_table(new: DataFrame, key: str):
+        tbl = f"{table_prefix or name}_{key}"
+        view = f"_sparkrdf_batch_{key}"
+        new.createOrReplaceTempView(view)
+        spark.sql(
+            f"MERGE INTO {tbl} t USING {view} s "
+            "ON t.collection = s.collection AND t._key = s._key "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
@@ -82,14 +157,18 @@ def stream_pages_to_graph(
             rpt_transform(stmts, name) if transform == "rpt" else pgt_transform(stmts, name)
         )
         for key, path in (("vertices", v_path), ("edges", e_path)):
+            new = graph[key].localCheckpoint(eager=True)
+            if sink == "table":
+                _merge_into_table(new, key)
+                continue
             # Merge into a STAGING path first, then swap: the current table
             # stays intact for the whole (re)computation, so a lost executor
             # mid-write can never recompute against a half-overwritten input.
-            # (A true MERGE INTO sink — Iceberg/Delta — replaces this whole
-            # dance when a catalog is configured; this is the plain-parquet
-            # sandbox equivalent, O(table) per batch by construction.)
+            # (MERGE INTO — sink == "table" — replaces this whole dance when
+            # a catalog is configured; this is the plain-parquet sandbox
+            # equivalent, O(table) per batch by construction.)
+            _restore_backup_if_crashed(path)
             fs, hpath, jvm = _fs(path)
-            new = graph[key].localCheckpoint(eager=True)
             if fs.exists(hpath):
                 old = spark.read.parquet(path)
                 merged = merge_by_key(old, new)
@@ -103,8 +182,8 @@ def stream_pages_to_graph(
             if fs.exists(hbackup):
                 fs.delete(hbackup, True)
             if fs.exists(hpath):
-                fs.rename(hpath, hbackup)
-            fs.rename(hstaging, hpath)
+                _rename(fs, hpath, hbackup)
+            _rename(fs, hstaging, hpath)
             if fs.exists(hbackup):
                 fs.delete(hbackup, True)
 
@@ -133,28 +212,37 @@ def stream_dedup_first_seen(docs_stream: DataFrame, fp_col: str = "fp"):
     fingerprint, state is hash-partitioned across executors exactly like a
     batch groupBy — no skew beyond the dedup key's own distribution, and the
     state store scales horizontally with executor count.
+
+    ``doc_id`` may be any orderable type — integral ids keep numeric min,
+    string ids (e.g. the pages pipeline's urls) resolve ties by
+    lexicographic min; the output/state schemas follow the input's type.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    id_type = dict(docs_stream.dtypes)["doc_id"]
+    # numpy scalars don't round-trip through the state store encoder —
+    # coerce to the matching Python scalar
+    conv = str if id_type in ("string", "varchar") else int
 
     def fn(key, pdfs, state: GroupState):
         n_new = 0
         first_id = None
         for pdf in pdfs:
             n_new += len(pdf)
-            batch_min = int(pdf["doc_id"].min())
+            batch_min = conv(pdf["doc_id"].min())
             first_id = batch_min if first_id is None else min(first_id, batch_min)
         if state.exists:
             prev_first, prev_n = state.get
-            state.update((int(prev_first), int(prev_n + n_new)))
+            state.update((conv(prev_first), int(prev_n + n_new)))
             yield pd.DataFrame(
-                {"fp": [key[0]], "first_doc_id": [int(prev_first)],
+                {"fp": [key[0]], "first_doc_id": [conv(prev_first)],
                  "n_dups_so_far": [int(prev_n + n_new - 1)]}
             )
         else:
-            state.update((int(first_id), int(n_new)))
+            state.update((conv(first_id), int(n_new)))
             yield pd.DataFrame(
-                {"fp": [key[0]], "first_doc_id": [int(first_id)],
+                {"fp": [key[0]], "first_doc_id": [conv(first_id)],
                  "n_dups_so_far": [int(n_new - 1)]}
             )
 
@@ -163,8 +251,8 @@ def stream_dedup_first_seen(docs_stream: DataFrame, fp_col: str = "fp"):
         .groupBy("fp")
         .applyInPandasWithState(
             fn,
-            outputStructType="fp string, first_doc_id long, n_dups_so_far long",
-            stateStructType="first_doc_id long, n_seen long",
+            outputStructType=f"fp string, first_doc_id {id_type}, n_dups_so_far long",
+            stateStructType=f"first_doc_id {id_type}, n_seen long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

@@ -134,3 +134,112 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     ]
     assert len(rows) == 1
     assert rows[0]["first_doc_id"] == 2 and rows[0]["n_dups_so_far"] == 2
+
+
+def test_sink_selection(spark):
+    """select_sink: auto falls back to parquet-swap without a MERGE-capable
+    catalog; 'table' without one is a hard error, not silent data loss."""
+    import pytest
+
+    from sparkrdf.streaming import select_sink
+
+    assert select_sink(spark, "auto") == "parquet-swap"
+    assert select_sink(spark, "parquet-swap") == "parquet-swap"
+    with pytest.raises(ValueError, match="Iceberg or Delta"):
+        select_sink(spark, "table")
+    with pytest.raises(ValueError, match="unknown merge_sink"):
+        select_sink(spark, "bogus")
+
+
+def test_stream_recovers_from_crashed_swap(spark, tmp_path):
+    """Crash window between rename(table→backup) and rename(staging→table):
+    the table path is gone but a .replaced-N backup survives. The next batch
+    must restore the backup before merging — without that, the replayed
+    batch silently replaces the whole accumulated table."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    base = str(tmp_path / "graph")
+    synthesize_pages(spark, 40).write.parquet(landing + "/b1")
+    schema = spark.read.parquet(landing + "/b1").schema
+
+    q = stream_pages_to_graph(
+        spark,
+        spark.readStream.schema(schema).parquet(landing + "/b1"),
+        base,
+        name="CR",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        trigger_once=True,
+    )
+    q.awaitTermination(300)
+    n_v = spark.read.parquet(base + "/vertices").count()
+    n_e = spark.read.parquet(base + "/edges").count()
+
+    # simulate the mid-swap crash: vertices dir renamed to backup, no table
+    os.rename(base + "/vertices", base + "/vertices.replaced-7")
+
+    # a later batch with a strict subset of the pages (rows 0-9 of the same
+    # synthesis → same keys, no new ones) replays; if recovery failed, the
+    # vertices table would shrink to just this batch's keys
+    synthesize_pages(spark, 10).write.parquet(landing + "/b2")
+    q2 = stream_pages_to_graph(
+        spark,
+        spark.readStream.schema(schema).parquet(landing + "/b2"),
+        base,
+        name="CR",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        trigger_once=True,
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(base + "/vertices").count() == n_v
+    assert spark.read.parquet(base + "/edges").count() == n_e
+
+
+def test_stream_dedup_string_doc_ids(spark, tmp_path):
+    """String doc ids (the pages pipeline's natural key — urls) flow through
+    the stateful dedup; min is lexicographic."""
+    import pyspark.sql.functions as F
+
+    from sparkrdf.streaming import stream_dedup_first_seen
+
+    src = tmp_path / "sdocs"
+    src.mkdir()
+    out_dir = str(tmp_path / "sout")
+    spark.createDataFrame(
+        [("a", "https://x.org/p2"), ("a", "https://x.org/p10")],
+        "fp string, doc_id string",
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [("a", "https://x.org/p1")], "fp string, doc_id string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("fp string, doc_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_dedup_first_seen(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["fp"], r["batch_id"]): r for r in spark.read.parquet(out_dir).collect()
+    }
+    # lexicographic min within batch 1: p10 < p2
+    assert got[("a", 0)]["first_doc_id"] == "https://x.org/p10"
+    assert got[("a", 0)]["n_dups_so_far"] == 1
+    # state pins the first batch's winner; later lexicographically-smaller
+    # ids do NOT retroactively change it (first-seen semantics)
+    assert got[("a", 1)]["first_doc_id"] == "https://x.org/p10"
+    assert got[("a", 1)]["n_dups_so_far"] == 2
