@@ -33,7 +33,7 @@ from sparkrdf.hashing import register_udfs
 from sparkrdf.lists import assemble_lists, split_list_statements
 from sparkrdf.mapping import collection_mapping, extract_adb_col_statements
 from sparkrdf.reify import flatten_reified
-from sparkrdf.rpt import extract_adb_key_statements
+from sparkrdf.rpt import GraphTables, extract_adb_key_statements
 
 _BLACKLIST_TYPES = [T.RDF_NS + "List", T.RDF_NS + "Bag", T.RDF_NS + "Seq"]
 
@@ -402,11 +402,14 @@ def pgt_transform(
         F.sort_array(F.collect_set("o_col")).alias("to_cols"),
     )
 
-    return {
-        "vertices": vertices,
-        "edges": edges.drop("s_col", "o_col"),
-        "edge_definitions": edge_definitions,
-    }
+    return GraphTables(
+        {
+            "vertices": vertices,
+            "edges": edges.drop("s_col", "o_col"),
+            "edge_definitions": edge_definitions,
+        },
+        cached=[keyed],
+    )
 
 
 def lpg_transform(

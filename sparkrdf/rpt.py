@@ -49,6 +49,32 @@ EDGE_COLUMNS = [
 ]
 
 
+class GraphTables(dict):
+    """The output of a transform: a plain dict of DataFrames
+    (``vertices`` / ``edges`` / ``edge_definitions``) that also owns the
+    shared cached intermediate both outputs derive from. Call
+    :meth:`release` (or use as a context manager) once the outputs are
+    materialized — in a long-lived session, un-released caches accumulate
+    executor storage (each transform call pins one keyed-statement block
+    set). ``spark.catalog.clearCache()`` also works as a blunt fallback."""
+
+    def __init__(self, tables, cached=()):
+        super().__init__(tables)
+        self._cached = list(cached)
+
+    def release(self) -> None:
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+        return False
+
+
 def extract_adb_key_statements(stmts: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split ``? adb:key "..."`` controller statements out of the data graph.
 
@@ -345,4 +371,7 @@ def rpt_transform(
         ],
         "edge_collection string, from_cols array<string>, to_cols array<string>",
     )
-    return {"vertices": vertices, "edges": edges, "edge_definitions": edge_defs}
+    return GraphTables(
+        {"vertices": vertices, "edges": edges, "edge_definitions": edge_defs},
+        cached=[keyed],
+    )

@@ -53,6 +53,17 @@ def ensure_pyfiles(spark) -> None:
     _SHIPPED.add(app)
 
 
+def _shm_has_headroom(min_free_bytes: int = 8 << 30) -> bool:
+    """tmpfs is capped (~50% RAM): redirecting shuffle/spill there without a
+    capacity check trades disk-speed wins for no-space-left failures. Only
+    use /dev/shm when it has real headroom; SPARKRDF_NO_SHM=1 opts out."""
+    try:
+        st = os.statvfs("/dev/shm")
+        return st.f_bavail * st.f_frsize >= min_free_bytes
+    except OSError:
+        return False
+
+
 def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_conf):
     """Opinionated local/session builder with the scale-oriented defaults:
     AQE (incl. skew-join splitting), sane shuffle partitioning, Arrow enabled.
@@ -81,7 +92,9 @@ def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_con
     if (
         is_local
         and "spark.local.dir" not in extra_conf
+        and not os.environ.get("SPARKRDF_NO_SHM")
         and os.access("/dev/shm", os.W_OK)
+        and _shm_has_headroom()
     ):
         shm = "/dev/shm/sparkrdf-local"
         os.makedirs(shm, exist_ok=True)

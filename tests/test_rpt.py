@@ -260,3 +260,22 @@ ex:c ex:nick "Sam" .
     lit_keys = {r["_key"] for r in lits_f}
     tos = {e["_to"].split("/", 1)[1] for e in edges}
     assert tos == lit_keys  # every edge resolves to an existing occurrence doc
+
+
+def test_graph_tables_release(spark):
+    """rpt_transform caches a shared intermediate; GraphTables.release()
+    must drop it so long-lived sessions don't accumulate executor storage."""
+    stmts = _load(spark, "cases/1.ttl")
+    out = rpt_transform(stmts, "REL")
+    cached = out._cached[0]
+    out["vertices"].count()  # materialize -> cache populated
+    assert cached.is_cached
+    out.release()
+    assert not cached.is_cached and out._cached == []
+
+    # context-manager form
+    with rpt_transform(stmts, "REL2") as out2:
+        out2["edges"].count()
+        handle = out2._cached[0]
+        assert handle.is_cached
+    assert not handle.is_cached
