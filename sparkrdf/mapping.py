@@ -55,32 +55,50 @@ def extract_adb_col_statements(stmts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _reified_spo(stmts: DataFrame) -> DataFrame:
-    """(x, rs, rs_kind, rp, ro, ro_kind) for every reified statement node x."""
+    """(x, rs, rs_kind, rp, ro, ro_kind) for every reified statement node x.
+
+    A well-formed reification has exactly one rdf:subject/predicate/object
+    each; when a node carries several (case 14_3.trig — a file even the
+    reference's own suite skips, and whose list variant crashes the
+    reference), the MINIMUM (struct-ordered: lexical value first) wins, so
+    re-runs and resumed imports pick the same component every time —
+    ``dropDuplicates`` here would flatten to a different edge per run. The
+    losing component statements are reification plumbing and are removed
+    with the winners (flatten_reified drops ALL rdf:subject/predicate/object
+    rows of a flattened x)."""
     xs = (
         stmts.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT))
-        .select(F.col("s").alias("x"), F.col("s_kind").alias("x_kind"), "sub_graph")
-        .dropDuplicates(["x"])
+        .groupBy(F.col("s").alias("x"), F.col("s_kind").alias("x_kind"))
+        .agg(F.min("sub_graph").alias("sub_graph"))
     )
     subj = (
         stmts.filter(F.col("p") == T.RDF_SUBJECT)
-        .select(F.col("s").alias("x"), F.col("o").alias("rs"), F.col("o_kind").alias("rs_kind"))
-        .dropDuplicates(["x"])
+        .groupBy(F.col("s").alias("x"))
+        .agg(F.min(F.struct(F.col("o"), F.col("o_kind"))).alias("m"))
+        .select("x", F.col("m.o").alias("rs"), F.col("m.o_kind").alias("rs_kind"))
     )
     pred = (
         stmts.filter(F.col("p") == T.RDF_PREDICATE)
-        .select(F.col("s").alias("x"), F.col("o").alias("rp"))
-        .dropDuplicates(["x"])
+        .groupBy(F.col("s").alias("x"))
+        .agg(F.min("o").alias("rp"))
     )
     obj = (
         stmts.filter(F.col("p") == T.RDF_OBJECT)
-        .select(
-            F.col("s").alias("x"),
-            F.col("o").alias("ro"),
-            F.col("o_kind").alias("ro_kind"),
-            F.col("o_lang").alias("ro_lang"),
-            F.col("o_datatype").alias("ro_datatype"),
+        .groupBy(F.col("s").alias("x"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("o"), F.col("o_kind"), F.col("o_lang"), F.col("o_datatype")
+                )
+            ).alias("m")
         )
-        .dropDuplicates(["x"])
+        .select(
+            "x",
+            F.col("m.o").alias("ro"),
+            F.col("m.o_kind").alias("ro_kind"),
+            F.col("m.o_lang").alias("ro_lang"),
+            F.col("m.o_datatype").alias("ro_datatype"),
+        )
     )
     return xs.join(subj, "x", "left").join(pred, "x", "left").join(obj, "x", "left")
 

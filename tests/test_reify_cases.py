@@ -361,3 +361,79 @@ def test_pgt_case_15_4(pgt_case):
     assert e[jsaid]["_to"] == f"likes/{m05}"
     assert _props(e[jsaid])["foo"] == "bar"
     assert len(e) == 4
+
+
+def test_rpt_case_14_3(rpt_case):
+    """cases/14_3.trig — the one corpus file the reference's own suite skips
+    (its list variant is commented '# BREAKS ArangoRDF'). Named-graph +
+    multi-valued reification mix: a reified node with TWO rdf:object values
+    flattens to the struct-MINIMUM component ("Info_Page" < "aau_page" —
+    deterministic by _reified_spo, not an arbitrary dropDuplicates pick);
+    the losing rdf:object statement is reification plumbing and vanishes."""
+    name, stmts, out = rpt_case("cases/14_3.trig")
+    v, e = _verts(out), _edges(out)
+    g1, g2 = EX + "Graph1", EX + "Graph2"
+    info, aau = farmhash_key("Info_Page"), farmhash_key("aau_page")
+    bar, bar2 = farmhash_key("bar"), farmhash_key("bar2")
+    b1 = _bnode_of(stmts, EX + "foo", "bar")
+    b2 = _bnode_of(stmts, RDF_NS + "subject", EX + "college_page_3")
+    b3 = _bnode_of(stmts, RDF_NS + "subject", EX + "college_page_4")
+
+    # reified subjects emit no vertex docs; all terms incl. the Graph1-only
+    # "aau_page" literal do
+    assert set(v) == {
+        k("college_page"), k("college_page_3"), k("college_page_4"),
+        info, aau, bar, bar2,
+    }
+    assert len(e) == 7
+
+    # plain Graph1 statements keep their named graph
+    e1 = e[farmhash_key(f"{k('college_page')}-{k('subject')}-{info}")]
+    e2 = e[farmhash_key(f"{k('college_page')}-{k('subject')}-{aau}")]
+    assert e1["_sub_graph_uri"] == e2["_sub_graph_uri"] == g1
+
+    # b1 flattens to (college_page, link, college_page_3) in Graph2, keyed by
+    # the reified node; its foo metadata hangs off the Statement edge doc
+    assert e[b1]["_uri"] == EX + "link"
+    assert e[b1]["_from"] == f"{name}_URIRef/{k('college_page')}"
+    assert e[b1]["_to"] == f"{name}_URIRef/{k('college_page_3')}"
+    assert e[b1]["_sub_graph_uri"] == g2
+    for lit in (bar, bar2):
+        foo = e[farmhash_key(f"{b1}-{k('foo')}-{lit}")]
+        assert foo["_from"] == f"{name}_Statement/{b1}"
+        assert foo["_sub_graph_uri"] == g2
+
+    # b2: single-valued default-graph reification
+    assert e[b2]["_to"] == f"{name}_Literal/{info}"
+    assert e[b2]["_sub_graph_uri"] is None
+
+    # b3: multi-valued rdf:object — deterministic minimum wins, and NO edge
+    # to the losing "aau_page" object exists anywhere off college_page_4
+    assert e[b3]["_from"] == f"{name}_URIRef/{k('college_page_4')}"
+    assert e[b3]["_to"] == f"{name}_Literal/{info}"
+    assert not any(
+        r["_from"].endswith(k("college_page_4")) and r["_to"].endswith(aau)
+        for r in e.values()
+    )
+
+
+def test_pgt_case_14_3(pgt_case):
+    """PGT over 14_3: literal reifications collapse into vertex attributes
+    (multi-valued pick deterministic), the URIRef reification becomes the one
+    edge carrying its statement metadata as properties."""
+    name, stmts, out = pgt_case("cases/14_3.trig")
+    docs = {r["_uri"]: r for r in out["vertices"].collect() if r["_uri"]}
+    es = out["edges"].collect()
+
+    assert json.loads(docs[EX + "college_page"]["properties"])["subject"] == [
+        "Info_Page", "aau_page",
+    ]
+    assert json.loads(docs[EX + "college_page_3"]["properties"])["subject"] == "Info_Page"
+    # multi-valued rdf:object: only the deterministic winner lands
+    assert json.loads(docs[EX + "college_page_4"]["properties"])["subject"] == "Info_Page"
+
+    assert len(es) == 1
+    edge = es[0]
+    assert edge["_label"] == "link"
+    assert edge["_sub_graph_uri"] == EX + "Graph2"
+    assert json.loads(edge["properties"])["foo"] == ["bar", "bar2"]
