@@ -5,8 +5,10 @@
 SQL-expressible, so KG queries either (a) use ``adb:key`` overrides for
 variable subjects (``d{doc_id}``) and bake the *fixed* gazetteer constants
 into the oracle strings at generation time, or (b) project key columns away.
-Queries whose semantics are not SQL-expressible (the binary-html pages
-pipeline, IVF probing) have no oracle entry → driver records rows-only.
+Queries whose semantics are not SQL-expressible (IVF probing, binary image
+decode) have no oracle entry → driver records rows-only; the pages pipeline
+IS oracled by materializing its synthesized input to parquet and running
+both engines over the same file (see ``q_kg_pages_pipeline``).
 """
 
 from __future__ import annotations

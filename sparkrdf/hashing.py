@@ -470,12 +470,7 @@ def edge_key(s_key: str, p_key: str, o_key: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def register_udfs():
-    """Return (farmhash_udf, edge_key_udf) pandas UDFs (lazy Spark import).
-
-    Ships the package to executors first (see sparkrdf.session.ensure_pyfiles)
-    so the UDFs resolve when the driver wasn't launched with --py-files.
-    """
+def _make_udfs():
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
@@ -499,6 +494,27 @@ def register_udfs():
         out[mask] = uniq_strs[codes]
         return out
 
+    @pandas_udf("s_key string, p_key string, o_key string")
+    def term_keys_udf(s: pd.Series, p: pd.Series, o: pd.Series) -> pd.DataFrame:
+        # All three term columns of a statement batch hashed in ONE UDF
+        # invocation: a single factorize across the concatenation dedups
+        # across columns too (a URI appearing as subject in one row and
+        # object in another hashes once), and the per-batch Python overhead
+        # (worker dispatch, factorize setup) is paid once instead of three
+        # times. At the bench scale this removed two-thirds of the
+        # ArrowEvalPython invocations in the RPT hot path.
+        n = len(s)
+        allv = pd.concat([s, p, o], ignore_index=True)
+        mask = allv.notna().to_numpy()
+        codes, uniques = pd.factorize(allv[mask].to_numpy())
+        vals = fingerprint64_many(list(uniques))
+        uniq_strs = np.array([str(v) for v in vals], dtype=object)
+        out = np.full(3 * n, None, dtype=object)
+        out[mask] = uniq_strs[codes]
+        return pd.DataFrame(
+            {"s_key": out[:n], "p_key": out[n : 2 * n], "o_key": out[2 * n :]}
+        )
+
     @pandas_udf("string")
     def edge_key_udf(sk: pd.Series, pk: pd.Series, ok: pd.Series) -> pd.Series:
         mask = sk.notna() & pk.notna() & ok.notna()
@@ -510,4 +526,20 @@ def register_udfs():
         out[mask] = uniq_strs[codes]
         return out
 
-    return farmhash_udf, edge_key_udf
+    return farmhash_udf, edge_key_udf, term_keys_udf
+
+
+def register_udfs():
+    """Return (farmhash_udf, edge_key_udf) pandas UDFs (lazy Spark import).
+
+    Ships the package to executors first (see sparkrdf.session.ensure_pyfiles)
+    so the UDFs resolve when the driver wasn't launched with --py-files.
+    """
+    return _make_udfs()[:2]
+
+
+def register_term_keys_udf():
+    """The struct-returning (s_key, p_key, o_key) batch hasher — one
+    ArrowEvalPython invocation per statement batch instead of three (see
+    ``term_keys_udf`` in ``_make_udfs``)."""
+    return _make_udfs()[2]

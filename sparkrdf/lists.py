@@ -180,7 +180,10 @@ def _assign_roots(list_data: DataFrame, heads: DataFrame, jumps: int = 8) -> Dat
     # each jump references ptr TWICE — truncate lineage every iteration or the
     # logical plan doubles per jump and analysis alone OOMs the driver
     ptr = ptr.localCheckpoint(eager=True)
-    if child_parent.isEmpty():  # flat lists only — no jumping needed
+    # count(), not isEmpty(): isEmpty is CollectLimit — on a no-match stream
+    # it scans everything anyway but in 1→4→16-partition incremental jobs (a
+    # serial phase at high core counts); the aggregate scans once in parallel
+    if child_parent.count() == 0:  # flat lists only — no jumping needed
         return ptr.select("node", F.col("anc").alias("root"))
     for _ in range(jumps):
         ptr = (
@@ -205,7 +208,9 @@ def assemble_lists(list_data: DataFrame, heads: DataFrame) -> tuple[DataFrame, D
     become vertices + edges from the list-owning subject.
     """
     spark = list_data.sparkSession
-    if list_data.isEmpty():
+    # full-parallel emptiness probe (see pointer-jumping note above): the
+    # common web corpus has zero RDF lists and must not pay a serial scan
+    if list_data.count() == 0:
         empty_frag = spark.createDataFrame([], "root string, fragment string")
         empty_mem = spark.createDataFrame([], "root string, member string, member_kind string")
         return empty_frag, empty_mem

@@ -136,13 +136,26 @@ def pgt_transform(
     )
     work = normal.unionByName(member_stmts)
 
-    # 6. term resolution: keys (farmhash + adb:key override) and collections
-    keyed = work
-    keyed = keyed.withColumn("s_key0", farmhash_udf(F.col("s")))
-    keyed = keyed.withColumn("p_key", farmhash_udf(F.col("p")))
-    keyed = keyed.withColumn(
-        "o_key0",
-        F.when(F.col("o_kind") != "Literal", farmhash_udf(F.col("o"))),
+    # 6. term resolution: keys (farmhash + adb:key override) and collections.
+    # One struct UDF call hashes all three term columns per batch (literal
+    # objects are nulled before the UDF — PGT collapses them into vertex
+    # attributes, so their keys are never needed and never computed).
+    from sparkrdf.hashing import register_term_keys_udf
+
+    term_keys_udf = register_term_keys_udf()
+    keyed = work.withColumn(
+        "_tk",
+        term_keys_udf(
+            F.col("s"),
+            F.col("p"),
+            F.when(F.col("o_kind") != "Literal", F.col("o")),
+        ),
+    )
+    keyed = (
+        keyed.withColumn("s_key0", F.col("_tk.s_key"))
+        .withColumn("p_key", F.col("_tk.p_key"))
+        .withColumn("o_key0", F.col("_tk.o_key"))
+        .drop("_tk")
     )
     kb = keys_df
     s_over = kb.select(F.col("id").alias("s"), F.col("custom_key").alias("s_custom"))

@@ -45,11 +45,18 @@ def flatten_reified(
 
     # Fast path: a web-extraction corpus usually has ZERO reified statements,
     # and the flatten pipeline below costs ~6 passes/joins over the statement
-    # stream. One limit(1) probe (early-terminating scan) skips all of it.
+    # stream. Probe with a full-parallelism aggregate, NOT limit(1): when no
+    # row matches, CollectLimit scans the entire input anyway but does it in
+    # incremental jobs of 1 → 4 → 16 partitions — on an uncached upstream
+    # (the usual call pattern: extract_triples(...).persist() with no action
+    # yet) that serializes the whole extraction materialization onto a
+    # handful of tasks and was the single largest Amdahl term in the N→4N
+    # scaling runs. The aggregate pays one full parallel pass, which the
+    # persisted upstream absorbs as its materialization pass.
     has_reified = (
-        stmts.filter((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT))
-        .limit(1)
-        .count()
+        stmts.filter(
+            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT)
+        ).count()
         > 0
     )
     if not has_reified:

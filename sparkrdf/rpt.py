@@ -112,13 +112,18 @@ def with_term_keys(
     The farmhash UDF is Arrow-batched and memoized per executor, so the
     Zipf-heavy terms (rdf:type, hot predicates) cost one hash per batch.
     """
+    from sparkrdf.hashing import register_term_keys_udf
+
     farmhash_udf, _ = register_udfs()
-    out = stmts.withColumn("s_key", farmhash_udf(F.col("s"))).withColumn(
-        "p_key", farmhash_udf(F.col("p"))
+    term_keys_udf = register_term_keys_udf()
+    out = (
+        stmts.withColumn("_tk", term_keys_udf(F.col("s"), F.col("p"), F.col("o")))
+        .withColumn("s_key", F.col("_tk.s_key"))
+        .withColumn("p_key", F.col("_tk.p_key"))
+        .withColumn("o_key", F.col("_tk.o_key"))
+        .drop("_tk")
     )
-    if use_hashed_literals_as_keys:
-        out = out.withColumn("o_key", farmhash_udf(F.col("o")))
-    else:
+    if not use_hashed_literals_as_keys:
         occurrence = F.concat_ws(
             "-",
             F.col("s_key"),
@@ -134,7 +139,7 @@ def with_term_keys(
             "o_key",
             F.when(
                 F.col("o_kind") == "Literal", farmhash_udf(occurrence)
-            ).otherwise(farmhash_udf(F.col("o"))),
+            ).otherwise(F.col("o_key")),
         )
     if keys_df is not None:
         # no broadcast hint: adb:key overrides are unbounded (the flagship

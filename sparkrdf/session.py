@@ -78,6 +78,11 @@ def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_con
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the per-batch Python handoff (worker
+        # dispatch, factorize setup) in the hash/NER UDFs — the measured
+        # residual in the 2→8-core scaling gap (BENCH.md); 64k string rows
+        # is still only ~10-20 MB per batch
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 8)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
