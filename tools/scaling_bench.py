@@ -31,6 +31,11 @@ sys.path.insert(0, {repo!r})
 from sparkrdf.session import get_spark
 spark = get_spark("scaling", master="local[{cpus}]",
                   **{{"spark.sql.shuffle.partitions": "{parts}",
+                      # the cached pages+statements tables reach several GB —
+                      # the 8g default heap GC-thrashes and at 32 cores
+                      # collapses entirely (measured: local[32] as slow as
+                      # local[8] with 60%+ of time in GC/eviction)
+                      "spark.driver.memory": "48g",
                       # GC pools auto-size to the MACHINE's cores; under
                       # taskset pinning that oversubscribes the low-core run
                       # and skews the ratio — size them to the pinned set
@@ -88,7 +93,12 @@ def run_once(cpus: int, n_pages: int) -> dict:
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     r = json.loads(line)
     r["steal_jiffies"] = steal
-    r["steal_pct_of_run"] = round(100.0 * steal / 100.0 / max(r["sec"], 1e-9), 2)
+    # % of the PINNED capacity lost to the hypervisor: steal jiffies are
+    # machine-wide steal-seconds×100 (USER_HZ), so normalize by sec×cpus —
+    # a raw per-second number made 2-core and 32-core runs incomparable
+    r["steal_pct_of_run"] = round(
+        100.0 * (steal / 100.0) / (max(r["sec"], 1e-9) * cpus), 2
+    )
     return r
 
 
@@ -96,18 +106,37 @@ def main():
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 800_000
     pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    # clean-window hunting: a pair only counts when BOTH sides saw CPU steal
+    # below this % of the run (4th arg; 0 disables). Contaminated pairs are
+    # logged (pair: "skip") and retried, up to max_attempts total runs —
+    # steal on either side biases the ratio in whichever direction the noise
+    # landed, so filtering beats averaging.
+    max_steal = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    max_attempts = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * pairs
     n_high = 4 * n_low
 
     rows = []
-    for i in range(pairs):
+    attempts = 0
+    while len(rows) < pairs and attempts < max_attempts:
+        attempts += 1
         lo = run_once(n_low, n_pages)
         hi = run_once(n_high, n_pages)
         eff = (lo["sec"] / hi["sec"]) / 4.0
-        rows.append({"pair": i + 1, "lo": lo, "hi": hi, "eff": round(eff, 3)})
-        print(json.dumps({"pair": i + 1, "sec_low": round(lo["sec"], 2),
+        clean = max_steal <= 0 or (
+            lo["steal_pct_of_run"] <= max_steal
+            and hi["steal_pct_of_run"] <= max_steal
+        )
+        print(json.dumps({"pair": len(rows) + 1 if clean else "skip",
+                          "sec_low": round(lo["sec"], 2),
                           "sec_high": round(hi["sec"], 2), "eff": round(eff, 3),
                           "steal_low": lo["steal_pct_of_run"],
                           "steal_high": hi["steal_pct_of_run"]}), flush=True)
+        if clean:
+            rows.append({"pair": len(rows) + 1, "lo": lo, "hi": hi,
+                         "eff": round(eff, 3)})
+    if not rows:
+        print(json.dumps({"error": "no clean pair found", "attempts": attempts}))
+        return
 
     effs = sorted(r["eff"] for r in rows)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
