@@ -264,6 +264,15 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: distributed hash-to-min connected components over
+    the verified Jaccard pair graph. Oracle: DuckDB recursive-CTE transitive
+    closure — an independent definition of connectivity."""
+    from sparkrdf.dedupe import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash_groups(_docs(spark, sf_dir)).select(
         "sig", F.col("n").cast("long").alias("n"), "keep_id"
@@ -436,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "text_stats": q_text_stats,
@@ -489,7 +499,20 @@ def _minhash_bands_sql() -> str:
         parts.append(
             f"SELECT doc_id AS id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
         )
-    return "WITH " + _minhash_sig_ctes() + "\n" + "\nUNION ALL\n".join(parts)
+    return "WITH " + _minhash_sig_ctes() + "\n" + _minhash_bands_union()
+
+
+def _minhash_bands_union() -> str:
+    """The band selects alone (FROM sig) — for flattened CTE composition
+    where a nested WITH is not allowed (e.g. under WITH RECURSIVE)."""
+    r = MINHASH_K // MINHASH_BANDS
+    parts = []
+    for b in range(MINHASH_BANDS):
+        cols = " || '-' || ".join(f"s{b * r + i}::VARCHAR" for i in range(r))
+        parts.append(
+            f"SELECT doc_id AS id, {b} AS band_idx, md5({cols}) AS band_hash FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
 
 
 def _simhash_bits_expr() -> str:
@@ -775,8 +798,8 @@ FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_ha
 WHERE a.id < b.id
 """
 
-    sql["dedup_ngram_jaccard"] = f"""
-WITH bands AS ({_minhash_bands_sql()}),
+    jaccard_ctes = f"""{_minhash_sig_ctes()},
+bands AS ({_minhash_bands_union()}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -791,8 +814,29 @@ j AS (
   SELECT c.id_a, c.id_b,
     ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
       (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))::DOUBLE, 6) AS jaccard
-  FROM cand c JOIN sh2 sa ON c.id_a = sa.doc_id JOIN sh2 sb ON c.id_b = sb.doc_id)
+  FROM cand c JOIN sh2 sa ON c.id_a = sa.doc_id JOIN sh2 sb ON c.id_b = sb.doc_id)"""
+
+    sql["dedup_ngram_jaccard"] = f"""
+WITH {jaccard_ctes}
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+    # component = min reachable id; the recursive walk IS the independent
+    # definition of connectivity, so a hash match proves the distributed
+    # hash-to-min loop computes true connected components
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {jaccard_ctes},
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.node),
+comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node),
+sizes AS (SELECT canonical, COUNT(*)::BIGINT AS n FROM comp GROUP BY canonical)
+SELECT c.node AS doc_id, c.canonical AS canonical_id, s.n AS cluster_size
+FROM comp c JOIN sizes s USING (canonical)
 """
 
     sql["dedup_simhash"] = _simhash_sql()

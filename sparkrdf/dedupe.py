@@ -249,3 +249,101 @@ def simhash_near_pairs(
         pairs.select("id_a", "id_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 16,
+) -> DataFrame:
+    """Connected components over an undirected pair list →
+    (id, component) where component = MIN node id reachable from ``id``.
+
+    Label-propagation to the neighborhood minimum with doubling reach
+    ("hash-to-min"): each round every node adopts the smallest label among
+    itself and its neighbors, then labels are propagated transitively via a
+    label→label self-join — converging in O(log d) rounds for diameter d
+    (near-dup clusters are shallow: d rarely exceeds a handful, and
+    ``max_iter`` = 16 covers d up to 2^16). Each round is one shuffle keyed
+    by node id; lineage is truncated per round (``localCheckpoint``) so the
+    plan stays flat. The classic alternative — driver-side union-find — is a
+    ``collect()`` and caps at driver memory; this stays distributed.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    # start: every node labels itself
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .dropDuplicates()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighborhood minimum: min(own label, labels of all neighbors)
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "lbl")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            # barrier BEFORE the self-join: joining a plan with a projection
+            # of itself trips attribute-resolution ambiguity, and the plan
+            # would double per round anyway
+            .localCheckpoint(eager=True)
+        )
+        # pointer-jump: node -> lbl -> lbl(lbl) (label table joined on itself)
+        jumped = (
+            new_labels.join(
+                new_labels.select(
+                    F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+                ),
+                "lbl",
+                "left",
+            )
+            .select("node", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no label changed this round
+        changed = (
+            jumped.alias("n")
+            .join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over the verified
+    n-gram-Jaccard pair graph → (doc_id, canonical_id, cluster_size), one
+    row per clustered document, canonical = min doc id of the component.
+
+    The two-stage shape at 100 TB: LSH candidates → exact Jaccard verify →
+    component clustering over the (tiny) surviving pair set; only pairs ever
+    shuffle in the clustering loop, never documents."""
+    pairs = ngram_jaccard_pairs(docs, id_col, text_col, threshold)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("canonical_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -138,3 +138,37 @@ def test_textops(spark):
     assert out["de-ish"]["lang"] == "de"
     assert out["empty"]["n"] == 0 and out["empty"]["lang"] == "und"
     assert 0 <= out["en-ish"]["q"] <= 100
+
+
+def test_connected_components_shapes(spark):
+    """Hash-to-min components: chain, triangle, isolated pair — component is
+    the min reachable id; a 6-hop chain needs the doubling jumps (one round
+    of neighbor-min alone would not converge)."""
+    from sparkrdf.dedupe import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1..7
+            (10, 11), (11, 12), (10, 12),                     # triangle
+            (20, 21),                                         # pair
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert {k: v for k, v in got.items() if k <= 7} == {i: 1 for i in range(1, 8)}
+    assert {k: v for k, v in got.items() if 10 <= k <= 12} == {10: 10, 11: 10, 12: 10}
+    assert got[20] == 20 and got[21] == 20
+
+
+def test_dedup_clusters_canonical(spark, docs_with_dups):
+    """Exact duplicates land in one cluster with the min id canonical."""
+    from sparkrdf.dedupe import dedup_clusters
+
+    rows = dedup_clusters(docs_with_dups, threshold=0.9).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["canonical_id"] <= r["doc_id"]
+        assert r["cluster_size"] >= 2
