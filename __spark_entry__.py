@@ -298,6 +298,23 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split — pure function of doc_id, no
+    shuffle, reproducible across engines (the md5-bucket parity proven by
+    the dedup oracles)."""
+    from sparkrdf.textops import hash_split
+
+    return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_text_pack_bins(spark, sf_dir):
+    """Sequence packing: sharded concat-then-chunk token-bin assignment.
+    Oracle: identical window SQL in DuckDB."""
+    from sparkrdf.textops import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir), budget_tokens=2048, n_shards=8)
+
+
 def q_sim_topk(spark, sf_dir):
     return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10).select(
         "vec_id", "score"
@@ -449,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "text_stats": q_text_stats,
+        "text_hash_split": q_text_hash_split,
+        "text_pack_bins": q_text_pack_bins,
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -840,6 +859,32 @@ FROM comp c JOIN sizes s USING (canonical)
 """
 
     sql["dedup_simhash"] = _simhash_sql()
+
+    sql["text_hash_split"] = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < 9800 THEN 'train'
+       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 10000 < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+    sql["text_pack_bins"] = """
+WITH base AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8 AS INT) AS shard
+  FROM documents),
+packed AS (
+  SELECT doc_id, n_tokens, shard,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM base)
+SELECT doc_id, n_tokens, shard,
+  CAST(FLOOR(cum_before / 2048) AS BIGINT) AS bin_id,
+  CAST(cum_before % 2048 AS BIGINT) AS offset_in_bin
+FROM packed
+"""
 
     # brute-force all-pairs hamming oracle: independent of the banding
     # implementation, so a hash match proves the blocking is lossless

@@ -96,3 +96,83 @@ def lang_id(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of lowercase, whitespace-collapsed text."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def hash_split(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    buckets: int = 10_000,
+) -> "DataFrame":
+    """Deterministic train/val/test assignment: adds a ``split`` column.
+
+    The split is a pure function of the row id — ``h64(id) mod buckets``
+    against cumulative fraction thresholds — so it is reproducible across
+    runs, engines and partitionings (unlike ``randomSplit``/``sampleBy``,
+    which depend on partition layout), holds per-row when new data arrives
+    (a doc keeps its split forever — no train/test leakage on re-runs), and
+    needs no shuffle: one codegen'd projection.
+    """
+    from sparkrdf.dedupe import h64
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1.0")
+    bucket = F.pmod(h64(F.col(id_col).cast("string")), F.lit(buckets))
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # guard against float rounding leaving the last bucket unlabeled
+    expr = expr.otherwise(F.lit(list(fractions)[-1]))
+    return docs.withColumn("split", expr)
+
+
+def pack_documents(
+    docs: "DataFrame",
+    budget_tokens: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Sequence packing for LLM pretraining: concat-then-chunk assignment of
+    documents to fixed token-budget bins →
+    (doc_id, n_tokens, shard, bin_id, offset_in_bin).
+
+    Documents are deterministically sharded (``h64(id) mod n_shards``), then
+    packed within each shard in id order: a running token sum assigns each
+    doc the bin ``floor(cum_before / budget)`` and offset
+    ``cum_before mod budget`` — the layout of a writer that concatenates
+    docs in order and cuts every ``budget_tokens``. The window partitions by
+    shard, so no global single-partition sort exists; shard count scales
+    with the cluster (at 100 TB, thousands of shards → thousands of
+    independent packing streams, exactly how multi-writer packed-example
+    generation shards in practice).
+    """
+    from pyspark.sql import Window
+
+    from sparkrdf.dedupe import h64
+
+    toks = token_count(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.pmod(h64(F.col(id_col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "shard",
+        F.floor(cum_before / budget_tokens).cast("long").alias("bin_id"),
+        F.pmod(cum_before, F.lit(budget_tokens)).cast("long").alias("offset_in_bin"),
+    )

@@ -172,3 +172,43 @@ def test_dedup_clusters_canonical(spark, docs_with_dups):
     for r in rows:
         assert r["canonical_id"] <= r["doc_id"]
         assert r["cluster_size"] >= 2
+
+
+def test_hash_split_deterministic_and_partitioned(spark, docs):
+    """Split is a pure function of doc_id (stable across runs/partitionings),
+    covers every row exactly once, and roughly honors the fractions."""
+    from sparkrdf.textops import hash_split
+
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs.repartition(17)).collect()
+    }
+    assert a == b and set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert train / n > 0.9  # 98% nominal, small-sample slack
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        hash_split(docs, fractions={"a": 0.5, "b": 0.1}).collect()
+
+
+def test_pack_documents_invariants(spark, docs):
+    """Concat-then-chunk layout: offsets are within budget, the running sum
+    reconstructs exactly, and bins only grow within a shard."""
+    from sparkrdf.textops import pack_documents
+
+    budget = 256
+    rows = sorted(
+        pack_documents(docs, budget_tokens=budget, n_shards=4).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    cum = {}
+    for r in rows:
+        assert 0 <= r["offset_in_bin"] < budget
+        expect = cum.get(r["shard"], 0)
+        assert r["bin_id"] == expect // budget
+        assert r["offset_in_bin"] == expect % budget
+        cum[r["shard"]] = expect + r["n_tokens"]
