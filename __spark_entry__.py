@@ -337,6 +337,16 @@ def q_sim_ivf_exhaustive(spark, sf_dir):
     return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=10**6)
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN (label-free bucketed cosine search). Full
+    value oracle: the deterministic planes are baked into both engines, so
+    signatures, candidate buckets (hamming probe) and the exact rescoring
+    all reproduce in DuckDB."""
+    from sparkrdf.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(_emb(spark, sf_dir), query_id=0, k=10, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # relational queries (SURVEY §2.8 standard categories)
 # ---------------------------------------------------------------------------
@@ -472,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_exhaustive": q_sim_ivf_exhaustive,
+        "sim_lsh_topk": q_sim_lsh_topk,
         "mm_image_features": q_mm_image_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_join_rollup": q_rel_join_rollup,
@@ -989,6 +1000,31 @@ LIMIT 10
 """
 
     sql["sim_ivf_exhaustive"] = sql["sim_topk"]
+
+    from sparkrdf.similarity import LSH_PLANES, lsh_hyperplanes
+
+    plane_vals = ", ".join(
+        f"({1 << p}, [{', '.join(str(x) for x in w)}]::DOUBLE[])"
+        for p, w in enumerate(lsh_hyperplanes(64, LSH_PLANES))
+    )
+    sql["sim_lsh_topk"] = f"""
+WITH planes(bit, w) AS (VALUES {plane_vals}),
+sigs AS (
+  SELECT e.vec_id, SUM(CASE WHEN
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> e.embedding[i]::DOUBLE * p.w[i])) > 0
+    THEN p.bit ELSE 0 END)::BIGINT AS sig
+  FROM embeddings e, planes p GROUP BY e.vec_id),
+q AS (SELECT s.sig AS qsig, e.embedding AS qv
+      FROM sigs s JOIN embeddings e USING (vec_id) WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM sigs s JOIN embeddings e USING (vec_id), q
+  WHERE bit_count(xor(s.sig, q.qsig)) <= 3 AND e.vec_id <> 0)
+SELECT c.vec_id, {_cosine_sql("c.embedding", "q.qv")} AS score
+FROM cand c, q
+ORDER BY score DESC, c.vec_id ASC
+LIMIT 10
+"""
 
     sql["sim_blocked_near_dup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

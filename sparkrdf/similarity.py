@@ -156,3 +156,76 @@ def ivf_topk(
         F.col(id_col), F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+LSH_PLANES = 10  # 2^10 buckets; probe radius trades recall vs candidates
+
+
+def lsh_hyperplanes(dim: int = 64, n_planes: int = LSH_PLANES) -> list[list[float]]:
+    """Deterministic ±1 random-projection hyperplanes (sign-bit of the
+    vendored farmhash of "hp:<plane>:<dim>") — reproducible across engines,
+    shippable as literals into both Catalyst and oracle SQL."""
+    from sparkrdf.hashing import fingerprint64
+
+    return [
+        [1.0 if (fingerprint64(f"hp:{p}:{d}") >> 32) & 1 else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature: bit p = (w_p · v) > 0, packed into a long.
+    Pure codegen — one zip_with fold per plane, no UDF."""
+    sig = F.lit(0).cast("long")
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vec, warr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_planes: int = LSH_PLANES,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH — the bucketed ANN
+    path when no coarse label/cell exists (complements blocked_near_dup and
+    ivf_topk). Candidates = vectors whose signature is within
+    ``max_hamming`` bits of the query's; exact cosine inside.
+
+    Scale shape: signatures are one narrow projection; the distinct-bucket
+    table is bounded by 2^n_planes (broadcastable BY CONSTRUCTION at any
+    data size); candidate selection is a broadcast semi-join, so nothing but
+    the candidate set ever shuffles."""
+    planes = lsh_hyperplanes(dim, n_planes)
+    sigs = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("sig")
+    )
+    q = sigs.filter(F.col(id_col) == query_id).select(
+        F.col("sig").alias("qsig"), F.col(vec_col).alias("qvec")
+    )
+    probed = (
+        sigs.select("sig")
+        .dropDuplicates()
+        .crossJoin(F.broadcast(q.select("qsig")))
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_hamming
+        )
+        .select("sig")
+    )
+    cand = sigs.join(F.broadcast(probed), "sig").filter(F.col(id_col) != query_id)
+    scored = cand.crossJoin(F.broadcast(q.select("qvec"))).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

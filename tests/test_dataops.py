@@ -212,3 +212,17 @@ def test_pack_documents_invariants(spark, docs):
         assert r["bin_id"] == expect // budget
         assert r["offset_in_bin"] == expect % budget
         cum[r["shard"]] = expect + r["n_tokens"]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, emb):
+    """Random-hyperplane LSH with hamming-3 probing recovers a meaningful
+    share of the exact top-10; signatures are deterministic."""
+    from sparkrdf.similarity import lsh_cosine_topk
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    approx = lsh_cosine_topk(emb, query_id=0, k=10, max_hamming=3).collect()
+    assert len(approx) == 10
+    ids = [r["vec_id"] for r in approx]
+    assert len(set(exact) & set(ids)) >= 2
+    again = [r["vec_id"] for r in lsh_cosine_topk(emb, query_id=0, k=10, max_hamming=3).collect()]
+    assert ids == again
