@@ -63,9 +63,13 @@ def main():
     for name in (
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_clusters",
         "dedup_simhash",
         "text_stats",
+        "text_hash_split",
+        "text_pack_bins",
         "sim_topk",
+        "sim_lsh_topk",
         "sim_blocked_near_dup",
         "rel_pricing_summary",
     ):
