@@ -566,3 +566,40 @@ def with_rdf_attribute_prefix(df: DataFrame, prefix: str = "_") -> DataFrame:
         if old in df.columns:
             df = df.withColumnRenamed(old, f"{prefix}{base}")
     return df
+
+
+def graph_to_statements(
+    spark,
+    base: str,
+    name: str = "graph",
+    ignored_attributes: set | None = None,
+    graph_ns: str = "http://www.arangodb.com",
+    **modes,
+) -> DataFrame:
+    """Whole-graph export driven by the graph's own manifest — the
+    reference's ``arangodb_graph_to_rdf`` (main.py:563-657, which reads the
+    collection list from the ArangoDB graph's edge definitions rather than
+    taking one from the caller). Here the manifest written by
+    :func:`sparkrdf.io.write_graph` plays that role: edge collections come
+    from its ``edge_definitions``, vertex collections from its
+    ``vertex_collections`` (which includes vertex-only collections such as
+    Property/Class that never appear as edge endpoints)."""
+    import json
+    import os
+
+    manifest_path = os.path.join(base, f"{name}.manifest.json")
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    e_cols = set(manifest["edge_definitions"])
+    v_cols = set(manifest["vertex_collections"])
+    vertices = spark.read.parquet(os.path.join(base, "vertices"))
+    edges = spark.read.parquet(os.path.join(base, "edges"))
+    return collections_to_statements(
+        vertices,
+        edges,
+        v_cols=v_cols,
+        e_cols=e_cols,
+        ignored_attributes=ignored_attributes,
+        graph_ns=graph_ns,
+        **modes,
+    )

@@ -96,3 +96,24 @@ def test_collections_to_statements_wrapper(tables):
     ns_only = collections_to_statements(v, e, {"Person"}, set())
     assert ("http://www.arangodb.com/name" in {t[1] for t in _props_stmts(ns_only)})
 
+
+
+def test_graph_to_statements_manifest_driven(spark, tmp_path):
+    """arangodb_graph_to_rdf parity (main.py:563-657): the export's
+    collection list comes from the graph's own manifest, and the round-trip
+    through write_graph + manifest-driven export preserves every statement."""
+    from sparkrdf.compare import round_trip_diff
+    from sparkrdf.export import graph_to_statements
+    from sparkrdf.io import write_graph
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl_file, statements_df
+    from tests.conftest import ref_case
+
+    stmts = statements_df(spark, parse_ttl_file(ref_case("cases/1.ttl")))
+    out = pgt_transform(stmts, "GM")
+    base = str(tmp_path / "g")
+    write_graph(out, base, run_id="r1", name="GM")
+
+    exported = graph_to_statements(spark, base, name="GM")
+    d = round_trip_diff(stmts, exported)
+    assert not d["missing"], d["missing"]
