@@ -363,3 +363,118 @@ def statements_df(spark, rows: list[tuple]):
 
     schema = StructType([StructField(c, StringType(), True) for c in STATEMENT_COLUMNS])
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Serialization (writer side — the reference delegates to rdflib's
+# `Graph.serialize`; main.py binds prefixes at 332-333/382-388 before it)
+# ---------------------------------------------------------------------------
+
+_NT_ESCAPES = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _esc_literal(v: str) -> str:
+    return "".join(_NT_ESCAPES.get(ch, ch) for ch in v)
+
+
+def _term_nt(kind, value, lang=None, datatype=None) -> str:
+    if kind == "URIRef":
+        return f"<{value}>"
+    if kind == "BNode":
+        return f"_:{value}"
+    lit = f'"{_esc_literal(value)}"'
+    if lang:
+        return f"{lit}@{lang}"
+    if datatype:
+        return f"{lit}^^<{datatype}>"
+    return lit
+
+
+def nquads_lines(stmts) -> "DataFrame":
+    """Statements DataFrame → one N-Quads line per row (``value`` column).
+
+    Line-oriented with no document-level state (no prefix header), so the
+    output can be written DISTRIBUTED — ``nquads_lines(df).write.text(path)``
+    scales to any size with one narrow projection and zero shuffles; every
+    part-file is a valid N-Quads document. This is the scale-path writer;
+    :func:`serialize_turtle` is the driver-side pretty form."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def render(s_kind, s, p, o_kind, o, o_lang, o_dt, sub_graph):
+        import pandas as pd
+
+        out = []
+        for sk, sv, pv, ok, ov, ol, od, sg in zip(
+            s_kind, s, p, o_kind, o, o_lang, o_dt, sub_graph
+        ):
+            line = (
+                f"{_term_nt(sk, sv)} <{pv}> "
+                f"{_term_nt(ok, ov, ol, od)}"
+            )
+            if sg:
+                line += f" <{sg}>"
+            out.append(line + " .")
+        return pd.Series(out)
+
+    return stmts.select(
+        render(
+            "s_kind", "s", "p", "o_kind", "o", "o_lang", "o_datatype", "sub_graph"
+        ).alias("value")
+    )
+
+
+def write_nquads(stmts, path: str) -> None:
+    """Distributed N-Quads writer (see :func:`nquads_lines`)."""
+    nquads_lines(stmts).write.mode("overwrite").text(path)
+
+
+def serialize_turtle(stmts, prefixes: dict[str, str] | None = None) -> str:
+    """Driver-side Turtle/TriG serialization with prefix compression —
+    parity with the reference's rdflib ``serialize`` after prefix binding
+    (main.py:332-333, 382-388: bindings come from the namespaces
+    collection). Collects: intended for exports that fit on the driver
+    (fixtures, samples); use :func:`write_nquads` at scale.
+
+    Round-trips through :func:`parse_ttl`: named-graph statements render as
+    TriG ``<g> { ... }`` blocks."""
+    prefixes = dict(prefixes or {})
+
+    def compress(iri: str) -> str:
+        for pfx, ns in prefixes.items():
+            if iri.startswith(ns) and len(iri) > len(ns):
+                local = iri[len(ns):]
+                if re.fullmatch(r"[\w\-.]*\w", local):
+                    return f"{pfx}:{local}"
+        return f"<{iri}>"
+
+    def term(kind, value, lang=None, datatype=None) -> str:
+        if kind == "URIRef":
+            return compress(value)
+        if kind == "BNode":
+            return f"_:{value}"
+        lit = f'"{_esc_literal(value)}"'
+        if lang:
+            return f"{lit}@{lang}"
+        if datatype:
+            return f"{lit}^^{compress(datatype)}"
+        return lit
+
+    rows = [tuple(r) for r in stmts.select(*STATEMENT_COLUMNS).collect()]
+    lines = [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]
+    if lines:
+        lines.append("")
+    by_graph: dict = {}
+    for sk, sv, pv, ok, ov, ol, od, sg in rows:
+        by_graph.setdefault(sg, []).append(
+            f"{term(sk, sv)} {compress(pv)} {term(ok, ov, ol, od)} ."
+        )
+    for sg in sorted(by_graph, key=lambda g: (g is not None, g or "")):
+        body = sorted(by_graph[sg])
+        if sg is None:
+            lines.extend(body)
+        else:
+            lines.append(f"<{sg}> {{")
+            lines.extend(f"    {ln}" for ln in body)
+            lines.append("}")
+    return "\n".join(lines) + "\n"

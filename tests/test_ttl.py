@@ -98,3 +98,60 @@ def test_whole_reference_corpus():
     assert len(files) >= 27
     for f in files:
         assert parse_ttl_file(f), f
+
+
+def test_serialize_turtle_round_trip(spark):
+    """serialize_turtle → parse_ttl reproduces the exact statement set,
+    including named graphs, langs, datatypes and prefix compression."""
+    from sparkrdf.ttl import parse_ttl, serialize_turtle, statements_df
+
+    src = """
+@prefix ex: <http://example.com/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:name "Sam"@en .
+ex:a ex:age "3"^^xsd:integer .
+ex:a ex:knows ex:b .
+ex:g1 { ex:b ex:name "J\\"x\\n" . }
+_:n1 ex:knows ex:a .
+"""
+    def canon(rows):
+        # bnode labels are parser-scoped (module docstring) — canonicalize
+        # by first-occurrence order before comparing
+        mapping = {}
+
+        def m(kind, v):
+            if kind != "BNode":
+                return v
+            return mapping.setdefault(v, f"c{len(mapping)}")
+
+        return {
+            (sk, m(sk, sv), p, ok, m(ok, ov), ol, od, sg)
+            for sk, sv, p, ok, ov, ol, od, sg in sorted(rows)
+        }
+
+    rows = parse_ttl(src)
+    stmts = statements_df(spark, sorted(set(rows)))
+    text = serialize_turtle(
+        stmts, {"ex": "http://example.com/", "xsd": "http://www.w3.org/2001/XMLSchema#"}
+    )
+    assert "ex:a ex:knows ex:b ." in text  # prefix compression happened
+    assert canon(parse_ttl(text)) == canon(rows)
+
+
+def test_write_nquads_lines(spark, tmp_path):
+    """Distributed N-Quads: one valid line per statement, graph term only
+    for named-graph rows, literals escaped."""
+    from sparkrdf.ttl import nquads_lines, parse_ttl, statements_df
+
+    src = """
+@prefix ex: <http://example.com/> .
+ex:a ex:name "line1\\nline2" .
+ex:g { ex:a ex:knows ex:b . }
+"""
+    stmts = statements_df(spark, parse_ttl(src))
+    lines = sorted(r["value"] for r in nquads_lines(stmts).collect())
+    assert lines == [
+        '<http://example.com/a> <http://example.com/knows> '
+        '<http://example.com/b> <http://example.com/g> .',
+        '<http://example.com/a> <http://example.com/name> "line1\\nline2" .',
+    ]
