@@ -36,6 +36,7 @@ spark = get_spark("scaling", master="local[{cpus}]",
                       # collapses entirely (measured: local[32] as slow as
                       # local[8] with 60%+ of time in GC/eviction)
                       "spark.driver.memory": "48g",
+                      "spark.io.compression.codec": os.environ.get("SCALING_CODEC", "lz4"),
                       # GC pools auto-size to the MACHINE's cores; under
                       # taskset pinning that oversubscribes the low-core run
                       # and skews the ratio — size them to the pinned set
