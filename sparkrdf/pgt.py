@@ -93,6 +93,13 @@ def pgt_transform(
     predicate label (``_label`` keeps the label, so label-filtered
     migrations still work) — with ``resource_collection`` this is the LPG
     model (:func:`lpg_transform`)."""
+    if resource_collection is not None and uri_map is not None:
+        # reference main.py raises the same mutual exclusion for
+        # resource_collection_name + uri_map_collection_name
+        # (test_main.py:5408-5417)
+        raise ValueError(
+            "Cannot specify both uri_map and resource_collection."
+        )
     farmhash_udf, edge_key_udf = register_udfs()
     unknown = f"{name}_UnknownResource"
 

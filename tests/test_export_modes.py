@@ -210,3 +210,57 @@ def test_rdf_attribute_prefix(spark):
     assert "x_uri" in e.columns and "_uri" not in e.columns
     assert "_key" in e.columns and "_from" in e.columns
     assert with_rdf_attribute_prefix(out["edges"]).columns == out["edges"].columns
+
+
+def test_nested_dict_property_static_mode(spark):
+    """Mirror of reference test_adb_doc_with_dict_property
+    (test_main.py:4570-4688): a doc with nested dicts and dict-in-list
+    unpacks in static mode into deterministic-BNode statements."""
+    from sparkrdf.export import pgt_properties_to_statements
+
+    props = {
+        "val": {
+            "sub_val_1": 1,
+            "sub_val_2": {"sub_val_3": 3, "sub_val_4": [4]},
+            "sub_val_5": [{"sub_val_6": 6}, {"sub_val_7": 7}],
+        },
+        "foo": "bar",
+    }
+    import json
+
+    src = spark.createDataFrame(
+        [("URIRef", "http://g/TestDoc#1", "TestDoc", "1", json.dumps(props))],
+        "_rdftype string, _uri string, collection string, _key string, properties string",
+    )
+    stmts = pgt_properties_to_statements(src, prop_map={}, graph_ns="http://g")
+    rows = [tuple(r) for r in stmts.collect()]
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    doc = "http://g/TestDoc#1"
+
+    def objs(s, p):
+        return [(r[3], r[4]) for r in rows if r[1] == s and r[2] == p]
+
+    # foo stays a plain literal on the doc
+    assert objs(doc, "http://g/foo") == [("Literal", "bar")]
+    # val -> BNode
+    [(k, val_node)] = objs(doc, "http://g/val")
+    assert k == "BNode"
+    assert objs(val_node, "http://g/sub_val_1") == [("Literal", "1")]
+    [(_, sv2)] = objs(val_node, "http://g/sub_val_2")
+    assert objs(sv2, "http://g/sub_val_3") == [("Literal", "3")]
+    # list [4] in static mode flattens to a single statement
+    assert objs(sv2, "http://g/sub_val_4") == [("Literal", "4")]
+    # list of dicts -> two distinct BNodes
+    sv5 = objs(val_node, "http://g/sub_val_5")
+    assert len(sv5) == 2 and len({n for _, n in sv5}) == 2
+    inner = sorted(
+        (r[2], r[4]) for r in rows if r[1] in {n for _, n in sv5}
+    )
+    assert inner == [("http://g/sub_val_6", "6"), ("http://g/sub_val_7", "7")]
+    # integers are xsd:integer-typed
+    assert all(
+        r[6] == xsd_int for r in rows if r[4] in {"1", "3", "4", "6", "7"}
+    )
+    # determinism: second run produces the identical statement set
+    again = [tuple(r) for r in pgt_properties_to_statements(src, prop_map={}, graph_ns="http://g").collect()]
+    assert sorted(rows) == sorted(again)

@@ -82,3 +82,22 @@ def test_lpg_requires_collections(spark):
         lpg_transform(stmts, "T", resource_collection="")
     with pytest.raises(ValueError):
         lpg_transform(stmts, "T", predicate_collection="")
+
+
+def test_resource_collection_excludes_uri_map(spark):
+    """Mutual exclusion mirrored from the reference
+    (test_main.py:5408-5417): a single resource collection and a preloaded
+    URI map are contradictory instructions."""
+    import pytest
+
+    from sparkrdf.pgt import pgt_transform
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(
+        spark, parse_ttl("@prefix ex: <http://e.com/> . ex:a ex:b ex:c .")
+    )
+    uri_map = spark.createDataFrame(
+        [("http://e.com/a", "X")], "uri string, collection string"
+    )
+    with pytest.raises(ValueError, match="Cannot specify both"):
+        pgt_transform(stmts, "V", resource_collection="Node", uri_map=uri_map)
