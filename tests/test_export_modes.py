@@ -264,3 +264,27 @@ def test_nested_dict_property_static_mode(spark):
     # determinism: second run produces the identical statement set
     again = [tuple(r) for r in pgt_properties_to_statements(src, prop_map={}, graph_ns="http://g").collect()]
     assert sorted(rows) == sorted(again)
+
+
+def test_namespace_collection_round_trip(spark, tmp_path):
+    """Reference test_namespace_collection (test_main.py:5004-5065): prefix
+    bindings written to the namespaces collection survive the trip back and
+    drive prefix-compressed serialization of the exported graph."""
+    from sparkrdf.ttl import serialize_turtle, statements_df
+
+    rows, prefixes = parse_ttl_with_prefixes(
+        open(ref_case("cases/1.ttl"), encoding="utf-8").read()
+    )
+    path = str(tmp_path / "namespaces")
+    namespaces_df(spark, prefixes).write.parquet(path)
+
+    back = {
+        r["prefix"]: r["uri"] for r in spark.read.parquet(path).collect()
+    }
+    assert back == prefixes  # preserved, keyed by farmhash(uri)
+
+    text = serialize_turtle(statements_df(spark, rows), back)
+    assert "@prefix ex: <http://example.com/> ." in text
+    assert "ex:" in text.splitlines()[-1] or any(
+        ln.startswith("ex:") for ln in text.splitlines()
+    )
