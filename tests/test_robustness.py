@@ -137,3 +137,63 @@ def test_manifest_driven_graph_export(spark, tmp_path):
 
     exported = graph_to_statements(spark, base, "MDG")
     assert_round_trip(stmts, exported)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(_uri, _bnode),
+            _pred,
+            st.one_of(_uri, _bnode, _lit),
+            st.sampled_from([None, EX + "g1", EX + "g2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_serialize_turtle_fuzz_round_trip(rows):
+    """Property: serialize_turtle → parse_ttl is the identity on statement
+    sets (modulo bnode relabeling) for arbitrary unicode literals, langs,
+    and named graphs — pins the serializer's escaping against the parser.
+    Driver-only (no Spark): serialize from a plain-row stand-in."""
+    from sparkrdf.ttl import parse_ttl, serialize_turtle
+
+    stmts = []
+    for s, p, o, g in rows:
+        base = _to_row(s, p, o)
+        stmts.append(base[:7] + (g,))
+    stmts = sorted(
+        set(_one_lang_per_lexical(stmts)),
+        key=lambda r: tuple(x or "" for x in r),
+    )
+
+    class _Rows:
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return stmts
+
+    text = serialize_turtle(_Rows(), {"ex": EX})
+    got = set(parse_ttl(text))
+
+    def canon(rws):
+        mapping = {}
+
+        def m(kind, v):
+            if kind != "BNode":
+                return v
+            return mapping.setdefault(v, f"c{len(mapping)}")
+
+        return {
+            (sk, m(sk, sv), p, ok, m(ok, ov), ol, od, sg)
+            for sk, sv, p, ok, ov, ol, od, sg in sorted(
+                rws, key=lambda r: tuple(x or "" for x in r)
+            )
+        }
+
+    assert canon(got) == canon(stmts)
