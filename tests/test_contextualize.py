@@ -177,3 +177,33 @@ def test_meta_ontology_union(spark):
         if r["_from"].endswith("/" + label_k) and r["_uri"] == T.RDFS_DOMAIN
     }
     assert label_domains == {f"CTXM_URIRef/{farmhash_key(T.RDFS_RESOURCE)}"}
+
+
+def test_rpt_meta_graph_counts_and_round_trip(spark):
+    """Mirror of reference test_rpt_meta (test_main.py:1796-1860): each
+    vendored meta-ontology graph imports through RPT with vertex count ==
+    distinct terms and edge count == distinct triples, and round-trips
+    losslessly (subtract_graphs == ∅ both ways)."""
+    import os
+
+    from sparkrdf.compare import round_trip_diff
+    from sparkrdf.contextualize import META_DIR
+    from sparkrdf.export import edges_to_statements
+    from sparkrdf.rpt import rpt_transform
+    from sparkrdf.ttl import parse_ttl_file, statements_df
+
+    for fn in sorted(os.listdir(META_DIR)):
+        if not fn.endswith(".trig"):
+            continue
+        rows = parse_ttl_file(os.path.join(META_DIR, fn))
+        terms = {(r[0], r[1]) for r in rows} | {(r[3], r[4]) for r in rows}
+        stmts = statements_df(spark, rows)
+        out = rpt_transform(stmts, "M" + fn.split(".")[0])
+        assert out["vertices"].count() == len(terms), fn
+        assert out["edges"].count() == len(set(rows)), fn
+        if fn in ("adb.trig", "rdfs.trig"):  # full export parity on two
+            d = round_trip_diff(
+                stmts, edges_to_statements(out["vertices"], out["edges"])
+            )
+            assert not d["missing"] and not d["extra"], fn
+        out.release()
