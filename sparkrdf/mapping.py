@@ -368,6 +368,13 @@ def collection_mapping(
     term-metadata time (main.py:2728-2731). With **resource_collection**,
     everything except Class/Property pins maps there (main.py:1319-1326).
     """
+    if controller is not None and not isinstance(controller, BestClassController):
+        # mirror the reference constructor's controller type check
+        # (test_main.py:30-38: a non-ArangoRDFController raises TypeError)
+        raise TypeError(
+            "controller must be a BestClassController instance, got "
+            f"{type(controller).__name__}"
+        )
     reif = _reified_spo(stmts)
     pins = build_pins(stmts, reif)
 

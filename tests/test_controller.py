@@ -52,3 +52,18 @@ def test_default_controller_instance_matches_builtin(spark):
     a = _cols(pgt_transform(stmts, "CA"))
     b = _cols(pgt_transform(stmts, "CB", controller=BestClassController()))
     assert a == b
+
+
+def test_bad_controller_type_raises(spark):
+    """Mirror of reference test_constructor (test_main.py:30-38): a
+    non-controller object is a TypeError, not a silent misbehavior."""
+    import pytest
+
+    from sparkrdf.mapping import collection_mapping
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(
+        spark, parse_ttl("@prefix ex: <http://e.com/> . ex:a a ex:T .")
+    )
+    with pytest.raises(TypeError, match="BestClassController"):
+        collection_mapping(stmts, controller=object())
