@@ -197,6 +197,16 @@ def merge_by_key(old: DataFrame, new: DataFrame) -> DataFrame:
         )
 
     keys = ["collection", "_key"]
+    if set(old.columns) != set(new.columns):
+        # surface schema drift loudly — the analog of the reference's
+        # raise_on_document_error on schema violation
+        # (test_main.py:5331-5379); a silent coalesce-union would corrupt
+        # the table instead
+        raise ValueError(
+            "merge_by_key schema mismatch: only-old="
+            f"{sorted(set(old.columns) - set(new.columns))}, only-new="
+            f"{sorted(set(new.columns) - set(old.columns))}"
+        )
     o = old.select([F.col(c).alias(f"old_{c}") if c not in keys else F.col(c) for c in old.columns])
     n = new.select([F.col(c).alias(f"new_{c}") if c not in keys else F.col(c) for c in new.columns])
     joined = o.join(n, keys, "full")

@@ -75,3 +75,21 @@ def test_merge_by_key_upsert(spark):
     assert {k: (v["properties"], v["_uri"]) for k, v in out.items()} == {
         k: (v["properties"], v["_uri"]) for k, v in again.items()
     }
+
+
+def test_merge_by_key_schema_violation_raises(spark):
+    """Mirror of reference test_pgt_import_exception_from_schema_violation
+    (test_main.py:5331-5379): a batch whose schema drifted from the stored
+    table raises loudly instead of silently corrupting the merge."""
+    import pytest
+
+    from sparkrdf.io import merge_by_key
+
+    old = spark.createDataFrame(
+        [("C", "1", "u")], "collection string, _key string, _uri string"
+    )
+    drifted = spark.createDataFrame(
+        [("C", "1", 5)], "collection string, _key string, rank int"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_by_key(old, drifted)
