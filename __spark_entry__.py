@@ -91,12 +91,22 @@ _RDF_TYPE = T.RDF_TYPE
 _XSD_INT = T.XSD + "integer"
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small single-file parquet reads arrive as ONE partition (a parquet
+    file splits at row-group granularity), which serializes every CPU-heavy
+    expression tree downstream onto one core. Spread rows across the
+    cluster's task slots — the production input is thousands of files and
+    parallelizes naturally; this makes the test-scale input behave the same.
+    The shuffle moved is the small table itself (milliseconds)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------

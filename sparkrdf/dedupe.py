@@ -283,43 +283,55 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
-        # neighborhood minimum: min(own label, labels of all neighbors)
+        # neighborhood minimum: min(own label, labels of all neighbors).
+        # The self rows carry the PREVIOUS label in `old` (neighbors carry
+        # null), so one aggregate yields both the new minimum and the value
+        # needed for the convergence check — no separate old-vs-new join.
         neigh = (
             edges.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "lbl")
-        )
-        new_labels = (
-            labels.unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            # barrier BEFORE the self-join: joining a plan with a projection
-            # of itself trips attribute-resolution ambiguity, and the plan
-            # would double per round anyway
-            .localCheckpoint(eager=True)
-        )
-        # pointer-jump: node -> lbl -> lbl(lbl) (label table joined on itself)
-        jumped = (
-            new_labels.join(
-                new_labels.select(
-                    F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
-                ),
+            .select(
+                F.col("u").alias("node"),
                 "lbl",
-                "left",
+                F.lit(None).cast(labels.schema["lbl"].dataType).alias("old"),
             )
-            .select("node", F.coalesce("lbl2", F.col("lbl")).alias("lbl"))
+        )
+        combined = (
+            labels.select("node", "lbl", F.col("lbl").alias("old"))
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
+        )
+        # pointer-jump: node -> lbl -> lbl(lbl) (label table joined on a
+        # projection of itself; aliases disambiguate, and the whole round —
+        # agg + self-join — materializes in ONE checkpoint job)
+        a = combined.alias("a")
+        m = combined.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("lbl2")
+        ).alias("m")
+        jumped = (
+            a.join(m, F.col("a.lbl") == F.col("m.lbl"), "left")
+            .select(
+                F.col("a.node").alias("node"),
+                F.coalesce(F.col("m.lbl2"), F.col("a.lbl")).alias("lbl"),
+                F.col("a.old").alias("old"),
+            )
             .localCheckpoint(eager=True)
         )
-        # converged when no label changed this round
-        changed = (
-            jumped.alias("n")
-            .join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = jumped
+        # converged when no label changed this round (cheap second job: a
+        # filter-count over the already-materialized checkpoint blocks)
+        changed = jumped.filter(F.col("lbl") != F.col("old")).count()
+        labels = jumped.select("node", "lbl")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — component labels would be "
+            "split; raise max_iter (doubling reach: max_iter=k covers "
+            "diameter 2^k)"
+        )
     return labels.select("node", F.col("lbl").alias("component"))
 
 

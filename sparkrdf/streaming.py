@@ -21,9 +21,28 @@ Design:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def merge_table_name(prefix: str, key: str) -> str:
+    """Validated, backtick-quoted target-table identifier for MERGE INTO.
+
+    ``prefix`` may be dotted (``catalog.schema.name``); every part must be a
+    plain SQL identifier — anything else raises rather than being
+    interpolated into the SQL string (the prefix comes from user config)."""
+    parts = f"{prefix}_{key}".split(".")
+    for p in parts:
+        if not _IDENT_RE.match(p):
+            raise ValueError(
+                f"invalid table identifier part {p!r} in {prefix!r} "
+                "(allowed: letters, digits, underscore; no leading digit)"
+            )
+    return ".".join(f"`{p}`" for p in parts)
 
 
 def crawl_metrics(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -139,9 +158,15 @@ def stream_pages_to_graph(
             _rename(fs, newest, hpath)
 
     def _merge_into_table(new: DataFrame, key: str):
-        tbl = f"{table_prefix or name}_{key}"
+        tbl = merge_table_name(table_prefix or name, key)
         view = f"_sparkrdf_batch_{key}"
         new.createOrReplaceTempView(view)
+        # MERGE INTO requires an existing target — bootstrap it from the
+        # first batch's schema (empty) so a fresh catalog works
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} "
+            f"AS SELECT * FROM {view} WHERE 1 = 0"
+        )
         spark.sql(
             f"MERGE INTO {tbl} t USING {view} s "
             "ON t.collection = s.collection AND t._key = s._key "
@@ -153,39 +178,45 @@ def stream_pages_to_graph(
         if batch_df.isEmpty():
             return
         stmts = extract_triples(spark, batch_df).localCheckpoint(eager=True)
-        graph = (
+        # context-manage the transform output: each call pins a cached
+        # keyed-statement block set, and a long-running stream would
+        # accumulate them without bound if never released
+        with (
             rpt_transform(stmts, name) if transform == "rpt" else pgt_transform(stmts, name)
-        )
-        for key, path in (("vertices", v_path), ("edges", e_path)):
-            new = graph[key].localCheckpoint(eager=True)
-            if sink == "table":
-                _merge_into_table(new, key)
-                continue
-            # Merge into a STAGING path first, then swap: the current table
-            # stays intact for the whole (re)computation, so a lost executor
-            # mid-write can never recompute against a half-overwritten input.
-            # (MERGE INTO — sink == "table" — replaces this whole dance when
-            # a catalog is configured; this is the plain-parquet sandbox
-            # equivalent, O(table) per batch by construction.)
-            _restore_backup_if_crashed(path)
-            fs, hpath, jvm = _fs(path)
-            if fs.exists(hpath):
-                old = spark.read.parquet(path)
-                merged = merge_by_key(old, new)
-            else:
-                merged = new
-            staging = f"{path}.staging-{batch_id}"
-            write_table(merged, staging)
-            backup = f"{path}.replaced-{batch_id}"
-            _, hstaging, _ = _fs(staging)
-            _, hbackup, _ = _fs(backup)
-            if fs.exists(hbackup):
-                fs.delete(hbackup, True)
-            if fs.exists(hpath):
-                _rename(fs, hpath, hbackup)
-            _rename(fs, hstaging, hpath)
-            if fs.exists(hbackup):
-                fs.delete(hbackup, True)
+        ) as graph:
+            for key, path in (("vertices", v_path), ("edges", e_path)):
+                new = graph[key].localCheckpoint(eager=True)
+                _sink_one(new, key, path, batch_id)
+
+    def _sink_one(new: DataFrame, key: str, path: str, batch_id: int):
+        if sink == "table":
+            _merge_into_table(new, key)
+            return
+        # Merge into a STAGING path first, then swap: the current table
+        # stays intact for the whole (re)computation, so a lost executor
+        # mid-write can never recompute against a half-overwritten input.
+        # (MERGE INTO — sink == "table" — replaces this whole dance when
+        # a catalog is configured; this is the plain-parquet sandbox
+        # equivalent, O(table) per batch by construction.)
+        _restore_backup_if_crashed(path)
+        fs, hpath, jvm = _fs(path)
+        if fs.exists(hpath):
+            old = spark.read.parquet(path)
+            merged = merge_by_key(old, new)
+        else:
+            merged = new
+        staging = f"{path}.staging-{batch_id}"
+        write_table(merged, staging)
+        backup = f"{path}.replaced-{batch_id}"
+        _, hstaging, _ = _fs(staging)
+        _, hbackup, _ = _fs(backup)
+        if fs.exists(hbackup):
+            fs.delete(hbackup, True)
+        if fs.exists(hpath):
+            _rename(fs, hpath, hbackup)
+        _rename(fs, hstaging, hpath)
+        if fs.exists(hbackup):
+            fs.delete(hbackup, True)
 
     writer = pages_stream.writeStream.foreachBatch(process_batch).outputMode("update")
     if checkpoint_dir:

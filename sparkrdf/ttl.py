@@ -400,6 +400,12 @@ def nquads_lines(stmts) -> "DataFrame":
     :func:`serialize_turtle` is the driver-side pretty form."""
     from pyspark.sql import functions as F
 
+    from sparkrdf.session import ensure_pyfiles
+
+    # the render UDF closes over module-level _term_nt — ship the package so
+    # executors not launched with --py-files can unpickle it
+    ensure_pyfiles(stmts.sparkSession)
+
     @F.pandas_udf("string")
     def render(s_kind, s, p, o_kind, o, o_lang, o_dt, sub_graph):
         import pandas as pd
@@ -444,7 +450,10 @@ def serialize_turtle(stmts, prefixes: dict[str, str] | None = None) -> str:
         for pfx, ns in prefixes.items():
             if iri.startswith(ns) and len(iri) > len(ns):
                 local = iri[len(ns):]
-                if re.fullmatch(r"[\w\-.]*\w", local):
+                # first char must be a word char: a leading '-' or '.' is
+                # invalid Turtle PN_LOCAL and would break the parse_ttl
+                # round-trip — fall back to <iri> for those
+                if re.fullmatch(r"\w[\w\-.]*\w|\w", local):
                     return f"{pfx}:{local}"
         return f"<{iri}>"
 
