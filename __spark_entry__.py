@@ -336,14 +336,17 @@ def q_sim_blocked_near_dup(spark, sf_dir):
 
 
 def q_sim_ivf_topk(spark, sf_dir):
+    """IVF probe path (n_probe=2) with a full value oracle: DuckDB rebuilds
+    the per-label centroids (unnest + AVG by position), ranks cells by
+    centroid cosine with the same (desc, cell asc) tie-break, and searches
+    exactly inside the probed cells."""
     return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=2)
 
 
 def q_sim_ivf_exhaustive(spark, sf_dir):
     """IVF with n_probe >= |cells| degenerates to exact search, so the
     whole two-stage machinery (centroid build, cell probe, in-cell exact
-    scan) is oracle-checked against the brute-force SQL; the approximate
-    n_probe=2 configuration stays rows-only + recall-tested in pytest."""
+    scan) is oracle-checked against the brute-force SQL as well."""
     return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=10**6)
 
 
@@ -595,11 +598,15 @@ def _lang_scores() -> tuple[str, str]:
     return ", ".join(score_cols), case
 
 
-def _cosine_sql(a: str, b: str) -> str:
+def _cosine_raw_sql(a: str, b: str) -> str:
     dot = f"list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
     na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)))"
     nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i]::DOUBLE * {b}[i]::DOUBLE)))"
-    return f"ROUND({dot} / ({na} * {nb}), 6)"
+    return f"{dot} / ({na} * {nb})"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"ROUND({_cosine_raw_sql(a, b)}, 6)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1010,6 +1017,27 @@ LIMIT 10
 """
 
     sql["sim_ivf_exhaustive"] = sql["sim_topk"]
+
+    # the n_probe=2 probe path: per-label centroids (unnest + AVG by
+    # position), rank cells by centroid cosine with the identical
+    # (score desc, cell asc) tie-break, exact cosine inside the probed cells
+    sql["sim_ivf_topk"] = f"""
+WITH ex AS (
+  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings),
+cpos AS (SELECT cell, pos, AVG(val) AS v FROM ex GROUP BY cell, pos),
+cents AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM cpos GROUP BY cell),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probed AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY {_cosine_raw_sql("c.centroid", "q.qv")} DESC, c.cell ASC LIMIT 2)
+SELECT e.vec_id, {_cosine_sql("e.embedding", "q.qv")} AS score
+FROM embeddings e JOIN probed p ON e.label = p.cell, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT 10
+"""
 
     from sparkrdf.similarity import LSH_PLANES, lsh_hyperplanes
 
