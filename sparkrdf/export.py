@@ -424,8 +424,16 @@ def pgt_to_statements(
     graph_ns: str = "http://www.arangodb.com",
     **modes,
 ) -> DataFrame:
-    """Full PGT export: edge statements ∪ property statements."""
-    return edges_to_statements(vertices, edges, graph_ns).unionByName(
+    """Full PGT export: edge statements ∪ property statements. Edge-side
+    modes (``reify_property_edges``, ``include_adb_e_key_statements``) route
+    to :func:`edges_to_statements`; the rest to
+    :func:`pgt_vertices_to_statements`."""
+    edge_modes = {
+        k: modes.pop(k)
+        for k in ("reify_property_edges", "include_adb_e_key_statements")
+        if k in modes
+    }
+    return edges_to_statements(vertices, edges, graph_ns, **edge_modes).unionByName(
         pgt_vertices_to_statements(vertices, graph_ns, **modes)
     )
 
