@@ -98,11 +98,64 @@ def decode_video_fake(raw: bytes):
     return frames
 
 
-def real_image_codec_unavailable(raw: bytes):  # pragma: no cover
-    """Placeholder for a real decoder (Pillow etc. not in this sandbox)."""
-    raise NotImplementedError(
-        "real image codecs (Pillow/turbojpeg) are not installed; "
-        "pass codec=decode_image_fake or install a decoder"
+def decode_image_pillow(raw: bytes):
+    """bytes → (h, w, c) uint8 ndarray via Pillow — the real-format codec
+    (PNG/JPEG/WebP/...). Import is inside the function so the module loads
+    in codec-less environments; each executor pays the import once."""
+    import io
+
+    from PIL import Image  # raises ImportError where Pillow isn't installed
+
+    if raw is None:
+        raise ValueError("null payload")
+    arr = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"), dtype=np.uint8)
+    return arr
+
+
+def encode_image_pillow(arr: np.ndarray, fmt: str = "PNG") -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+IMAGE_CODECS = {
+    "fake": (decode_image_fake, encode_image_fake),
+    "pillow": (decode_image_pillow, encode_image_pillow),
+}
+
+
+def get_image_codec(name: str):
+    """(decode, encode) pair by name — 'fake' (IMG1 container, always
+    available) or 'pillow' (real PNG/JPEG, requires Pillow on executors)."""
+    if name not in IMAGE_CODECS:
+        raise ValueError(f"unknown image codec {name!r} (have {sorted(IMAGE_CODECS)})")
+    return IMAGE_CODECS[name]
+
+
+def phash_hex(luma: np.ndarray) -> str:
+    """8x8 average-hash fingerprint (classic pHash-lite) of a 2-D luma
+    array: downsample by block means, threshold at the mean, hex-pack.
+    Shared by the Spark stage and the test goldens so the expected value is
+    computable from raw pixels without any codec."""
+    h, w = luma.shape
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    blocks = np.array(
+        [
+            luma[ys[i] : max(ys[i + 1], ys[i] + 1),
+                 xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+            for i in range(8)
+            for j in range(8)
+        ]
+    )
+    bits = (blocks > blocks.mean()).astype(np.uint8)
+    return "".join(
+        format(int("".join(map(str, bits[k : k + 8])), 2), "02x")
+        for k in range(0, 64, 8)
     )
 
 
@@ -129,24 +182,7 @@ def image_features(
                 try:
                     arr = codec(raw)
                     luma = arr.mean(axis=2) if arr.ndim == 3 else arr
-                    # 8x8 average-hash fingerprint (classic pHash-lite):
-                    # downsample by block means, threshold at the mean
-                    h, w = luma.shape
-                    ys = np.linspace(0, h, 9, dtype=int)
-                    xs = np.linspace(0, w, 9, dtype=int)
-                    blocks = np.array(
-                        [
-                            luma[ys[i] : max(ys[i + 1], ys[i] + 1),
-                                 xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
-                            for i in range(8)
-                            for j in range(8)
-                        ]
-                    )
-                    bits = (blocks > blocks.mean()).astype(np.uint8)
-                    phash = "".join(
-                        format(int("".join(map(str, bits[k : k + 8])), 2), "02x")
-                        for k in range(0, 64, 8)
-                    )
+                    phash = phash_hex(luma)
                     out.append(
                         (rid, int(arr.shape[1]), int(arr.shape[0]),
                          int(arr.shape[2] if arr.ndim == 3 else 1),

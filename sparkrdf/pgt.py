@@ -110,17 +110,34 @@ def pgt_transform(
     # 2. controller statements
     keys_df, data = extract_adb_key_statements(data)
     overrides, data = extract_adb_col_statements(data)
+    # ONE probe pass answers both data-dependent branches (same rationale as
+    # rpt_transform: an empty adb:key table would still drag the whole
+    # statement stream through two sort-merge joins, and flatten_reified
+    # would pay this same pass for its own fast path anyway)
+    probe = stmts.agg(
+        F.count(
+            F.when((F.col("p") == T.ADB_KEY_URI) & (F.col("o_kind") == "Literal"), 1)
+        ).alias("n_keys"),
+        F.count(
+            F.when((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT), 1)
+        ).alias("n_reif"),
+    ).first()
+    if probe["n_keys"] == 0:
+        keys_df = None
     if contextualize_graph and meta_stmts is not None:
         # meta ontologies are imported like data and the mapping sees them
         # (main.py:1055 __load_meta_ontology before write_adb_col_statements)
         data = data.unionByName(meta_stmts, allowMissingColumns=True)
+        has_reified = None  # the union may add reified statements — re-probe
+    else:
+        has_reified = probe["n_reif"] > 0
     # 3. mapping (pre-flatten graph, like the reference); uri_map preloads
     # prior-import collection assignments (main.py:1283-1291)
     mapping = collection_mapping(
         data, overrides, resource_collection, controller, uri_map
     )
     # 4. flatten reified triples
-    data, reified_map = flatten_reified(data, keys_df)
+    data, reified_map = flatten_reified(data, keys_df, has_reified=has_reified)
     # 5. list routing + assembly
     normal, list_data, heads = split_list_statements(data)
     fragments, members = assemble_lists(list_data, heads)
@@ -164,21 +181,34 @@ def pgt_transform(
         .withColumn("o_key0", F.col("_tk.o_key"))
         .drop("_tk")
     )
-    kb = keys_df
-    s_over = kb.select(F.col("id").alias("s"), F.col("custom_key").alias("s_custom"))
-    o_over = kb.select(F.col("id").alias("o"), F.col("custom_key").alias("o_custom"))
-    # no broadcast hints: adb:key overrides grow with the corpus (the
-    # flagship workload pins one per document) — AQE picks the strategy.
-    keyed = (
-        keyed.join(s_over, "s", "left")
-        .join(o_over, "o", "left")
-        .withColumn("s_key", F.coalesce("s_custom", "s_key0"))
-        .withColumn(
-            "o_key",
-            F.when(F.col("o_kind") != "Literal", F.coalesce("o_custom", "o_key0")),
+    if keys_df is not None:
+        s_over = keys_df.select(
+            F.col("id").alias("s"), F.col("custom_key").alias("s_custom")
         )
-        .drop("s_custom", "o_custom", "s_key0", "o_key0")
-    )
+        o_over = keys_df.select(
+            F.col("id").alias("o"), F.col("custom_key").alias("o_custom")
+        )
+        # no broadcast hints: adb:key overrides grow with the corpus (the
+        # flagship workload pins one per document) — AQE picks the strategy.
+        keyed = (
+            keyed.join(s_over, "s", "left")
+            .join(o_over, "o", "left")
+            .withColumn("s_key", F.coalesce("s_custom", "s_key0"))
+            .withColumn(
+                "o_key",
+                F.when(F.col("o_kind") != "Literal", F.coalesce("o_custom", "o_key0")),
+            )
+            .drop("s_custom", "o_custom", "s_key0", "o_key0")
+        )
+    else:
+        keyed = (
+            keyed.withColumn("s_key", F.col("s_key0"))
+            .withColumn(
+                "o_key",
+                F.when(F.col("o_kind") != "Literal", F.col("o_key0")),
+            )
+            .drop("s_key0", "o_key0")
+        )
 
     # collection joins (mapping + reified map); literals get no collection
     m_s = mapping.select(F.col("id").alias("s"), F.col("collection").alias("s_map"))
@@ -278,17 +308,19 @@ def pgt_transform(
         .dropDuplicates(["id"])
         .withColumn("_key", farmhash_udf(F.col("id")))
     )
-    head_subj = (
-        head_subj.join(kb.select(F.col("id"), F.col("custom_key")), "id", "left")
-        .withColumn("_key", F.coalesce("custom_key", F.col("_key")))
-        .drop("custom_key")
-        .join(mapping, "id", "left")
-        .select(
-            F.coalesce("collection", F.lit(unknown)).alias("collection"),
-            "_key",
-            "id",
-            "kind",
+    if keys_df is not None:
+        head_subj = (
+            head_subj.join(
+                keys_df.select(F.col("id"), F.col("custom_key")), "id", "left"
+            )
+            .withColumn("_key", F.coalesce("custom_key", F.col("_key")))
+            .drop("custom_key")
         )
+    head_subj = head_subj.join(mapping, "id", "left").select(
+        F.coalesce("collection", F.lit(unknown)).alias("collection"),
+        "_key",
+        "id",
+        "kind",
     )
 
     term_docs = (

@@ -30,7 +30,9 @@ from sparkrdf.mapping import _reified_spo
 
 
 def flatten_reified(
-    stmts: DataFrame, keys_df: DataFrame | None = None
+    stmts: DataFrame,
+    keys_df: DataFrame | None = None,
+    has_reified: bool | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Returns (statements', reified_map) — reified_map is None when the
     graph contains no reified statements (fast path).
@@ -40,6 +42,10 @@ def flatten_reified(
     ``e_key_override`` (the reified node's key).
 
     reified_map = (x, x_kind, e_key, p_label) for every flattened node.
+
+    ``has_reified``: callers that already probed the stream (rpt/pgt
+    transforms fold this into their combined controller probe) pass the
+    answer to skip the extra pass here.
     """
     farmhash_udf, _ = register_udfs()
 
@@ -53,12 +59,13 @@ def flatten_reified(
     # handful of tasks and was the single largest Amdahl term in the N→4N
     # scaling runs. The aggregate pays one full parallel pass, which the
     # persisted upstream absorbs as its materialization pass.
-    has_reified = (
-        stmts.filter(
-            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT)
-        ).count()
-        > 0
-    )
+    if has_reified is None:
+        has_reified = (
+            stmts.filter(
+                (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT)
+            ).count()
+            > 0
+        )
     if not has_reified:
         passthrough = stmts.withColumn(
             "reified_subject", F.lit(None).cast("string")

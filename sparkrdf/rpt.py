@@ -242,37 +242,61 @@ def rpt_edges(keyed: DataFrame, name: str) -> DataFrame:
     props = F.col("properties") if "properties" in cols else F.lit(None).cast("string")
 
     _, edge_key_udf = register_udfs()
-    s_col = (
-        F.when(F.col("s_kind") == "URIRef", F.lit(f"{name}_URIRef"))
-        .when(F.col("s_kind") == "BNode", F.lit(f"{name}_BNode"))
-        .otherwise(F.lit(f"{name}_Literal"))
-    )
-    o_col = (
-        F.when(F.col("o_kind") == "URIRef", F.lit(f"{name}_URIRef"))
-        .when(F.col("o_kind") == "BNode", F.lit(f"{name}_BNode"))
-        .otherwise(F.lit(f"{name}_Literal"))
-    )
-    # edge-of-edge: a term that is a reified statement subject lives in the
-    # Statement collection (main.py:2286-2289), so edges referencing it point
-    # at the edge document itself.
-    if "s_reified" in cols:
-        s_col = F.when(F.col("s_reified"), F.lit(f"{name}_Statement")).otherwise(s_col)
-    if "o_reified" in cols:
-        o_col = F.when(F.col("o_reified"), F.lit(f"{name}_Statement")).otherwise(o_col)
-    out = keyed.select(
-        F.lit(f"{name}_Statement").alias("collection"),
+    # Shuffle NARROW rows: the dedup exchange carries the key, one-byte kind
+    # codes + reified flags, the raw term keys, and the predicate — the
+    # rendered _from/_to/_label strings (~75 B/row of pure derivable bytes)
+    # are rebuilt AFTER the exchange, once per distinct edge. At cluster
+    # scale the dedup exchange is network traffic; everything derivable from
+    # surviving columns should be rendered on the reduce side.
+    kind_code = {"URIRef": 0, "BNode": 1, "Literal": 2}
+
+    def code_of(kind_col, reified_flag):
+        c = (
+            F.when(kind_col == "URIRef", F.lit(kind_code["URIRef"]))
+            .when(kind_col == "BNode", F.lit(kind_code["BNode"]))
+            .otherwise(F.lit(kind_code["Literal"]))
+        )
+        if reified_flag is not None:
+            # edge-of-edge: a term that is a reified statement subject lives
+            # in the Statement collection (main.py:2286-2289), so edges
+            # referencing it point at the edge document itself.
+            c = F.when(reified_flag, F.lit(3)).otherwise(c)
+        return c.cast("tinyint")
+
+    s_flag = F.col("s_reified") if "s_reified" in cols else None
+    o_flag = F.col("o_reified") if "o_reified" in cols else None
+    narrow = keyed.select(
         F.coalesce(e_key, edge_key_udf(F.col("s_key"), F.col("p_key"), F.col("o_key"))).alias(
             "_key"
         ),
-        F.concat(s_col, F.lit("/"), F.col("s_key")).alias("_from"),
-        F.concat(o_col, F.lit("/"), F.col("o_key")).alias("_to"),
+        code_of(F.col("s_kind"), s_flag).alias("_s_code"),
+        code_of(F.col("o_kind"), o_flag).alias("_o_code"),
+        F.col("s_key"),
+        F.col("o_key"),
+        F.col("p"),
+        F.col("sub_graph").alias("_sub_graph_uri"),
+        props.alias("properties"),
+    ).dropDuplicates(["_key"])
+
+    def col_of(code):
+        return (
+            F.when(code == 0, F.lit(f"{name}_URIRef"))
+            .when(code == 1, F.lit(f"{name}_BNode"))
+            .when(code == 2, F.lit(f"{name}_Literal"))
+            .otherwise(F.lit(f"{name}_Statement"))
+        )
+
+    return narrow.select(
+        F.lit(f"{name}_Statement").alias("collection"),
+        F.col("_key"),
+        F.concat(col_of(F.col("_s_code")), F.lit("/"), F.col("s_key")).alias("_from"),
+        F.concat(col_of(F.col("_o_code")), F.lit("/"), F.col("o_key")).alias("_to"),
         F.col("p").alias("_uri"),
         T.adb_label(F.col("p")).alias("_label"),
         F.lit("URIRef").alias("_rdftype"),
-        F.col("sub_graph").alias("_sub_graph_uri"),
-        props.alias("properties"),
+        F.col("_sub_graph_uri"),
+        F.col("properties"),
     )
-    return out.dropDuplicates(["collection", "_key"])
 
 
 def rpt_transform(
@@ -308,10 +332,34 @@ def rpt_transform(
     from sparkrdf.reify import flatten_reified
 
     keys_df, data = extract_adb_key_statements(stmts)
+    # ONE full-parallel probe pass answers both data-dependent branches:
+    # are there adb:key overrides, and are there reified statements? A
+    # web-extraction corpus usually has neither — but without the probe the
+    # empty override table still drags the whole statement stream through
+    # two sort-merge joins (measured: the single largest exchange of the
+    # flagship job, 72 MB of a 167 MB total, for a join that matches
+    # nothing). flatten_reified previously paid this same probe pass for
+    # its own fast path; folding both counts into one aggregate keeps it at
+    # one pass total.
+    probe = stmts.agg(
+        F.count(
+            F.when((F.col("p") == T.ADB_KEY_URI) & (F.col("o_kind") == "Literal"), 1)
+        ).alias("n_keys"),
+        F.count(
+            F.when((F.col("p") == T.RDF_TYPE) & (F.col("o") == T.RDF_STATEMENT), 1)
+        ).alias("n_reif"),
+    ).first()
+    if probe["n_keys"] == 0:
+        keys_df = None
     if contextualize_graph and meta_stmts is not None:
         data = data.unionByName(meta_stmts, allowMissingColumns=True)
+        # the union may add reified statements the probe didn't see —
+        # let flatten_reified re-probe the combined stream
+        has_reified = None
+    else:
+        has_reified = probe["n_reif"] > 0
     if flatten_reified_triples:
-        data, reified_map = flatten_reified(data, keys_df)
+        data, reified_map = flatten_reified(data, keys_df, has_reified=has_reified)
     else:
         reified_map = None
     keyed = with_term_keys(data, keys_df, use_hashed_literals_as_keys)

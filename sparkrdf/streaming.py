@@ -45,6 +45,28 @@ def merge_table_name(prefix: str, key: str) -> str:
     return ".".join(f"`{p}`" for p in parts)
 
 
+def merge_bootstrap_sql(tbl: str, view: str) -> str:
+    """CREATE TABLE IF NOT EXISTS from the batch view's schema (empty) —
+    MERGE INTO requires an existing target, so the first micro-batch against
+    a fresh catalog bootstraps it."""
+    return f"CREATE TABLE IF NOT EXISTS {tbl} AS SELECT * FROM {view} WHERE 1 = 0"
+
+
+def merge_sql(tbl: str, view: str) -> str:
+    """The row-level upsert statement the 'table' sink runs per micro-batch.
+    Engine-parser-validated in tests (tests/test_streaming.py): this sandbox
+    has no Iceberg/Delta jar to EXECUTE it against — Spark's built-in
+    catalog rejects MERGE with UNSUPPORTED_FEATURE.TABLE_OPERATION — but the
+    statement itself is proven valid Spark SQL, so a MERGE-capable catalog
+    only changes where it runs, not what is sent."""
+    return (
+        f"MERGE INTO {tbl} t USING {view} s "
+        "ON t.collection = s.collection AND t._key = s._key "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
 def crawl_metrics(pages_stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Windowed crawl metrics with late-data handling: pages and mean text
     length per (1-hour event-time window, lang)."""
@@ -161,18 +183,8 @@ def stream_pages_to_graph(
         tbl = merge_table_name(table_prefix or name, key)
         view = f"_sparkrdf_batch_{key}"
         new.createOrReplaceTempView(view)
-        # MERGE INTO requires an existing target — bootstrap it from the
-        # first batch's schema (empty) so a fresh catalog works
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {tbl} "
-            f"AS SELECT * FROM {view} WHERE 1 = 0"
-        )
-        spark.sql(
-            f"MERGE INTO {tbl} t USING {view} s "
-            "ON t.collection = s.collection AND t._key = s._key "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *"
-        )
+        spark.sql(merge_bootstrap_sql(tbl, view))
+        spark.sql(merge_sql(tbl, view))
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():

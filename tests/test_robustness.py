@@ -197,3 +197,119 @@ def test_serialize_turtle_fuzz_round_trip(rows):
         }
 
     assert canon(got) == canon(stmts)
+
+
+# ---------------------------------------------------------------------------
+# PGT round-trip fuzz (the PGT path has far more branch surface than RPT:
+# collection mapping, literal collapse, list assembly, reified flattening)
+# ---------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_ADB_KEY = "http://www.arangodb.com/key"
+
+_safe_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    min_size=1,
+    max_size=10,
+)
+# canonical-lexical literal values only: PGT stores typed literals as JSON
+# values (T4) and re-renders them on export, so "007"^^xsd:integer would
+# round-trip as "7" — same lossiness as the reference's rdflib toPython()
+_lit_value = st.one_of(
+    _safe_text.map(lambda t: (t, None)),
+    st.integers(-99, 99).map(lambda i: (str(i), _XSD + "integer")),
+    st.booleans().map(lambda b: ("true" if b else "false", _XSD + "boolean")),
+    st.sampled_from([0.5, -2.25, 3.125]).map(lambda f: (repr(f), _XSD + "double")),
+)
+
+
+@st.composite
+def _pgt_graph(draw):
+    rows = []
+    # plain statements — ONE value per (s, p): the exporter cannot tell a
+    # multi-valued property from an assembled rdf:Collection (both are JSON
+    # lists), so under list_conversion_mode="collection" only single-valued
+    # plain properties round-trip exactly (same ambiguity in the reference)
+    seen_sp = set()
+    for _ in range(draw(st.integers(2, 8))):
+        s = f"{EX}s{draw(st.integers(0, 5))}"
+        p = f"{EX}q{draw(st.integers(0, 3))}"
+        if (s, p) in seen_sp:
+            continue
+        seen_sp.add((s, p))
+        kind = draw(st.sampled_from(["uri", "lit", "type"]))
+        if kind == "uri":
+            rows.append(
+                ("URIRef", s, p, "URIRef", f"{EX}o{draw(st.integers(0, 5))}",
+                 None, None, None)
+            )
+        elif kind == "type":
+            rows.append(
+                ("URIRef", s, _RDF + "type", "URIRef",
+                 f"{EX}Class{draw(st.integers(0, 2))}", None, None, None)
+            )
+        else:
+            v, dt = draw(_lit_value)
+            rows.append(("URIRef", s, p, "Literal", v, None, dt, None))
+    # rdf:Collection lists (2+ elements: a 1-element chain imports as a
+    # scalar property and exports as a plain statement — T9 promotion)
+    for li in range(draw(st.integers(0, 2))):
+        els = draw(st.lists(_lit_value, min_size=2, max_size=4))
+        s, p = f"{EX}ls{li}", f"{EX}lp{li}"
+        nodes = [f"list{li}n{j}" for j in range(len(els))]
+        rows.append(("URIRef", s, p, "BNode", nodes[0], None, None, None))
+        for j, (v, dt) in enumerate(els):
+            rows.append(("BNode", nodes[j], _RDF + "first", "Literal", v, None, dt, None))
+            if j + 1 < len(els):
+                rows.append(
+                    ("BNode", nodes[j], _RDF + "rest", "BNode", nodes[j + 1],
+                     None, None, None)
+                )
+            else:
+                rows.append(
+                    ("BNode", nodes[j], _RDF + "rest", "URIRef", _RDF + "nil",
+                     None, None, None)
+                )
+    # reified statements WITH metadata (metadata-less reification flattens
+    # lossily by design — reference main.py:801-809) and with adb:key-pinned
+    # x of the form pred#key, so the re-reified edge URI rebuilds identically
+    for ri in range(draw(st.integers(0, 2))):
+        p = f"{EX}q{draw(st.integers(0, 3))}"
+        rs = f"{EX}s{draw(st.integers(0, 5))}"
+        ro = f"{EX}o{draw(st.integers(0, 5))}"
+        x = f"{p}#rk{ri}"
+        rows += [
+            ("URIRef", x, _RDF + "type", "URIRef", _RDF + "Statement", None, None, None),
+            ("URIRef", x, _RDF + "subject", "URIRef", rs, None, None, None),
+            ("URIRef", x, _RDF + "predicate", "URIRef", p, None, None, None),
+            ("URIRef", x, _RDF + "object", "URIRef", ro, None, None, None),
+            ("URIRef", x, _ADB_KEY, "Literal", f"rk{ri}", None, None, None),
+            ("URIRef", x, f"{EX}meta", "Literal", f"m{ri}", None, None, None),
+        ]
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_pgt_graph())
+def test_random_graph_pgt_round_trips(spark, rows):
+    """Generated graphs mixing typed literals, rdf:Collection chains, and
+    metadata-carrying reified statements survive pgt_transform →
+    pgt_to_statements identically (bnode-wildcarded set identity + bnode
+    count, the reference's subtract_graphs gate)."""
+    from pyspark.sql import functions as F
+
+    from sparkrdf.export import pgt_to_statements
+    from sparkrdf.pgt import pgt_transform
+
+    stmts = statements_df(spark, rows)
+    out = pgt_transform(stmts, "HYPGT")
+    exported = pgt_to_statements(
+        out["vertices"], out["edges"], list_conversion_mode="collection"
+    )
+    clean = stmts.filter(F.col("p") != _ADB_KEY)
+    assert_round_trip(clean, exported)
