@@ -387,6 +387,49 @@ def _sf_of(sf_dir):
         return 0.01
 
 
+_GOT_DUMP = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "data", "adb", "got_dump"
+)
+_GOT_NS = "http://adb/GameOfThrones"
+
+
+def q_adb_dump_vertices(spark, sf_dir):
+    """arangodump source (sparkrdf.adbdump): vendored GoT Characters
+    collection → property docs. Value oracle: DuckDB reads the same JSONL
+    dump directly; typed attributes (bool, int, list) must survive the
+    system/dynamic split with Python-faithful types."""
+    from sparkrdf.adbdump import read_arangodump
+
+    v = read_arangodump(spark, _GOT_DUMP, graph_ns=_GOT_NS)["vertices"]
+    return v.filter(F.col("collection") == "Characters").select(
+        "collection",
+        "_key",
+        F.get_json_object("properties", "$.name").alias("name"),
+        F.get_json_object("properties", "$.surname").alias("surname"),
+        F.get_json_object("properties", "$.alive").cast("boolean").alias("alive"),
+        F.get_json_object("properties", "$.age").cast("bigint").alias("age"),
+        F.json_array_length(
+            F.get_json_object("properties", "$.traits")
+        ).cast("bigint").alias("n_traits"),
+    )
+
+
+def q_adb_dump_edges(spark, sf_dir):
+    """arangodump source: GoT ChildOf edge collection → edge docs with the
+    collection IRI as predicate and metadata packed into properties."""
+    from sparkrdf.adbdump import read_arangodump
+
+    e = read_arangodump(spark, _GOT_DUMP, graph_ns=_GOT_NS)["edges"]
+    return e.select(
+        "collection",
+        "_key",
+        "_from",
+        "_to",
+        F.col("_uri").alias("pred_uri"),
+        F.get_json_object("properties", "$.foo").alias("foo"),
+    )
+
+
 def q_rel_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
@@ -497,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_exhaustive": q_sim_ivf_exhaustive,
         "sim_lsh_topk": q_sim_lsh_topk,
         "mm_image_features": q_mm_image_features,
+        "adb_dump_vertices": q_adb_dump_vertices,
+        "adb_dump_edges": q_adb_dump_edges,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_join_rollup": q_rel_join_rollup,
         "rel_window_topk": q_rel_window_topk,
@@ -1069,6 +1114,21 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   {_cosine_sql("a.embedding", "b.embedding")} AS score
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.35
+"""
+
+    got_chars = os.path.join(_GOT_DUMP, "Characters_*.data.json.gz")
+    got_childof = os.path.join(_GOT_DUMP, "ChildOf_*.data.json.gz")
+    sql["adb_dump_vertices"] = f"""
+SELECT 'Characters' AS collection, _key, name, surname, alive,
+  CAST(age AS BIGINT) AS age,
+  CAST(len(traits) AS BIGINT) AS n_traits
+FROM read_json('{got_chars}', format='newline_delimited')
+"""
+    sql["adb_dump_edges"] = f"""
+SELECT 'ChildOf' AS collection, _key, _from, _to,
+  '{_GOT_NS}/ChildOf' AS pred_uri,
+  json_extract_string(foo, '$') AS foo
+FROM read_json('{got_childof}', format='newline_delimited')
 """
 
     sql["rel_pricing_summary"] = """
