@@ -325,6 +325,22 @@ def q_text_pack_bins(spark, sf_dir):
     return pack_documents(_docs(spark, sf_dir), budget_tokens=2048, n_shards=8)
 
 
+def q_text_ngram_topk(spark, sf_dir):
+    """Corpus top-20 word bigrams, deterministic (count desc, gram asc)
+    tie-break — occurrence-level counting (not per-doc distinct)."""
+    from sparkrdf.textops import ngram_topk
+
+    return ngram_topk(_docs(spark, sf_dir), n=2, k=20)
+
+
+def q_text_token_histogram(spark, sf_dir):
+    """Token-length distribution in power-of-two buckets — the scalable
+    histogram form of a length-percentile report."""
+    from sparkrdf.textops import token_histogram
+
+    return token_histogram(_docs(spark, sf_dir))
+
+
 def q_sim_topk(spark, sf_dir):
     return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10).select(
         "vec_id", "score"
@@ -532,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "text_stats": q_text_stats,
+        "text_ngram_topk": q_text_ngram_topk,
+        "text_token_histogram": q_text_token_histogram,
         "text_hash_split": q_text_hash_split,
         "text_pack_bins": q_text_pack_bins,
         "sim_topk": q_sim_topk,
@@ -970,6 +988,31 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+    sql["text_ngram_topk"] = """
+WITH toks AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(lower(text)) <> ''),
+grams AS (
+  SELECT unnest(list_transform(range(1, len(w) - 2 + 2),
+                i -> array_to_string(w[i:i+2-1], ' '))) AS ngram
+  FROM toks WHERE len(w) >= 2)
+SELECT ngram, COUNT(*)::BIGINT AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT 20
+"""
+
+    sql["text_token_histogram"] = """
+WITH base AS (
+  SELECT CAST(FLOOR(LOG2((CASE WHEN trim(text) = '' THEN 0
+    ELSE len(string_split_regex(trim(text), '\\s+')) END) + 1.0)) AS BIGINT) AS bucket
+  FROM documents)
+SELECT bucket,
+  CAST(POW(2.0, bucket) - 1 AS BIGINT) AS lo_tokens,
+  COUNT(*)::BIGINT AS n_docs
+FROM base GROUP BY bucket
 """
 
     sql["text_stats"] = f"""

@@ -98,6 +98,62 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def ngram_topk(
+    docs: "DataFrame",
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Corpus-level top-k word n-grams → (ngram, n) with a deterministic
+    (count desc, ngram asc) tie-break.
+
+    Scale shape: the per-document gram expansion is one codegen'd
+    transform + explode (no Python); the count is a hash aggregate with
+    map-side partial combine, so the exchange carries one row per DISTINCT
+    gram per partition, and the final top-k is a TakeOrdered (no global
+    sort materialization). All occurrences count (unlike the dedup
+    shingles, which are per-document distinct)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.split(t, r"\s+")
+    grams = F.when(
+        (t != "") & (F.size(words) >= n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )
+
+
+def token_histogram(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Token-length distribution in power-of-two buckets →
+    (bucket, lo_tokens, n_docs). Bucket = floor(log2(tokens + 1)) — one
+    projection + a tiny hash aggregate (bounded bucket count), the scalable
+    form of a length histogram (exact percentiles at 100 TB would sort;
+    the histogram answers the same pipeline questions — truncation budgets,
+    outlier tails — with a constant-size result)."""
+    toks = token_count(F.col(text_col)).cast("double")
+    bucket = F.floor(F.log2(toks + F.lit(1.0))).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("long").alias("lo_tokens"),
+            "n_docs",
+        )
+    )
+
+
 def hash_split(
     docs: "DataFrame",
     id_col: str = "doc_id",

@@ -226,3 +226,32 @@ def test_lsh_topk_recall_vs_brute_force(spark, emb):
     assert len(set(exact) & set(ids)) >= 2
     again = [r["vec_id"] for r in lsh_cosine_topk(emb, query_id=0, k=10, max_hamming=3).collect()]
     assert ids == again
+
+
+def test_ngram_topk_and_token_histogram(spark):
+    """Corpus bigram top-k (occurrence-level, deterministic tie-break) and
+    power-of-two token histogram — edge cases: empty text, doc shorter than
+    n, ties broken lexicographically."""
+    from sparkrdf.textops import ngram_topk, token_histogram
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the cat sat on the cat"),
+            ("d2", "the cat"),
+            ("d3", "single"),
+            ("d4", "   "),
+            ("d5", ""),
+        ],
+        "doc_id string, text string",
+    )
+    top = [(r["ngram"], r["n"]) for r in ngram_topk(docs, n=2, k=3).collect()]
+    # "the cat" appears 3x (twice in d1, once in d2); remaining bigrams of
+    # d1 appear once each, tie broken by gram ascending
+    assert top == [("the cat", 3), ("cat sat", 1), ("on the", 1)]
+
+    hist = {r["bucket"]: (r["lo_tokens"], r["n_docs"]) for r in token_histogram(docs).collect()}
+    # d4/d5: 0 tokens -> bucket 0 (lo 0); d3: 1 token -> bucket 1 (lo 1);
+    # d2: 2 tokens -> bucket 1; d1: 6 tokens -> bucket 2 (lo 3)
+    assert hist[0] == (0, 2)
+    assert hist[1] == (1, 2)
+    assert hist[2] == (3, 1)
