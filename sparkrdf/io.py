@@ -181,6 +181,70 @@ def merge_properties_json(a: str | None, b: str | None) -> str | None:
     return json.dumps(da, sort_keys=True, separators=(",", ":"))
 
 
+KEY_BUCKET_COL = "_kb"
+
+
+def key_bucket(n_buckets: int):
+    """Deterministic key-hash bucket of (collection, _key) — the partition
+    key of the bucketed incremental table."""
+    return F.pmod(
+        F.xxhash64(F.col("collection"), F.col("_key")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def merge_into_bucketed(
+    spark, path: str, new: DataFrame, n_buckets: int = 64
+) -> list[int]:
+    """Incremental upsert into a key-bucketed parquet table: rewrite ONLY
+    the buckets the batch touches. Returns the touched bucket ids.
+
+    The scale fix for the O(table)-per-batch staging-swap fallback: the
+    batch's keys hash to a bounded set of ``_kb`` partition directories;
+    partition pruning limits the read to those directories, merge_by_key
+    merges within them, and dynamic partition overwrite replaces only the
+    written partitions. Per-batch cost is O(touched buckets · bucket size),
+    so with n_buckets sized to batch/table ratio a small batch rewrites a
+    small fraction of the table instead of all of it.
+
+    Crash model: dynamic partition overwrite commits per partition, so a
+    crash mid-commit can leave a mix of old and new buckets — safe here
+    because keys are deterministic and merge_by_key is idempotent: replaying
+    the same micro-batch (Structured Streaming's recovery contract)
+    re-merges every touched bucket to the identical final state. The
+    staging-swap sink remains the strictly-atomic (but O(table)) choice;
+    ``MERGE INTO`` on a real catalog supersedes both.
+    """
+    newb = new.withColumn(KEY_BUCKET_COL, key_bucket(n_buckets)).localCheckpoint(
+        eager=True
+    )
+    writer = (
+        newb.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(KEY_BUCKET_COL)
+    )
+    # first batch: materialize the bucketed table wholesale
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        writer.parquet(path)
+        return [r[0] for r in newb.select(KEY_BUCKET_COL).distinct().collect()]
+
+    touched = [r[0] for r in newb.select(KEY_BUCKET_COL).distinct().collect()]
+    # partition pruning keeps this read to the touched directories only;
+    # localCheckpoint materializes the merge BEFORE the write so Spark does
+    # not see a plan that reads the path it is overwriting
+    old = spark.read.parquet(path).filter(F.col(KEY_BUCKET_COL).isin(touched))
+    merged = merge_by_key(old, newb).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(KEY_BUCKET_COL)
+        .parquet(path)
+    )
+    return sorted(touched)
+
+
 def merge_by_key(old: DataFrame, new: DataFrame) -> DataFrame:
     """D2 cross-batch upsert-merge keyed on (collection, _key).
 

@@ -92,12 +92,16 @@ def select_sink(spark, merge_sink: str = "auto") -> str:
     - ``"table"``: real ``MERGE INTO`` against a catalog table — requires an
       Iceberg/Delta SQL extension in the session (the scale path: the merge
       is row-level, not O(table) per batch).
-    - ``"parquet-swap"``: plain-parquet staging-swap (the sandbox fallback,
-      O(table) per batch by construction).
+    - ``"parquet-bucketed"``: key-bucketed parquet with dynamic partition
+      overwrite — only the buckets a batch touches are rewritten,
+      O(touched buckets) per batch (sparkrdf.io.merge_into_bucketed);
+      replay-idempotent but not strictly atomic across buckets.
+    - ``"parquet-swap"``: plain-parquet staging-swap (strictly atomic
+      sandbox fallback, O(table) per batch by construction).
     - ``"auto"``: ``"table"`` when a MERGE-capable extension is configured,
       else ``"parquet-swap"``.
     """
-    if merge_sink not in ("auto", "table", "parquet-swap"):
+    if merge_sink not in ("auto", "table", "parquet-bucketed", "parquet-swap"):
         raise ValueError(f"unknown merge_sink {merge_sink!r}")
     exts = ""
     try:
@@ -203,6 +207,11 @@ def stream_pages_to_graph(
     def _sink_one(new: DataFrame, key: str, path: str, batch_id: int):
         if sink == "table":
             _merge_into_table(new, key)
+            return
+        if sink == "parquet-bucketed":
+            from sparkrdf.io import merge_into_bucketed
+
+            merge_into_bucketed(spark, path, new)
             return
         # Merge into a STAGING path first, then swap: the current table
         # stays intact for the whole (re)computation, so a lost executor

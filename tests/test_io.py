@@ -93,3 +93,57 @@ def test_merge_by_key_schema_violation_raises(spark):
     )
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_by_key(old, drifted)
+
+
+def test_merge_into_bucketed(spark, tmp_path):
+    """Bucketed incremental sink: only the key-buckets a batch touches are
+    rewritten (untouched partition files survive byte-identical), merged
+    properties follow merge_by_key semantics, and replaying the same batch
+    is idempotent (the crash-recovery contract)."""
+    import glob
+    import json as _json
+    import os
+
+    from sparkrdf.io import merge_into_bucketed
+
+    path = str(tmp_path / "tbl")
+    # engine-canonical compact rendering (merge_properties_json re-renders
+    # with sort_keys + compact separators; byte-level replay idempotence is
+    # only promised for canonical inputs)
+    dumps = lambda d: _json.dumps(d, sort_keys=True, separators=(",", ":"))
+    base = spark.createDataFrame(
+        [("C", f"k{i}", dumps({"a": i})) for i in range(50)],
+        "collection string, _key string, properties string",
+    )
+    merge_into_bucketed(spark, path, base, n_buckets=8)
+
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/_kb=*/*.parquet")
+    }
+    batch = spark.createDataFrame(
+        [("C", "k2", dumps({"b": 3})), ("C", "k999", dumps({"a": -1}))],
+        "collection string, _key string, properties string",
+    )
+    touched = merge_into_bucketed(spark, path, batch, n_buckets=8)
+    assert 1 <= len(touched) <= 2 < 8
+
+    rows = {r["_key"]: r["properties"] for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 51
+    assert _json.loads(rows["k2"]) == {"a": 2, "b": 3}  # merged, new wins
+    assert _json.loads(rows["k999"]) == {"a": -1}  # inserted
+    assert _json.loads(rows["k7"]) == {"a": 7}  # untouched
+
+    # untouched buckets were not rewritten
+    touched_dirs = {f"{path}/_kb={t}" for t in touched}
+    untouched = [
+        f for f in before
+        if not any(f.startswith(d + "/") for d in touched_dirs)
+    ]
+    assert untouched  # 8 buckets, <=2 touched: some must remain
+    for f in untouched:
+        assert os.path.exists(f) and os.path.getmtime(f) == before[f]
+
+    # replay idempotence
+    merge_into_bucketed(spark, path, batch, n_buckets=8)
+    rows2 = {r["_key"]: r["properties"] for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
