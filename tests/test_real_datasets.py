@@ -273,3 +273,71 @@ def test_imdb_pgt_round_trip(spark):
     assert not d["missing"] and not d["extra"], {
         k: v[:5] if isinstance(v, list) else v for k, v in d.items()
     }
+
+
+FRAUD_DUMP = os.path.join(DATA, "fraud_dump")
+FRAUD_NS = "http://adb/Fraud"
+
+
+def test_fraud_round_trips(spark):
+    """Fraud dump (third real dataset): metadata-LESS edges (accountHolder)
+    next to metadata-rich ones (transaction, Relationship), 17-digit float
+    properties (rank), cross-collection vertex key reuse (account vs
+    customer — v-key statements off, as with IMDB), and a meta-model
+    (Class/Relationship) riding along as ordinary collections.
+
+    Edge adb:key statements are attached ONLY to metadata-carrying edges
+    (the reference's GoT test asserts them under edge_has_metadata,
+    test_main.py:4820-4835): metadata-less edges round-trip as plain
+    triples, metadata-rich ones re-reify with their original keys."""
+    dump = read_arangodump(spark, FRAUD_DUMP, graph_ns=FRAUD_NS)
+    assert set(dump["collections"]) == {
+        "Class", "Relationship", "account", "accountHolder", "bank",
+        "branch", "customer", "transaction",
+    }
+    stmts = pgt_to_statements(
+        dump["vertices"],
+        dump["edges"],
+        graph_ns=FRAUD_NS,
+        infer_type_from_adb_v_col=True,
+        include_adb_v_col_statements=True,
+    )
+    # selective edge-key statements: only edges that reify (have metadata)
+    key_stmts = (
+        dump["edges"]
+        .filter(F.col("properties").isNotNull())
+        .select(
+            F.lit("URIRef").alias("s_kind"),
+            F.concat(F.col("_uri"), F.lit("#"), F.col("_key")).alias("s"),
+            F.lit(T.ADB_KEY_URI).alias("p"),
+            F.lit("Literal").alias("o_kind"),
+            F.col("_key").alias("o"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+            F.lit(None).cast("string").alias("sub_graph"),
+        )
+    )
+    stmts = stmts.unionByName(key_stmts).localCheckpoint(eager=True)
+    base = stmts.filter(F.col("p") != T.ADB_COL_URI).localCheckpoint(eager=True)
+    clean = base.filter(F.col("p") != T.ADB_KEY_URI)
+
+    # float fidelity: rank survives repr -> xsd:double -> repr exactly
+    ranks = {
+        r["o"]
+        for r in base.filter(F.col("p") == f"{FRAUD_NS}/rank").collect()
+    }
+    assert any("." in v and len(v) > 12 for v in ranks)
+
+    rpt = rpt_transform(base, "Fraud")
+    exported = edges_to_statements(rpt["vertices"], rpt["edges"], graph_ns=FRAUD_NS)
+    d = round_trip_diff(clean, exported)
+    assert not d["missing"] and not d["extra"], {
+        k: v[:5] if isinstance(v, list) else v for k, v in d.items()
+    }
+
+    pgt = pgt_transform(stmts, "Fraud")
+    exported2 = pgt_to_statements(pgt["vertices"], pgt["edges"], graph_ns=FRAUD_NS)
+    d = round_trip_diff(clean, exported2)
+    assert not d["missing"] and not d["extra"], {
+        k: v[:5] if isinstance(v, list) else v for k, v in d.items()
+    }
