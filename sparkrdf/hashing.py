@@ -470,15 +470,84 @@ def edge_key(s_key: str, p_key: str, o_key: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_JVM_UDF_SESSIONS: dict[str, bool] = {}
+
+
+def _jvm_hash_available(active) -> bool:
+    """True when the JVM farmhash UDF (sparkrdf.FarmHashKey, built by
+    sparkrdf.session.ensure_farmhash_jar and shipped via spark.jars) is
+    registered AND verified against the vendored Python implementation.
+    Checked once per application; any failure degrades to the Python UDFs."""
+    import os
+
+    if os.environ.get("SPARKRDF_NO_JVM_HASH"):
+        return False
+    app = active.sparkContext.applicationId
+    if app in _JVM_UDF_SESSIONS:
+        return _JVM_UDF_SESSIONS[app]
+    ok = False
+    try:
+        active.udf.registerJavaFunction(
+            "sparkrdf_fh", "sparkrdf.FarmHashKey", "string"
+        )
+        probe = "sparkrdf check é中"
+        got = active.sql(
+            "SELECT sparkrdf_fh(%s)" % ("'" + probe + "'")
+        ).first()[0]
+        ok = got == str(fingerprint64(probe))
+    except Exception:
+        ok = False
+    _JVM_UDF_SESSIONS[app] = ok
+    return ok
+
+
+def _jvm_udfs():
+    """JVM-side wrappers with the same call shapes as the pandas UDFs: the
+    whole hot path stays inside the JVM (no Arrow transfer of the statement
+    stream). The Zipf-memoization the Python path needed is irrelevant here —
+    Guava's farmhash runs at GB/s and the strings never leave the executor."""
+    from pyspark.sql import functions as F
+
+    def fh(col):
+        return F.call_udf("sparkrdf_fh", col)
+
+    def farmhash_udf(col):
+        return fh(col)
+
+    def edge_key_udf(sk, pk, ok):
+        # concat_ws skips nulls — the key contract returns null if ANY part
+        # is null (matching the pandas implementation)
+        joined = F.concat_ws("-", sk, pk, ok)
+        return F.when(
+            sk.isNull() | pk.isNull() | ok.isNull(), F.lit(None).cast("string")
+        ).otherwise(fh(joined))
+
+    def term_keys_udf(s, p, o):
+        return F.struct(
+            fh(s).alias("s_key"), fh(p).alias("p_key"), fh(o).alias("o_key")
+        )
+
+    return farmhash_udf, edge_key_udf, term_keys_udf
+
+
 def _make_udfs():
     from pyspark.sql import SparkSession
-    from pyspark.sql.functions import pandas_udf
 
     active = SparkSession.getActiveSession()
     if active is not None:
         from sparkrdf.session import ensure_pyfiles
 
         ensure_pyfiles(active)
+        if _jvm_hash_available(active):
+            return _jvm_udfs()
+    return _make_pandas_udfs()
+
+
+def _make_pandas_udfs():
+    """The Arrow-batched Python implementations — the fallback when the JVM
+    UDF jar is absent (no javac / cluster without --jars), and the
+    cross-check oracle for the JVM path (tests/test_hashing.py)."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def farmhash_udf(ids: pd.Series) -> pd.Series:

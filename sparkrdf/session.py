@@ -53,6 +53,80 @@ def ensure_pyfiles(spark) -> None:
     _SHIPPED.add(app)
 
 
+_FARMHASH_JAVA = """\
+package sparkrdf;
+
+import com.google.common.hash.Hashing;
+import java.nio.charset.StandardCharsets;
+import org.apache.spark.sql.api.java.UDF1;
+
+/**
+ * FarmHash Fingerprint64 document key as a JVM UDF: unsigned-decimal string
+ * of Guava's farmHashFingerprint64 over the UTF-8 bytes — byte-identical to
+ * the reference's str(farmhash.Fingerprint64(id)) and to the vendored
+ * Python implementation (pinned by tests/test_hashing.py against this very
+ * Guava function). Running the hash in the JVM keeps the statement stream
+ * out of the Python workers entirely — no Arrow round-trip on the hot path.
+ */
+public class FarmHashKey implements UDF1<String, String> {
+    @Override
+    public String call(String s) {
+        if (s == null) {
+            return null;
+        }
+        long h = Hashing.farmHashFingerprint64()
+                .hashString(s, StandardCharsets.UTF_8)
+                .asLong();
+        return Long.toUnsignedString(h);
+    }
+}
+"""
+
+
+def ensure_farmhash_jar() -> str | None:
+    """Compile the JVM farmhash UDF into a jar (cached in tmp; rebuilt when
+    this module is newer). Returns None when no javac is available — callers
+    fall back to the Arrow-batched Python UDFs."""
+    import shutil
+    import subprocess
+
+    javac = shutil.which("javac")
+    if javac is None:
+        return None
+    jar_path = os.path.join(tempfile.gettempdir(), "sparkrdf-farmhash.jar")
+    src_mtime = os.path.getmtime(os.path.abspath(__file__))
+    if os.path.exists(jar_path) and os.path.getmtime(jar_path) >= src_mtime:
+        return jar_path
+    try:
+        import pyspark
+
+        spark_jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        with tempfile.TemporaryDirectory() as tmp:
+            src_dir = os.path.join(tmp, "sparkrdf")
+            os.makedirs(src_dir)
+            src = os.path.join(src_dir, "FarmHashKey.java")
+            with open(src, "w", encoding="utf-8") as f:
+                f.write(_FARMHASH_JAVA)
+            out = os.path.join(tmp, "classes")
+            os.makedirs(out)
+            subprocess.run(
+                [javac, "-cp", os.path.join(spark_jars, "*"), "-d", out, src],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            tmp_jar = jar_path + ".tmp"
+            with zipfile.ZipFile(tmp_jar, "w") as z:
+                for root, _dirs, files in os.walk(out):
+                    for fn in sorted(files):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, out))
+            os.replace(tmp_jar, jar_path)
+        return jar_path
+    except Exception:
+        return None
+
+
 def _shm_has_headroom(min_free_bytes: int = 8 << 30) -> bool:
     """tmpfs is capped (~50% RAM): redirecting shuffle/spill there without a
     capacity check trades disk-speed wins for no-space-left failures. Only
@@ -104,6 +178,19 @@ def get_spark(app_name: str = "sparkrdf", master: str | None = None, **extra_con
         shm = "/dev/shm/sparkrdf-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
+    # JVM farmhash UDF jar: spark.jars ships it to executors; the driver
+    # needs it on its own classpath BEFORE JVM launch for
+    # registerJavaFunction to resolve the class (on a real cluster, pass
+    # --jars at submit; everything degrades to the Python UDFs otherwise)
+    if not os.environ.get("SPARKRDF_NO_JVM_HASH"):
+        fh_jar = ensure_farmhash_jar()
+        if fh_jar:
+            prior = extra_conf.get("spark.jars", "")
+            extra_conf["spark.jars"] = f"{prior},{fh_jar}" if prior else fh_jar
+            prior_cp = extra_conf.get("spark.driver.extraClassPath", "")
+            extra_conf["spark.driver.extraClassPath"] = (
+                f"{prior_cp}:{fh_jar}" if prior_cp else fh_jar
+            )
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -31,7 +31,9 @@ def ref_case(name: str) -> str:
 def spark():
     from pyspark.sql import SparkSession
 
-    spark = (
+    from sparkrdf.session import ensure_farmhash_jar
+
+    builder = (
         SparkSession.builder.master("local[8]")
         # one long-lived JVM serves the whole suite; transforms cache
         # intermediates, so size the heap for accumulation and clear the SQL
@@ -42,7 +44,16 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .appName("sparkrdf-tests")
-        .getOrCreate()
+    )
+    # JVM farmhash UDF: the suite runs the production (JVM) hash path;
+    # the Python path keeps direct coverage via _make_pandas_udfs tests
+    fh_jar = ensure_farmhash_jar()
+    if fh_jar:
+        builder = builder.config("spark.jars", fh_jar).config(
+            "spark.driver.extraClassPath", fh_jar
+        )
+    spark = (
+        builder.getOrCreate()
     )
     yield spark
     spark.stop()

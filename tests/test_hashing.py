@@ -83,3 +83,47 @@ def test_cross_check_guava_farmhash(spark):
     # unicode path: utf-8 bytes
     s = "schön–ユニコード✓" * 20  # > 64 utf-8 bytes
     assert fingerprint64(s) == guava(s.encode("utf-8"))
+
+
+def test_jvm_and_python_udf_paths_agree(spark):
+    """The JVM farmhash UDF (Guava, via spark.jars) and the Arrow-batched
+    Python implementation must produce identical keys. Hard-gated: this
+    session is expected to have the jar (conftest builds it) — if the JVM
+    path is unavailable that is a build regression, not a skip."""
+    from pyspark.sql import functions as F
+
+    from sparkrdf.hashing import (
+        _jvm_hash_available,
+        _jvm_udfs,
+        _make_pandas_udfs,
+        fingerprint64,
+    )
+
+    assert _jvm_hash_available(spark), "JVM farmhash UDF missing from test session"
+    jfh, jek, jtk = _jvm_udfs()
+    pfh, pek, ptk = _make_pandas_udfs()
+
+    df = spark.createDataFrame(
+        [("http://x/a",), ("é中🎉",), ("",), (None,), ("a-b-c",)], "v string"
+    )
+    rows = df.select(
+        jfh(F.col("v")).alias("j"), pfh(F.col("v")).alias("p")
+    ).collect()
+    for r in rows:
+        assert r["j"] == r["p"]
+    # spot-pin one value against the in-process implementation
+    by_in = {r["j"] for r in rows}
+    assert str(fingerprint64("http://x/a")) in by_in
+
+    tdf = spark.createDataFrame(
+        [("s1", "p1", "o1"), ("s1", None, "o1")], "s string, p string, o string"
+    )
+    got = tdf.select(
+        jtk(F.col("s"), F.col("p"), F.col("o")).alias("jt"),
+        ptk(F.col("s"), F.col("p"), F.col("o")).alias("pt"),
+        jek(F.col("s"), F.col("p"), F.col("o")).alias("je"),
+        pek(F.col("s"), F.col("p"), F.col("o")).alias("pe"),
+    ).collect()
+    for r in got:
+        assert r["jt"].asDict() == r["pt"].asDict()
+        assert r["je"] == r["pe"]
