@@ -30,6 +30,49 @@ spark.stop()
 """
 
 
+def _run_job(submit, zpath, tmp_path, run_id):
+    """Launch sparkrdf/job.py itself via spark-submit (production shape)."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            submit, "--master", "local[2]", "--py-files", zpath,
+            os.path.join(repo, "sparkrdf", "job.py"),
+            "--synthesize", "200", "--ckpt", str(tmp_path / "ckpt"),
+            "--out", str(tmp_path / "graph"), "--run-id", run_id,
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("JOB_RESULT")]
+    assert line, out.stdout[-2000:]
+    return json.loads(line[0].split(" ", 1)[1])
+
+
+def test_spark_submit_job_entrypoint_resumes_across_processes(tmp_path):
+    """Two separate spark-submit processes, same --ckpt: the first computes
+    every stage, the second resumes every stage with identical counts — the
+    north rule's crash-resume story at the real process boundary."""
+    submit = shutil.which("spark-submit")
+    if submit is None:
+        pytest.skip("spark-submit not on PATH")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sparkrdf.session import package_zip
+
+    zpath = package_zip(str(tmp_path / "sparkrdf.zip"))
+    r1 = _run_job(submit, zpath, tmp_path, "boot")
+    assert r1["triples"] > 0 and r1["edges"] > 0
+    assert all(s == "computed" for s in r1["stages"].values()), r1
+
+    r2 = _run_job(submit, zpath, tmp_path, "again")
+    assert all(s == "resumed" for s in r2["stages"].values()), r2
+    assert (r2["triples"], r2["vertices"], r2["edges"]) == (
+        r1["triples"], r1["vertices"], r1["edges"]
+    )
+
+
 def test_spark_submit_py_files(tmp_path):
     submit = shutil.which("spark-submit")
     if submit is None:
