@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from sparkrdf.extract.gazetteer import KG, PREDICATES, RDF_TYPE
 from sparkrdf.extract.link import link_mentions
-from sparkrdf.extract.mint import with_page_iri
+from sparkrdf.extract.mint import page_iri_col, with_page_iri
 from sparkrdf.extract.ner import detect_mentions
 from sparkrdf.ttl import STATEMENT_COLUMNS
 
@@ -99,11 +99,14 @@ def extract_triples(spark, pages: DataFrame) -> DataFrame:
 
     mentions = detect_mentions(pages)
     links = link_mentions(spark, mentions)
-    page_keys = pages.select("url", "page_iri")
+    # page_iri is a pure function of url (farmhash mint), so the mention
+    # stream gets it as a projection — joining back to pages would shuffle
+    # 6x the page count of mention rows for a value computable in place
+    linked = links.withColumn("page_iri", page_iri_col(F.col("url")))
     # persist: both the mention statements and the entity-type statements
     # derive from this (small) set — without a barrier the whole NER+linking
     # chain re-executes per consumer
-    linked = links.join(page_keys, "url", "inner").persist()
+    linked = linked.persist()
 
     mention_stmts = linked.select(
         *_stmt(
