@@ -218,6 +218,19 @@ def q_kg_doc_mentions(spark, sf_dir):
     return m.select("doc_id", "surface", F.col("n").cast("int").alias("n"))
 
 
+def q_kg_doc_mentions_jvm(spark, sf_dir):
+    """The all-JVM NER variant (regexp_extract_all inside codegen — the
+    flagship pipeline's path, sparkrdf/extract/ner.py detect_mentions_jvm)
+    against the same DuckDB oracle: three regex engines, one answer."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    return m.select("doc_id", "surface", F.col("n").cast("int").alias("n"))
+
+
 #: the pages pipeline's materialized input — synthesized once per run
 #: (deterministic, idempotent overwrite) so Spark and the DuckDB oracle read
 #: the exact same parquet file. Fixed n=2000 → a static path the oracle SQL
@@ -539,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pgt_ctx_edges": q_kg_pgt_ctx_edges,
         "kg_pgt_edge_defs": q_kg_pgt_edge_defs,
         "kg_doc_mentions": q_kg_doc_mentions,
+        "kg_doc_mentions_jvm": q_kg_doc_mentions_jvm,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1042,20 +1056,19 @@ FROM langed
 """
 
     # identical alternation order as the Spark mapInPandas stage; RE2 has no
-    # lookarounds, but \b ≡ (?<!\w)/(?!\w) for surfaces bounded by word chars
-    from sparkrdf.extract.ner import mention_pattern
+    # lookarounds — mention_pattern_re2 emits the \b form (ASCII boundary,
+    # exactly the explicit class the Spark-side pattern asserts)
+    from sparkrdf.extract.ner import mention_pattern_re2
 
-    ner_pat = (
-        mention_pattern(DOC_NER_DICT)
-        .replace(r"(?<!\w)", r"\b")
-        .replace(r"(?!\w)", r"\b")
-    )
+    ner_pat = mention_pattern_re2(DOC_NER_DICT)
     sql["kg_doc_mentions"] = f"""
 SELECT doc_id, surface, COUNT(*)::INT AS n
 FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS surface
       FROM documents)
 GROUP BY doc_id, surface
 """
+    # same oracle, Spark side runs the codegen (JVM regex) detector
+    sql["kg_doc_mentions_jvm"] = sql["kg_doc_mentions"]
 
     # pages pipeline over the materialized input parquet (written eagerly by
     # q_kg_pages_pipeline before the oracle runs — same file, both engines).
@@ -1067,11 +1080,7 @@ GROUP BY doc_id, surface
     from sparkrdf.extract.gazetteer import RDF_TYPE as _ERDF_TYPE
     from sparkrdf.extract.link import scored_gazetteer
 
-    page_pat = (
-        mention_pattern()
-        .replace(r"(?<!\w)", r"\b")
-        .replace(r"(?!\w)", r"\b")
-    )
+    page_pat = mention_pattern_re2()
     gaz_vals = ", ".join(
         f"('{s}', '{ent}', '{cls}')" for s, ent, cls, _lbl, _sc in scored_gazetteer()
     )

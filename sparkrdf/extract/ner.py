@@ -28,10 +28,60 @@ def mention_pattern(dictionary: Sequence[str] | None = None) -> str:
     (-len, lexicographic) so Python re and RE2 (DuckDB) compile the same
     preference order. Equal-length distinct literals can never compete at
     one position, so the lexicographic tie-break is purely for determinism
-    of the pattern text itself."""
+    of the pattern text itself.
+
+    Word boundaries are the EXPLICIT class ``[0-9A-Za-z_]``, not ``\\w``:
+    Python re's ``\\w`` is Unicode-aware while Java regex (Spark's
+    ``regexp_extract_all``) and RE2 (DuckDB) default to ASCII — the explicit
+    class makes all three engines match identically by construction instead
+    of by corpus accident, which is what lets the same pattern serve the
+    pandas operator, the JVM operator, and the SQL oracle."""
     alts = sorted(set(dictionary if dictionary is not None else surfaces()),
                   key=lambda s: (-len(s), s))
-    return r"(?<!\w)(" + "|".join(re.escape(s) for s in alts) + r")(?!\w)"
+    w = "[0-9A-Za-z_]"
+    return (
+        f"(?<!{w})(" + "|".join(re.escape(s) for s in alts) + f")(?!{w})"
+    )
+
+
+def mention_pattern_re2(dictionary: Sequence[str] | None = None) -> str:
+    """RE2-compatible form of :func:`mention_pattern` for the DuckDB oracle:
+    RE2 has no lookarounds, but ``\\b`` is the ASCII word boundary —
+    exactly the explicit ``[0-9A-Za-z_]`` class the lookarounds assert —
+    provided every surface starts and ends with a word character (true of
+    the gazetteer; enforced here)."""
+    alts = sorted(set(dictionary if dictionary is not None else surfaces()),
+                  key=lambda s: (-len(s), s))
+    for s in alts:
+        if not (re.match(r"[0-9A-Za-z_]", s) and re.search(r"[0-9A-Za-z_]$", s)):
+            raise ValueError(
+                f"surface {s!r} not word-char bounded; \\b rewrite invalid"
+            )
+    return r"\b(" + "|".join(re.escape(s) for s in alts) + r")\b"
+
+
+def detect_mentions_jvm(df, dictionary: Sequence[str] | None = None,
+                        id_col: str = "url", text_col: str = "text"):
+    """All-JVM variant of :func:`detect_mentions`: (id, surface, n) without
+    match offsets, via ``regexp_extract_all`` inside whole-stage codegen —
+    the text never crosses the Python boundary. Match set is identical to
+    the pandas operator (same pattern string, same leftmost-longest
+    alternation semantics in Java regex as in Python re and RE2); the
+    flagship pipeline uses this because it never consumes offsets. The
+    explode feeds a map-side-partial count keyed by (id, surface), so only
+    narrow match rows shuffle, never text."""
+    from pyspark.sql import functions as F
+
+    src = mention_pattern(dictionary)
+    matches = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(src), 1)).alias(
+            "surface"
+        ),
+    )
+    return matches.groupBy(id_col, "surface").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
+    )
 
 
 def detect_mentions(df, dictionary: Sequence[str] | None = None,

@@ -59,6 +59,43 @@ def test_mention_detection(spark):
         ).collect()[0]["text"]
 
 
+def test_mention_detection_jvm_parity(spark):
+    """The all-JVM detector (regexp_extract_all, used by the flagship
+    pipeline) must produce the exact (id, surface, n) set of the pandas
+    operator — same pattern string, three regex engines, one answer."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+
+    pages = synthesize_pages(spark, 120)
+    pd_rows = {
+        (r["url"], r["surface"], r["n"])
+        for r in detect_mentions(pages).collect()
+    }
+    jvm_rows = {
+        (r["url"], r["surface"], r["n"])
+        for r in detect_mentions_jvm(pages).collect()
+    }
+    assert pd_rows == jvm_rows and pd_rows
+
+    # adversarial boundaries: unicode word chars adjacent to a surface are
+    # treated as boundaries by ALL engines (explicit ASCII class)
+    rows = [
+        (1, "xAlan Turing"),        # word char blocks "Alan Turing"; bare "Turing" still hits
+        (2, "Alan Turingé"),        # non-ASCII after -> boundary, full surface matches
+        (3, "ηAlan Turing then Alan Turing_x"),  # unicode boundary ok; trailing _ blocks
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got_pd = {
+        (r["id"], r["surface"], r["n"])
+        for r in detect_mentions(df, id_col="id").collect()
+    }
+    got_jvm = {
+        (r["id"], r["surface"], r["n"])
+        for r in detect_mentions_jvm(df, id_col="id").collect()
+    }
+    expect = {(1, "Turing", 1), (2, "Alan Turing", 1), (3, "Alan Turing", 1)}
+    assert got_pd == expect and got_jvm == expect
+
+
 def test_extract_triples_end_to_end(spark):
     pages = synthesize_pages(spark, 40)
     t = extract_triples(spark, pages).collect()
