@@ -593,15 +593,16 @@ def graph_to_statements(
     ``vertex_collections`` (which includes vertex-only collections such as
     Property/Class that never appear as edge endpoints)."""
     import json
-    import os
+    import posixpath
 
-    manifest_path = os.path.join(base, f"{name}.manifest.json")
-    with open(manifest_path, encoding="utf-8") as f:
-        manifest = json.load(f)
+    from sparkrdf.fsutil import fs_read_text
+
+    manifest_path = posixpath.join(base, f"{name}.manifest.json")
+    manifest = json.loads(fs_read_text(spark, manifest_path))
     e_cols = set(manifest["edge_definitions"])
     v_cols = set(manifest["vertex_collections"])
-    vertices = spark.read.parquet(os.path.join(base, "vertices"))
-    edges = spark.read.parquet(os.path.join(base, "edges"))
+    vertices = spark.read.parquet(posixpath.join(base, "vertices"))
+    edges = spark.read.parquet(posixpath.join(base, "edges"))
     return collections_to_statements(
         vertices,
         edges,

@@ -22,10 +22,11 @@ unioning from/to collection sets (main.py:3278-3364). Here:
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import time
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,7 +45,7 @@ def write_lineage(spark, base: str, run_id: str, stage: str, rows: list[tuple]):
         "run_id string, stage string, partition_id int, input_rows long, "
         "output_rows long, status string",
     ).withColumn("written_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
-    df.write.mode("append").parquet(os.path.join(base, "lineage"))
+    df.write.mode("append").parquet(posixpath.join(base, "lineage"))
 
 
 def partition_counts(df: DataFrame) -> list[tuple]:
@@ -79,27 +80,27 @@ def write_graph(
     Returns the written manifest. Idempotent per run_id: writes are
     overwrite-mode per table, the manifest unions with prior imports.
     """
+    from sparkrdf.fsutil import fs_exists, fs_mkdirs, fs_read_text, fs_write_text
+
     spark = graph["vertices"].sparkSession
-    os.makedirs(base, exist_ok=True)
+    # Hadoop FS, not os.makedirs: ``base`` may be HDFS/S3A on a cluster
+    fs_mkdirs(spark, base)
 
     v_counts = partition_counts(graph["vertices"])
-    write_table(graph["vertices"], os.path.join(base, "vertices"))
+    write_table(graph["vertices"], posixpath.join(base, "vertices"))
     e_counts = partition_counts(graph["edges"])
-    write_table(graph["edges"], os.path.join(base, "edges"))
+    write_table(graph["edges"], posixpath.join(base, "edges"))
 
-    manifest_path = os.path.join(base, f"{name}.manifest.json")
-    existing = {}
-    if os.path.exists(manifest_path):
-        with open(manifest_path, encoding="utf-8") as f:
-            existing = json.load(f).get("edge_definitions", {})
+    manifest_path = posixpath.join(base, f"{name}.manifest.json")
+    prior = {}
+    if fs_exists(spark, manifest_path):
+        prior = json.loads(fs_read_text(spark, manifest_path))
+    existing = prior.get("edge_definitions", {})
     edefs = merge_edge_definitions(existing, [r.asDict() for r in graph["edge_definitions"].collect()])
     # vertex collections include vertex-ONLY ones (Property, Class, orphan
     # resources) that never appear as edge endpoints — the manifest must
     # record them or a manifest-driven export loses their documents
-    prior_vcols = set()
-    if os.path.exists(manifest_path):
-        with open(manifest_path, encoding="utf-8") as f:
-            prior_vcols = set(json.load(f).get("vertex_collections", []))
+    prior_vcols = set(prior.get("vertex_collections", []))
     v_cols = sorted(
         prior_vcols
         | {
@@ -115,8 +116,7 @@ def write_graph(
         "vertices_rows": sum(c for _, c in v_counts),
         "edges_rows": sum(c for _, c in e_counts),
     }
-    with open(manifest_path, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
+    fs_write_text(spark, manifest_path, json.dumps(manifest, indent=2, sort_keys=True))
 
     write_lineage(
         spark,
@@ -137,9 +137,10 @@ def read_graph(spark, base: str, name: str = "graph") -> dict:
     collections named by the edge definitions, so sibling graphs sharing the
     same base directory don't leak in.
     """
-    manifest_path = os.path.join(base, f"{name}.manifest.json")
-    with open(manifest_path, encoding="utf-8") as f:
-        manifest = json.load(f)
+    from sparkrdf.fsutil import fs_read_text
+
+    manifest_path = posixpath.join(base, f"{name}.manifest.json")
+    manifest = json.loads(fs_read_text(spark, manifest_path))
     edefs = manifest.get("edge_definitions", {})
     e_cols = sorted(edefs)
     # manifest-recorded vertex collections (includes vertex-only ones like
@@ -148,8 +149,8 @@ def read_graph(spark, base: str, name: str = "graph") -> dict:
     v_cols = sorted(manifest.get("vertex_collections", [])) or sorted(
         {c for d in edefs.values() for c in d.get("from", []) + d.get("to", [])}
     )
-    vertices = spark.read.parquet(os.path.join(base, "vertices"))
-    edges = spark.read.parquet(os.path.join(base, "edges"))
+    vertices = spark.read.parquet(posixpath.join(base, "vertices"))
+    edges = spark.read.parquet(posixpath.join(base, "edges"))
     if v_cols:
         vertices = vertices.filter(F.col("collection").isin(v_cols))
     if e_cols:

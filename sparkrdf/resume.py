@@ -33,17 +33,13 @@ for idempotence only). This is a from-scratch design for the Spark model.
 from __future__ import annotations
 
 import json
-import os
-import shutil
+import posixpath
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sparkrdf.fsutil import fs_delete, fs_exists, fs_mkdirs, fs_read_text, fs_write_text
 from sparkrdf.io import partition_counts, write_lineage
-
-
-def _success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 class ResumableJob:
@@ -62,7 +58,11 @@ class ResumableJob:
         self.ckpt_dir = ckpt_dir
         self.run_id = run_id
         self._metrics: list[dict] = []
-        os.makedirs(os.path.join(ckpt_dir, "stages"), exist_ok=True)
+        # Hadoop FS, not os.makedirs: the checkpoint root may be HDFS/S3A
+        fs_mkdirs(spark, posixpath.join(ckpt_dir, "stages"))
+
+    def _success(self, path: str) -> bool:
+        return fs_exists(self.spark, posixpath.join(path, "_SUCCESS"))
 
     # -- core ------------------------------------------------------------
     def stage(self, name: str, fn: Callable[[], DataFrame]) -> DataFrame:
@@ -72,13 +72,12 @@ class ResumableJob:
         The returned DataFrame always reads from the checkpoint, so
         downstream stages never re-execute this stage's plan.
         """
-        out = os.path.join(self.ckpt_dir, "stages", name)
-        if _success(out):
+        out = posixpath.join(self.ckpt_dir, "stages", name)
+        if self._success(out):
             self._record(name, out, status="resumed")
             return self.spark.read.parquet(out)
-        if os.path.exists(out):
-            # crash artifact: directory exists but the write never committed
-            shutil.rmtree(out)
+        # crash artifact: directory exists but the write never committed
+        fs_delete(self.spark, out)
         fn().write.mode("overwrite").parquet(out)
         self._record(name, out, status="computed", fresh=True)
         return self.spark.read.parquet(out)
@@ -90,32 +89,29 @@ class ResumableJob:
         vertices/edges/edge_definitions). The transform runs ONCE; each output
         is checkpointed under ``stages/{name}/{key}``; the stage resumes only
         if every output committed."""
-        base = os.path.join(self.ckpt_dir, "stages", name)
-        keys_path = os.path.join(base, ".outputs.json")
-        if os.path.exists(keys_path):
-            with open(keys_path, encoding="utf-8") as f:
-                keys = json.load(f)
-            if all(_success(os.path.join(base, k)) for k in keys):
+        base = posixpath.join(self.ckpt_dir, "stages", name)
+        keys_path = posixpath.join(base, ".outputs.json")
+        if fs_exists(self.spark, keys_path):
+            keys = json.loads(fs_read_text(self.spark, keys_path))
+            if all(self._success(posixpath.join(base, k)) for k in keys):
                 out = {}
                 for k in keys:
-                    p = os.path.join(base, k)
+                    p = posixpath.join(base, k)
                     self._record(f"{name}/{k}", p, status="resumed")
                     out[k] = self.spark.read.parquet(p)
                 return out
-        if os.path.exists(base):
-            shutil.rmtree(base)
+        fs_delete(self.spark, base)
         tables = fn()
-        os.makedirs(base, exist_ok=True)
+        fs_mkdirs(self.spark, base)
         out = {}
         for k, df in tables.items():
-            p = os.path.join(base, k)
+            p = posixpath.join(base, k)
             df.write.mode("overwrite").parquet(p)
             self._record(f"{name}/{k}", p, status="computed", fresh=True)
             out[k] = self.spark.read.parquet(p)
         # commit marker for the stage as a whole: written LAST, so a crash
         # between table writes leaves no .outputs.json and the stage reruns
-        with open(keys_path, "w", encoding="utf-8") as f:
-            json.dump(sorted(tables.keys()), f)
+        fs_write_text(self.spark, keys_path, json.dumps(sorted(tables.keys())))
         release = getattr(tables, "release", None)
         if callable(release):
             release()
@@ -123,14 +119,15 @@ class ResumableJob:
 
     # -- metrics ----------------------------------------------------------
     def _record(self, stage: str, path: str, status: str, fresh: bool = False):
-        sidecar = os.path.join(path, ".metrics.json")
-        if fresh or not os.path.exists(sidecar):
+        sidecar = posixpath.join(path, ".metrics.json")
+        if fresh or not fs_exists(self.spark, sidecar):
             counts = partition_counts(self.spark.read.parquet(path))
-            with open(sidecar, "w", encoding="utf-8") as f:
-                json.dump({"partition_rows": counts}, f)
+            fs_write_text(self.spark, sidecar, json.dumps({"partition_rows": counts}))
         else:
-            with open(sidecar, encoding="utf-8") as f:
-                counts = [tuple(t) for t in json.load(f)["partition_rows"]]
+            counts = [
+                tuple(t)
+                for t in json.loads(fs_read_text(self.spark, sidecar))["partition_rows"]
+            ]
         write_lineage(
             self.spark,
             self.ckpt_dir,

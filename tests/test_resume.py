@@ -133,3 +133,25 @@ def test_crash_between_multi_stage_tables_reruns_stage(spark, pages, tmp_path):
     assert by_stage["statements"] == "resumed"
     assert by_stage["rpt/vertices"] == "computed"
     assert _table_fingerprint(tables2["vertices"]) == fp_v
+
+
+def test_checkpoint_root_as_file_uri(spark, pages, tmp_path):
+    """The checkpoint root resolves through the Hadoop FileSystem API, so a
+    scheme-qualified URI (file://, and on a cluster hdfs:// / s3a://) works
+    the same as a bare POSIX path — os.path/open() would not."""
+    ckpt = f"file://{tmp_path}/ckpt-uri"
+    tables1, metrics1 = run_extract_job(spark, pages, ckpt, run_id="r1")
+    assert all(m["status"] == "computed" for m in metrics1)
+    fp1 = _table_fingerprint(tables1["statements"])
+
+    # sidecars + commit markers landed where the URI points
+    local = str(tmp_path / "ckpt-uri")
+    assert os.path.exists(os.path.join(local, "stages", "statements", "_SUCCESS"))
+    assert os.path.exists(os.path.join(local, "stages", "rpt", ".outputs.json"))
+    assert os.path.exists(
+        os.path.join(local, "stages", "statements", ".metrics.json")
+    )
+
+    tables2, metrics2 = run_extract_job(spark, pages, ckpt, run_id="r2")
+    assert all(m["status"] == "resumed" for m in metrics2)
+    assert _table_fingerprint(tables2["statements"]) == fp1
