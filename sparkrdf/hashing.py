@@ -473,16 +473,33 @@ def edge_key(s_key: str, p_key: str, o_key: str) -> str:
 _JVM_UDF_SESSIONS: dict[str, bool] = {}
 
 
+def ensure_jvm_hash(session) -> bool:
+    """Register+verify the JVM farmhash UDF on ``session`` specifically.
+
+    Callers that analyze plans against a session OTHER than the active one
+    (Structured Streaming's foreachBatch hands the callback a cloned session)
+    must call this on the plan's session, or expressions built while the
+    active session reports the UDF available fail analysis with
+    UNRESOLVED_ROUTINE on the clone."""
+    return _jvm_hash_available(session)
+
+
 def _jvm_hash_available(active) -> bool:
     """True when the JVM farmhash UDF (sparkrdf.FarmHashKey, built by
     sparkrdf.session.ensure_farmhash_jar and shipped via spark.jars) is
     registered AND verified against the vendored Python implementation.
-    Checked once per application; any failure degrades to the Python UDFs."""
+    Checked once per SESSION — not per application: UDF registration is
+    session-scoped and Structured Streaming's foreachBatch runs in a cloned
+    session where `sparkrdf_fh` is not yet registered (caching per-app made
+    every streaming micro-batch fail with UNRESOLVED_ROUTINE). Any failure
+    degrades to the Python UDFs."""
     import os
 
     if os.environ.get("SPARKRDF_NO_JVM_HASH"):
         return False
-    app = active.sparkContext.applicationId
+    # the JVM SparkSession object identifies the clone; the Python wrapper
+    # object is recreated per getActiveSession() call and can't be the key
+    app = (active.sparkContext.applicationId, active._jsparkSession.hashCode())
     if app in _JVM_UDF_SESSIONS:
         return _JVM_UDF_SESSIONS[app]
     ok = False

@@ -193,6 +193,12 @@ def stream_pages_to_graph(
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
+        # foreachBatch hands a CLONED session: session-scoped UDFs (the JVM
+        # farmhash) registered on the main session don't exist there, so the
+        # batch plan would fail analysis with UNRESOLVED_ROUTINE
+        from sparkrdf.hashing import ensure_jvm_hash
+
+        ensure_jvm_hash(batch_df.sparkSession)
         stmts = extract_triples(spark, batch_df).localCheckpoint(eager=True)
         # context-manage the transform output: each call pins a cached
         # keyed-statement block set, and a long-running stream would
