@@ -409,6 +409,50 @@ def q_mm_image_features(spark, sf_dir):
     )
 
 
+def q_mm_audio_features(spark, sf_dir):
+    """Multimodal audio plumbing: synthesized deterministic binary audio →
+    Arrow-batched decode + (sample_rate, duration, RMS, zero-crossings).
+
+    FULL value oracle, unlike the image/video queries: the synthetic audio
+    payload is a deterministic sine of the row id, so DuckDB recomputes the
+    int16 samples from first principles (same FP op order, TRUNC-toward-zero
+    cast) — proving the binary encode → Arrow decode → feature pipeline
+    end-to-end, not just row counts. RMS is integer-exact (sum of exact
+    int squares < 2^53, any summation order), so only the sin→int16
+    truncation boundary could ever diverge (probed: 0/2000 mismatches)."""
+    from sparkrdf.multimodal import audio_features, synthesize_media
+
+    # fixed n (not sf-scaled): the oracle recomputes the same 2000 synthetic
+    # rows, so query and oracle must agree on n at every sf
+    media = synthesize_media(spark, 2000, kind="audio")
+    return audio_features(media).select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 3).alias("rms"), "zero_crossings", "ok",
+    )
+
+
+def q_mm_video_frames(spark, sf_dir):
+    """Multimodal video plumbing: binary video → frame sampling (1→many
+    flatMap) → per-frame image features, the full decode pipeline
+    composition. No oracle (binary decode); pinned by
+    tests/test_multimodal.py frame-sample composition tests."""
+    from sparkrdf.multimodal import image_features, sample_frames, synthesize_media
+
+    n = max(100, int(500 * _sf_of(sf_dir) * 100))
+    media = synthesize_media(spark, n, kind="video")
+    frames = sample_frames(media, every_n=2)
+    return image_features(
+        frames.withColumn(
+            "frame_id", F.concat_ws(":", "doc_id", F.col("frame_idx").cast("string"))
+        ),
+        id_col="frame_id",
+        bin_col="frame",
+    ).select(
+        F.col("doc_id").alias("frame_id"), "width", "height", "channels", "phash", "ok"
+    )
+
+
 def _sf_of(sf_dir):
     try:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -572,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_exhaustive": q_sim_ivf_exhaustive,
         "sim_lsh_topk": q_sim_lsh_topk,
         "mm_image_features": q_mm_image_features,
+        "mm_audio_features": q_mm_audio_features,
+        "mm_video_frames": q_mm_video_frames,
         "adb_dump_vertices": q_adb_dump_vertices,
         "adb_dump_edges": q_adb_dump_edges,
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -1166,6 +1212,27 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   {_cosine_sql("a.embedding", "b.embedding")} AS score
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.35
+"""
+
+    # mm_audio_features: recompute the synthetic int16 sine samples from the
+    # row id (sparkrdf.multimodal.synthesize_media kind="audio") instead of
+    # decoding the blob — same FP op order ((j*freq/8000.0)*2*pi), TRUNC
+    # toward zero like numpy's astype(int16). n = 2000 fixed on both sides
+    # (q_mm_audio_features synthesizes exactly 2000 rows at every sf).
+    sql["mm_audio_features"] = """
+WITH ids AS (SELECT unnest(range(0, 2000)) AS i),
+par AS (SELECT 'audio' || i AS doc_id, 8000 AS sr,
+               1000 + (i % 500) AS ns, (220 + (i % 200))::BIGINT AS freq FROM ids),
+smp AS (SELECT doc_id, sr, ns,
+  list_transform(range(0, ns),
+    j -> CAST(TRUNC(sin((j * freq / 8000.0) * 2 * pi()) * 8000) AS INTEGER)) AS s
+  FROM par)
+SELECT doc_id, sr AS sample_rate, ns AS n_samples,
+  ROUND(ns / 8000.0, 6) AS duration_s,
+  ROUND(sqrt(list_sum(list_transform(s, x -> CAST(x AS DOUBLE) * x)) / ns), 3) AS rms,
+  len(list_filter(range(1, ns), j -> (s[j] < 0) <> (s[j + 1] < 0))) AS zero_crossings,
+  TRUE AS ok
+FROM smp
 """
 
     got_chars = os.path.join(_GOT_DUMP, "Characters_*.data.json.gz")

@@ -43,7 +43,19 @@ AUDIO_FEATURE_SCHEMA = (
     "doc_id string, sample_rate int, n_samples int, duration_s double, "
     "rms double, zero_crossings bigint, ok boolean"
 )
-FRAME_SCHEMA = "doc_id string, frame_idx int, frame bytes, ok boolean"
+FRAME_SCHEMA = "doc_id string, frame_idx int, frame binary, ok boolean"
+
+
+def _ship(df: DataFrame) -> DataFrame:
+    """Executors unpickle these mapInPandas stages by importing
+    sparkrdf.multimodal — ship the package zip first (no-op when the app
+    was launched with --py-files or the zip is already added). Without
+    this, any driver not launched from the repo directory fails with
+    ModuleNotFoundError on the executors."""
+    from sparkrdf.session import ensure_pyfiles
+
+    ensure_pyfiles(df.sparkSession)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +208,7 @@ def image_features(
                          "mean_luma", "std_luma", "phash", "ok"],
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+    return _ship(df).select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
         run, IMAGE_FEATURE_SCHEMA
     )
 
@@ -228,7 +240,7 @@ def resize_images(
                     out.append((rid, None, False))
             yield pd.DataFrame(out, columns=["doc_id", "payload", "ok"])
 
-    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+    return _ship(df).select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
         run, "doc_id string, payload binary, ok boolean"
     )
 
@@ -260,7 +272,7 @@ def audio_features(
                          "rms", "zero_crossings", "ok"],
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+    return _ship(df).select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
         run, AUDIO_FEATURE_SCHEMA
     )
 
@@ -290,8 +302,8 @@ def sample_frames(
                     out.append((rid, None, None, False))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame", "ok"])
 
-    return df.select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
-        run, "doc_id string, frame_idx int, frame binary, ok boolean"
+    return _ship(df).select(F.col(id_col).alias(id_col), F.col(bin_col)).mapInPandas(
+        run, FRAME_SCHEMA
     )
 
 
@@ -299,6 +311,9 @@ def synthesize_media(spark, n: int, kind: str = "image", partitions: int = 8) ->
     """Deterministic fake media table for tests/benchmarks: (doc_id, payload).
 
     Payloads derive only from the row id, so any stage is reproducible."""
+    from sparkrdf.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
