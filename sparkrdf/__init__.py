@@ -25,3 +25,4 @@ matched, not the implementation.
 __version__ = "0.1.0"
 
 from sparkrdf.hashing import fingerprint64, farmhash_key  # noqa: F401
+from sparkrdf.api import SparkRDF  # noqa: F401
