@@ -46,6 +46,9 @@ from sparkrdf.textops import (
     BPE_TOKEN_RE,
     LANG_ORDER,
     LANG_STOPWORDS,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
     bpe_ish_count,
     fingerprint,
     lang_id,
@@ -354,6 +357,98 @@ def q_text_token_histogram(spark, sf_dir):
     return token_histogram(_docs(spark, sf_dir))
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Gopher/C4-style per-doc quality gate: rule flags + keep decision,
+    pure codegen projection (the 100 TB shape: filter fused into the scan)."""
+    from sparkrdf.textops import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def q_text_repetition(spark, sf_dir):
+    """Within-doc repetition signals (top-bigram fraction, duplicated-trigram
+    fraction) — the Gopher repetition filters as uniform-key aggregates."""
+    from sparkrdf.textops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone fragments) with per-category
+    counts. PII is injected deterministically from doc_id (the synthetic
+    corpus contains none) with the SAME expression in Spark and the oracle,
+    so the scrub itself is value-checked byte-for-byte."""
+    from sparkrdf.textops import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-0199 or ping 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".1 ok"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.withColumn("text", injected))
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic messy URL from doc_id — scheme/host case, default port,
+    www, trailing slash, utm params, unsorted query, fragment; residues
+    chosen so distinct doc_ids collide post-canonicalization."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (did % 17).cast("string"),
+        F.lit(".Example.COM:443/a/b"),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="),
+        (did % 3).cast("string"),
+        F.lit("&a=1"),
+        F.when(did % 4 == 0, F.concat(F.lit("#s"), did.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_web_url_canon(spark, sf_dir):
+    """RFC-3986 syntax normalization + tracking-param strip, one codegen
+    projection (sparkrdf.weburl) over deterministically synthesized messy
+    URLs."""
+    from sparkrdf.weburl import url_canon
+
+    return url_canon(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """Canonical-URL duplicate groups (n_docs, deterministic keep_id) — the
+    first dedup pass of a web corpus, a single hash aggregate."""
+    from sparkrdf.weburl import url_dedup_groups
+
+    return url_dedup_groups(_docs(spark, sf_dir).withColumn("url", _synth_url()))
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Per-(lang, source) corpus statistics: doc counts, exact distinct
+    fingerprints, token totals, mean length."""
+    from sparkrdf.textops import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def q_sim_topk(spark, sf_dir):
     return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10).select(
         "vec_id", "score"
@@ -610,6 +705,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_histogram": q_text_token_histogram,
         "text_hash_split": q_text_hash_split,
         "text_pack_bins": q_text_pack_bins,
+        "text_quality_filter": q_text_quality_filter,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
+        "web_url_canon": q_web_url_canon,
+        "web_url_dedup": q_web_url_dedup,
+        "corpus_profile": q_corpus_profile,
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1099,6 +1200,152 @@ SELECT doc_id,
   {lang_case} AS lang_guess,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM langed
+"""
+
+    sql["text_quality_filter"] = f"""
+WITH base AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS padded,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toksi,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    toksi::DOUBLE AS toks,
+    CASE WHEN toksi > 0 THEN word_chars::DOUBLE / toksi ELSE 0.0 END AS mean_wlen,
+    CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+    ({en_hits}) AS stops
+  FROM base),
+flags AS (
+  SELECT doc_id,
+    (toks < 10.0 OR toks > 100000.0) AS r_tokens,
+    (mean_wlen < 2.0 OR mean_wlen > 12.0) AS r_word_len,
+    (punct_ratio > 0.3) AS r_punct,
+    (stops = 0) AS r_stop
+  FROM sig)
+SELECT doc_id,
+  NOT (r_tokens OR r_word_len OR r_punct OR r_stop) AS keep,
+  r_tokens, r_word_len, r_punct, r_stop,
+  concat_ws(',',
+    CASE WHEN r_tokens THEN 'bad_token_count' END,
+    CASE WHEN r_word_len THEN 'word_len' END,
+    CASE WHEN r_punct THEN 'high_punct' END,
+    CASE WHEN r_stop THEN 'no_stopwords' END) AS reasons
+FROM flags
+"""
+
+    sql["text_repetition"] = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []
+         ELSE string_split_regex(lower(trim(text)), '\\s+') END AS w
+  FROM documents),
+g2 AS (SELECT doc_id, CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS g FROM d),
+g3 AS (SELECT doc_id, CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END AS g FROM d),
+bc AS (SELECT doc_id, u.g AS g, COUNT(*) AS c
+       FROM g2, unnest(g2.g) AS u(g) GROUP BY doc_id, u.g),
+bi AS (SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_bigram_frac
+       FROM bc GROUP BY doc_id),
+tc AS (SELECT doc_id, u.g AS g, COUNT(*) AS c
+       FROM g3, unnest(g3.g) AS u(g) GROUP BY doc_id, u.g),
+tri AS (SELECT doc_id,
+          ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / SUM(c), 6)
+            AS dup_trigram_frac
+        FROM tc GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(bi.top_bigram_frac, 0.0) AS top_bigram_frac,
+  COALESCE(tri.dup_trigram_frac, 0.0) AS dup_trigram_frac
+FROM d LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+"""
+
+    sql["text_pii_scrub"] = f"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@mail.example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-0199 or ping 10.0.' || (doc_id % 256) || '.1 ok'
+            ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{PII_IPV4_RE}', '<IP>', 'g'),
+    '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+  len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
+  len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phone
+FROM inj
+"""
+
+    _url_synth_sql = (
+        "'HTTPS://WWW.Site' || (doc_id % 17) || '.Example.COM:443/a/b' || "
+        "(doc_id % 5) || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+        "'?utm_source=feed&z=' || (doc_id % 3) || '&a=1' || "
+        "CASE WHEN doc_id % 4 = 0 THEN '#s' || doc_id ELSE '' END"
+    )
+    _url_canon_ctes = f"""
+u AS (SELECT doc_id, {_url_synth_sql} AS url FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+s2 AS (SELECT doc_id, url, no_frag,
+         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+       FROM s1),
+s3 AS (SELECT doc_id, url, no_frag, scheme, after,
+         lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+         regexp_extract(after, '^[^/?]*([^?]*)', 1) AS raw_path,
+         regexp_extract(no_frag, '\\?([^#]*)', 1) AS query
+       FROM s2),
+s4 AS (SELECT doc_id, url, scheme, raw_path, query,
+         regexp_replace(
+           CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                ELSE hostport END,
+           '^www\\.', '') AS host
+       FROM s3),
+canon AS (
+  SELECT doc_id, url,
+    scheme || '://' || host ||
+    CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(raw_path, '/+$', '') END ||
+    CASE WHEN len(list_filter(string_split(query, '&'),
+                              p -> p != '' AND substr(p, 1, 4) != 'utm_')) > 0
+         THEN '?' || array_to_string(
+                list_sort(list_filter(string_split(query, '&'),
+                          p -> p != '' AND substr(p, 1, 4) != 'utm_')), '&')
+         ELSE '' END AS canon_url
+  FROM s4)
+"""
+    sql["web_url_canon"] = f"""
+WITH {_url_canon_ctes}
+SELECT doc_id, url, canon_url FROM canon
+"""
+
+    sql["web_url_dedup"] = f"""
+WITH {_url_canon_ctes}
+SELECT canon_url, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS keep_id
+FROM canon GROUP BY canon_url HAVING COUNT(*) > 1
+"""
+
+    sql["corpus_profile"] = """
+SELECT lang, source,
+  COUNT(*)::BIGINT AS n_docs,
+  COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))::BIGINT
+    AS n_unique,
+  SUM(CASE WHEN trim(text) = '' THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+    AS total_tokens,
+  ROUND(SUM(length(text))::DOUBLE / COUNT(*), 2) AS avg_chars
+FROM documents GROUP BY lang, source
 """
 
     # identical alternation order as the Spark mapInPandas stage; RE2 has no

@@ -98,6 +98,208 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def quality_filter(
+    docs: "DataFrame",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+) -> "DataFrame":
+    """Gopher/C4-style document quality filter → per-doc keep decision with
+    per-rule flags and a composite ``reasons`` string.
+
+    Rules (each a pure codegen column expression, mirroring the published
+    Gopher heuristics at whole-stage-codegen cost — no Python, no shuffle):
+
+    - ``bad_token_count``: whitespace tokens outside [min_tokens, max_tokens]
+    - ``word_len``:        mean word length outside [min_word_len, max_word_len]
+    - ``high_punct``:      punctuation chars / total chars > max_punct_ratio
+    - ``no_stopwords``:    zero hits from the fixed English stopword list
+
+    Output: (doc_id, keep, r_tokens, r_word_len, r_punct, r_stop, reasons).
+    At 100 TB this is one projection over the scan — the filter never
+    shuffles, and downstream stages consume ``keep`` as a pushed-down
+    predicate. Reproducible in ANSI SQL (DuckDB oracle): every signal uses
+    integer counts and single-division ratios so the float comparisons are
+    bit-identical across engines.
+    """
+    t = F.col(text_col)
+    toks = token_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    word_chars = n_chars - n_space
+    mean_wlen = F.when(toks > 0, word_chars / toks).otherwise(F.lit(0.0))
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
+        "double"
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stops = stopword_hits(t, LANG_STOPWORDS["en"])
+
+    r_tokens = (toks < float(min_tokens)) | (toks > float(max_tokens))
+    r_word_len = (mean_wlen < min_word_len) | (mean_wlen > max_word_len)
+    r_punct = punct_ratio > max_punct_ratio
+    r_stop = stops == 0
+    reasons = F.concat_ws(
+        ",",
+        F.when(r_tokens, F.lit("bad_token_count")),
+        F.when(r_word_len, F.lit("word_len")),
+        F.when(r_punct, F.lit("high_punct")),
+        F.when(r_stop, F.lit("no_stopwords")),
+    )
+    return docs.select(
+        "doc_id",
+        (~(r_tokens | r_word_len | r_punct | r_stop)).alias("keep"),
+        r_tokens.alias("r_tokens"),
+        r_word_len.alias("r_word_len"),
+        r_punct.alias("r_punct"),
+        r_stop.alias("r_stop"),
+        reasons.alias("reasons"),
+    )
+
+
+def repetition_stats(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Within-document repetition signals (the Gopher repetition filters) →
+    (doc_id, top_bigram_frac, dup_trigram_frac), fractions rounded to 6.
+
+    - ``top_bigram_frac``:  occurrences of the most frequent word bigram /
+      total bigram occurrences (boilerplate detector);
+    - ``dup_trigram_frac``: fraction of trigram occurrences whose trigram
+      appears more than once in the document (looped/templated text).
+
+    Scale shape: gram expansion is a codegen transform + explode; both
+    aggregations key on (doc_id, gram) then doc_id — uniform keys (a doc's
+    grams land in one partition only at the final per-doc reduce, whose
+    cardinality is #docs, not #grams), map-side partial combine throughout.
+    Docs with fewer than n tokens get fraction 0.0 by definition.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.split(t, r"\s+")
+
+    def grams(n):
+        return F.when(
+            (t != "") & (F.size(words) >= n),
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(F.col(id_col), grams(2).alias("bg"), grams(3).alias("tg"))
+
+    bi = (
+        base.select(id_col, F.explode("bg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    tri = (
+        base.select(id_col, F.explode("tg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast(
+                    "double"
+                )
+                / F.sum("c"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(bi, id_col, "left")
+        .join(tri, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )
+
+
+#: PII patterns — deliberately restricted to syntax that Java regex (Spark),
+#: Python re, and RE2 (DuckDB) all interpret identically: explicit classes,
+#: ASCII \\b word boundaries, bounded repetition. No lookarounds.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_scrub(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """PII redaction for training corpora → (doc_id, scrubbed, n_email,
+    n_ipv4, n_phone). Emails → ``<EMAIL>``, IPv4 → ``<IP>``, US-style
+    7-digit phone fragments → ``<PHONE>``; counts are matched occurrences
+    in the ORIGINAL text (before any replacement, so categories never
+    double-count each other's replacements).
+
+    One projection, all regexps inside whole-stage codegen — the standard
+    shape for scrubbing at 100 TB is exactly this: a map-only pass fused
+    into the scan with zero shuffle. Patterns are engine-portable by
+    construction (see PII_*_RE), which is what lets the DuckDB oracle verify
+    the scrub byte-for-byte.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phone"),
+    )
+
+
+def corpus_profile(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
+    """Per-(lang, source) corpus statistics → (lang, source, n_docs,
+    n_unique, total_tokens, avg_chars). ``n_unique`` counts distinct
+    normalized fingerprints (exact — the honest pre-dedup statistic);
+    ``avg_chars`` divides two exact integer sums so the double result is
+    bit-identical across engines.
+
+    Scale shape: one hash aggregate keyed on the (tiny) (lang, source)
+    grid with map-side partials; distinct-count shuffles (key, fp) pairs.
+    At 100 TB swap ``countDistinct`` for ``approx_count_distinct`` (HLL,
+    constant memory) — kept exact here because exactness is what the
+    correctness gate can verify.
+    """
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(fingerprint(F.col(text_col)))
+            .cast("long")
+            .alias("n_unique"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.length(F.col(text_col))).cast("double") / F.count("*"), 2
+            ).alias("avg_chars"),
+        )
+    )
+
+
 def ngram_topk(
     docs: "DataFrame",
     n: int = 2,

@@ -1,0 +1,83 @@
+"""URL canonicalization for web-corpus pipelines.
+
+The first dedup key of any Common-Crawl-style corpus is the canonical URL:
+crawls re-fetch the same page under scheme/case/port/fragment/tracking-param
+variations, and collapsing those BEFORE content dedup removes the bulk of
+exact duplicates with a pure projection (no shuffle, no content hashing).
+
+:func:`canonicalize_url` is a single codegen column expression implementing
+the standard normalization steps (RFC 3986 syntax-based normalization plus
+the conventional tracking-parameter strip):
+
+1. drop the fragment (``#…`` never reaches the server);
+2. lowercase the scheme and host (case-insensitive per RFC 3986 §6.2.2.1);
+3. strip the default port (``:80`` for http, ``:443`` for https) and a
+   leading ``www.`` label;
+4. collapse trailing slashes on the path; empty path → ``/``;
+5. drop ``utm_*`` tracking parameters, sort the survivors byte-wise
+   (query-parameter order is almost never semantic).
+
+Every step is expressed with operations that Spark SQL (Java regex) and
+DuckDB (RE2) evaluate identically — anchored regexps with explicit classes,
+list filter/sort — so the operator is verifiable by the ANSI-SQL oracle.
+
+Scale shape: a projection fused into the scan; the follow-on dedup is a
+hash aggregate on ``canon_url`` with map-side partials. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL column (see module docstring)."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, SCHEME_RE, 1))
+    after = F.regexp_replace(no_frag, SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).when(
+        scheme == "http", F.regexp_replace(hostport, r":80$", "")
+    ).otherwise(hostport)
+    host = F.regexp_replace(host, r"^www\.", "")
+    raw_path = F.regexp_extract(after, r"^[^/?]*([^?]*)", 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & (F.substring(p, 1, 4) != "utm_"),
+    )
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(params)))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qstr)
+
+
+def url_canon(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Per-row canonicalization → (id, url, canon_url)."""
+    return pages.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+    )
+
+
+def url_dedup_groups(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Canonical-URL duplicate groups → (canon_url, n_docs, keep_id) for
+    groups of size > 1; ``keep_id`` = smallest id (deterministic survivor).
+    One hash aggregate on the canonical key."""
+    return (
+        url_canon(pages, url_col=url_col, id_col=id_col)
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -263,3 +263,126 @@ def test_ngram_topk_and_token_histogram(spark):
     assert hist[0] == (0, 2)
     assert hist[1] == (1, 2)
     assert hist[2] == (3, 1)
+
+
+def test_quality_filter_rules(spark):
+    """Each Gopher-style rule fires on a constructed offender and the clean
+    doc passes; reasons string lists failed rules in fixed order."""
+    from sparkrdf.textops import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # clean: >=10 tokens, sane word lengths, stopwords, low punct
+            (1, "the quick brown fox jumps over the lazy dog with style today"),
+            # too few tokens (also no_stopwords-safe: contains 'the')
+            (2, "the cat sat"),
+            # mean word length too high + no stopwords
+            (3, " ".join(["supercalifragilistic"] * 12)),
+            # punctuation-heavy + no stopwords
+            (4, "!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert rows[1]["keep"] and rows[1]["reasons"] == ""
+    assert not rows[2]["keep"] and rows[2]["r_tokens"]
+    assert rows[3]["r_word_len"] and rows[3]["r_stop"]
+    assert rows[3]["reasons"] == "word_len,no_stopwords"
+    assert rows[4]["r_punct"]
+
+
+def test_repetition_stats(spark):
+    """Hand-computed repetition fractions, incl. short-doc zero cases."""
+    from sparkrdf.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab,ba,ab,ba,ab -> top 3/5
+            (2, "x y z w"),          # all bigrams unique -> top 1/3
+            (3, "one"),              # no bigrams/trigrams -> 0.0
+            (4, ""),                 # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == 0.6
+    # trigrams of d1: aba,bab,aba,bab -> all duplicated -> 1.0
+    assert rows[1]["dup_trigram_frac"] == 1.0
+    assert rows[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 0.0 and rows[3]["dup_trigram_frac"] == 0.0
+    assert rows[4]["top_bigram_frac"] == 0.0
+
+
+def test_pii_scrub(spark):
+    """Email/IPv4/phone redaction with per-category counts; clean text is
+    byte-identical pass-through."""
+    from sparkrdf.textops import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or x@y.io, host 192.168.0.1, call 555-0123"),
+            (2, "nothing sensitive here at all"),
+            (3, "ver 1.2 not-an-ip 1.2.3 almost 12-3456 no"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert rows[1]["scrubbed"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) == (2, 1, 1)
+    assert rows[2]["scrubbed"] == "nothing sensitive here at all"
+    assert (rows[2]["n_email"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (0, 0, 0)
+    # near-misses must not redact
+    assert rows[3]["scrubbed"] == rows[3]["scrubbed"]
+    assert (rows[3]["n_email"], rows[3]["n_ipv4"], rows[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_corpus_profile(spark):
+    from sparkrdf.textops import corpus_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the same text", "en", "s1"),
+            (2, "the same text", "en", "s1"),
+            (3, "other words entirely", "en", "s1"),
+            (4, "hola", "es", "s2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["lang"], r["source"]): r for r in corpus_profile(docs).collect()}
+    en = rows[("en", "s1")]
+    assert en["n_docs"] == 3 and en["n_unique"] == 2 and en["total_tokens"] == 9
+    assert en["avg_chars"] == round((13 + 13 + 20) / 3, 2)
+    assert rows[("es", "s2")]["n_docs"] == 1
+
+
+def test_url_canonicalization(spark):
+    """Each normalization step: case, default port, www, fragment, trailing
+    slash, utm strip, param sort — plus non-default port preserved."""
+    from sparkrdf.weburl import canonicalize_url, url_dedup_groups
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2"),
+        (2, "http://example.com:80", "http://example.com/"),
+        (3, "http://example.com:8080/path", "http://example.com:8080/path"),
+        (4, "https://example.com/a//", "https://example.com/a"),
+        (5, "https://example.com/?utm_source=x&utm_medium=y", "https://example.com/"),
+        (6, "https://sub.example.com/p?z=1&a=2", "https://sub.example.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "doc_id long, url string")
+    got = {r["doc_id"]: r["canon"] for r in df.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canon")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    # dedup groups collapse distinct raw spellings of one canonical URL
+    dupes = spark.createDataFrame(
+        [(1, "https://example.com/x?b=2&a=1"),
+         (2, "HTTPS://EXAMPLE.COM/x/?a=1&b=2#top"),
+         (3, "https://example.com/other")],
+        "doc_id long, url string",
+    )
+    groups = url_dedup_groups(dupes).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
