@@ -170,11 +170,14 @@ def repetition_stats(
     - ``dup_trigram_frac``: fraction of trigram occurrences whose trigram
       appears more than once in the document (looped/templated text).
 
-    Scale shape: gram expansion is a codegen transform + explode; both
-    aggregations key on (doc_id, gram) then doc_id — uniform keys (a doc's
-    grams land in one partition only at the final per-doc reduce, whose
-    cardinality is #docs, not #grams), map-side partial combine throughout.
-    Docs with fewer than n tokens get fraction 0.0 by definition.
+    Scale shape: ONE scan — bigram and trigram streams are tagged structs in
+    a single codegen transform + explode (not two gram pipelines over two
+    rescans), so the whole operator is one (doc_id, n, gram) hash aggregate
+    feeding one conditional per-doc aggregate plus a left join back for the
+    zero-fill — uniform keys (a doc's grams meet only at the final per-doc
+    reduce, whose cardinality is #docs, not #grams), map-side partial
+    combine throughout. Docs with fewer than n tokens get fraction 0.0 by
+    definition.
     """
     t = F.trim(F.lower(F.col(text_col)))
     words = F.split(t, r"\s+")
@@ -184,42 +187,37 @@ def repetition_stats(
             (t != "") & (F.size(words) >= n),
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(words, i + 1, n)).alias("g"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
 
-    base = docs.select(F.col(id_col), grams(2).alias("bg"), grams(3).alias("tg"))
-
-    bi = (
-        base.select(id_col, F.explode("bg").alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
-                "top_bigram_frac"
-            )
-        )
-    )
-    tri = (
-        base.select(id_col, F.explode("tg").alias("g"))
-        .groupBy(id_col, "g")
+    c = F.col("c")
+    n = F.col("n")
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(F.concat(grams(2), grams(3))).alias("t"))
+        .groupBy(id_col, "t.n", "t.g")
         .agg(F.count("*").alias("c"))
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).cast(
+                F.max(F.when(n == 2, c)).cast("double") / F.sum(F.when(n == 2, c)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.sum(F.when((n == 3) & (c > 1), c).otherwise(F.lit(0))).cast(
                     "double"
                 )
-                / F.sum("c"),
+                / F.sum(F.when(n == 3, c)),
                 6,
-            ).alias("dup_trigram_frac")
+            ).alias("dup_trigram_frac"),
         )
     )
     return (
         docs.select(id_col)
-        .join(bi, id_col, "left")
-        .join(tri, id_col, "left")
+        .join(per_doc, id_col, "left")
         .select(
             id_col,
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
