@@ -373,16 +373,12 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
-def q_text_pii_scrub(spark, sf_dir):
-    """PII redaction (emails / IPv4 / phone fragments) with per-category
-    counts. PII is injected deterministically from doc_id (the synthetic
-    corpus contains none) with the SAME expression in Spark and the oracle,
-    so the scrub itself is value-checked byte-for-byte."""
-    from sparkrdf.textops import pii_scrub
-
-    d = _docs(spark, sf_dir)
+def _pii_injected() -> "F.Column":
+    """Deterministic PII injection from doc_id — the synthetic corpus
+    contains none; the SAME expression exists in the oracle SQL so the
+    scrub is value-checked byte-for-byte."""
     did = F.col("doc_id")
-    injected = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             did % 7 == 0,
@@ -401,7 +397,32 @@ def q_text_pii_scrub(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
-    return pii_scrub(d.withColumn("text", injected))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone fragments) with per-category
+    counts over deterministically PII-injected docs."""
+    from sparkrdf.textops import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    return pii_scrub(d.withColumn("text", _pii_injected()))
+
+
+def q_corpus_curate(spark, sf_dir):
+    """The composed curation pipeline (quality filter → PII scrub → exact
+    dedup → deterministic split) end-to-end. Input is PII-injected and has
+    exact duplicates planted (every 10th doc cloned under id+1e6 AFTER
+    injection, so clone text is byte-identical and the dedup stage must
+    collapse it to the original id)."""
+    from sparkrdf.curate import curate_corpus
+
+    inj = _docs(spark, sf_dir).withColumn("text", _pii_injected())
+    clones = inj.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return curate_corpus(inj.unionByName(clones)).select(
+        "doc_id", "text", "lang", "source", "fp", "n_tokens", "split"
+    )
 
 
 def _synth_url() -> "F.Column":
@@ -711,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
         "corpus_profile": q_corpus_profile,
+        "corpus_curate": q_corpus_curate,
         "sim_topk": q_sim_topk,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
@@ -1265,16 +1287,18 @@ SELECT d.doc_id,
 FROM d LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
 """
 
+    _pii_inject_sql = (
+        "text "
+        "|| CASE WHEN doc_id % 7 = 0 "
+        "THEN ' contact user' || doc_id || '@mail.example.com now' "
+        "ELSE '' END "
+        "|| CASE WHEN doc_id % 11 = 0 "
+        "THEN ' call 555-0199 or ping 10.0.' || (doc_id % 256) || '.1 ok' "
+        "ELSE '' END"
+    )
     sql["text_pii_scrub"] = f"""
 WITH inj AS (
-  SELECT doc_id,
-    text
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' contact user' || doc_id || '@mail.example.com now'
-            ELSE '' END
-    || CASE WHEN doc_id % 11 = 0
-            THEN ' call 555-0199 or ping 10.0.' || (doc_id % 256) || '.1 ok'
-            ELSE '' END AS text
+  SELECT doc_id, {_pii_inject_sql} AS text
   FROM documents)
 SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(text,
@@ -1285,6 +1309,58 @@ SELECT doc_id,
   len(regexp_extract_all(text, '{PII_IPV4_RE}'))::BIGINT AS n_ipv4,
   len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phone
 FROM inj
+"""
+
+    _split_sql = (
+        "CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+        " % 10000 < 9800 THEN 'train' "
+        "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+        " % 10000 < 9900 THEN 'val' ELSE 'test' END"
+    )
+    sql["corpus_curate"] = f"""
+WITH inj AS (
+  SELECT doc_id, {_pii_inject_sql} AS text, lang, source
+  FROM documents),
+alld AS (
+  SELECT * FROM inj
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+  FROM inj WHERE doc_id % 10 = 0),
+base AS (
+  SELECT doc_id, text, lang, source, ' ' || lower(text) || ' ' AS padded,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS toksi,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '\\s', '', 'g')) AS word_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM alld),
+sig AS (
+  SELECT doc_id, text, lang, source,
+    toksi::DOUBLE AS toks,
+    CASE WHEN toksi > 0 THEN word_chars::DOUBLE / toksi ELSE 0.0 END AS mean_wlen,
+    CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+    ({en_hits}) AS stops
+  FROM base),
+kept AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{PII_IPV4_RE}', '<IP>', 'g'),
+      '{PII_PHONE_RE}', '<PHONE>', 'g') AS text,
+    lang, source
+  FROM sig
+  WHERE NOT ((toks < 10.0 OR toks > 100000.0)
+          OR (mean_wlen < 2.0 OR mean_wlen > 12.0)
+          OR (punct_ratio > 0.3) OR (stops = 0))),
+fped AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM kept),
+dedup AS (SELECT * FROM fped
+          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+SELECT doc_id, text, lang, source, fp,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  {_split_sql} AS split
+FROM dedup
 """
 
     _url_synth_sql = (

@@ -36,6 +36,10 @@ OP_QUERIES = (
     "dedup_clusters",
     "dedup_simhash",
     "text_stats",
+    "text_quality_filter",
+    "text_repetition",
+    "text_pii_scrub",
+    "web_url_dedup",
     "text_hash_split",
     "text_pack_bins",
     "sim_topk",

@@ -98,6 +98,35 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
 
 
+def quality_flags(
+    t: Column,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_word_len: float = 2.0,
+    max_word_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+) -> dict[str, Column]:
+    """The Gopher-rule failure flags as pure column expressions over a text
+    column — shared by :func:`quality_filter` (reporting form) and
+    :func:`sparkrdf.curate.curate_corpus` (inline predicate form)."""
+    toks = token_count(t).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", "")).cast("double")
+    word_chars = n_chars - n_space
+    mean_wlen = F.when(toks > 0, word_chars / toks).otherwise(F.lit(0.0))
+    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
+        "double"
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stops = stopword_hits(t, LANG_STOPWORDS["en"])
+    return {
+        "r_tokens": (toks < float(min_tokens)) | (toks > float(max_tokens)),
+        "r_word_len": (mean_wlen < min_word_len) | (mean_wlen > max_word_len),
+        "r_punct": punct_ratio > max_punct_ratio,
+        "r_stop": stops == 0,
+    }
+
+
 def quality_filter(
     docs: "DataFrame",
     text_col: str = "text",
@@ -125,22 +154,18 @@ def quality_filter(
     integer counts and single-division ratios so the float comparisons are
     bit-identical across engines.
     """
-    t = F.col(text_col)
-    toks = token_count(t).cast("double")
-    n_chars = F.length(t).cast("double")
-    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", "")).cast("double")
-    word_chars = n_chars - n_space
-    mean_wlen = F.when(toks > 0, word_chars / toks).otherwise(F.lit(0.0))
-    n_punct = (n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast(
-        "double"
+    flags = quality_flags(
+        F.col(text_col),
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        min_word_len=min_word_len,
+        max_word_len=max_word_len,
+        max_punct_ratio=max_punct_ratio,
     )
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stops = stopword_hits(t, LANG_STOPWORDS["en"])
-
-    r_tokens = (toks < float(min_tokens)) | (toks > float(max_tokens))
-    r_word_len = (mean_wlen < min_word_len) | (mean_wlen > max_word_len)
-    r_punct = punct_ratio > max_punct_ratio
-    r_stop = stops == 0
+    r_tokens = flags["r_tokens"]
+    r_word_len = flags["r_word_len"]
+    r_punct = flags["r_punct"]
+    r_stop = flags["r_stop"]
     reasons = F.concat_ws(
         ",",
         F.when(r_tokens, F.lit("bad_token_count")),
@@ -234,6 +259,18 @@ PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PII_PHONE_RE = r"\b[0-9]{3}-[0-9]{4}\b"
 
 
+def pii_scrub_col(t: Column) -> Column:
+    """The scrub expression alone (emails → ``<EMAIL>``, IPv4 → ``<IP>``,
+    phone fragments → ``<PHONE>``) for inline composition."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def pii_scrub(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
     """PII redaction for training corpora → (doc_id, scrubbed, n_email,
     n_ipv4, n_phone). Emails → ``<EMAIL>``, IPv4 → ``<IP>``, US-style
@@ -248,13 +285,7 @@ def pii_scrub(docs: "DataFrame", text_col: str = "text") -> "DataFrame":
     the scrub byte-for-byte.
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
-        ),
-        PII_PHONE_RE,
-        "<PHONE>",
-    )
+    scrubbed = pii_scrub_col(t)
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed"),

@@ -386,3 +386,29 @@ def test_url_canonicalization(spark):
     groups = url_dedup_groups(dupes).collect()
     assert len(groups) == 1
     assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_curate_corpus_pipeline(spark):
+    """Composed curation: quality-fail dropped, PII scrubbed, exact dup
+    collapsed to smallest id, split deterministic, passthrough preserved."""
+    from sparkrdf.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog with style today"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s1"),
+            (2, "the cat sat", "en", "s1"),                    # quality-fail
+            (3, good + " mail me a@b.io ok", "en", "s2"),      # PII
+            (4, good, "en", "s1"),                             # dup of 1
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["doc_id"]: r for r in curate_corpus(docs).collect()}
+    assert set(out) == {1, 3}                  # 2 filtered, 4 deduped into 1
+    assert out[1]["text"] == good and out[1]["source"] == "s1"
+    assert out[3]["text"] == good + " mail me <EMAIL> ok"
+    assert out[1]["n_tokens"] == 12
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    # deterministic: same result on re-run
+    again = {r["doc_id"]: r["split"] for r in curate_corpus(docs).collect()}
+    assert again == {k: v["split"] for k, v in out.items()}
