@@ -373,6 +373,33 @@ def q_text_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-doc distinct word-3-gram overlap with a
+    deterministic held-out "eval set" (doc_id % 17 == 0). Benchmark grams are
+    deduped and broadcast (eval sets are tiny vs a 100 TB corpus), so the
+    corpus scan never shuffles for the join; only matched grams reach the
+    per-doc aggregation."""
+    from sparkrdf.textops import decontaminate
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    corpus = d.filter(F.col("doc_id") % 17 != 0)
+    return decontaminate(corpus, bench, n=3)
+
+
+def q_text_weighted_sample(spark, sf_dir):
+    """Deterministic per-domain downsampling (domain mixing): keep 100% of
+    src0, 50% of src1, 25% of src2, 10% of everything else — one codegen'd
+    CASE + filter directly above the scan, zero shuffles."""
+    from sparkrdf.textops import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    kept = weighted_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    return kept.select("doc_id", "source")
+
+
 def _pii_injected() -> "F.Column":
     """Deterministic PII injection from doc_id — the synthetic corpus
     contains none; the SAME expression exists in the oracle SQL so the
@@ -729,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_decontaminate": q_text_decontaminate,
+        "text_weighted_sample": q_text_weighted_sample,
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
         "corpus_profile": q_corpus_profile,
@@ -1171,6 +1200,32 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+    # independent gram construction + join + group-by in DuckDB: a hash match
+    # proves both the shingle algebra and the overlap arithmetic
+    sql["text_decontaminate"] = """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(w) >= 3
+       THEN list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+       ELSE [array_to_string(w, ' ')] END) AS grams
+  FROM d),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS gram
+           FROM sh WHERE doc_id % 17 <> 0)
+SELECT c.doc_id, c.n_grams,
+  CAST(COUNT(*) AS BIGINT) AS n_overlap,
+  ROUND(COUNT(*)::DOUBLE / c.n_grams, 6) AS overlap_frac
+FROM corpus c JOIN bench b USING (gram)
+GROUP BY c.doc_id, c.n_grams
+"""
+
+    sql["text_weighted_sample"] = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000000 <
+  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+              WHEN 'src2' THEN 250000 ELSE 100000 END
 """
 
     sql["text_ngram_topk"] = """

@@ -41,6 +41,8 @@ OP_QUERIES = (
     "text_pii_scrub",
     "web_url_dedup",
     "text_hash_split",
+    "text_decontaminate",
+    "text_weighted_sample",
     "text_pack_bins",
     "sim_topk",
     "sim_lsh_topk",

@@ -463,3 +463,99 @@ def pack_documents(
         F.floor(cum_before / budget_tokens).cast("long").alias("bin_id"),
         F.pmod(cum_before, F.lit(budget_tokens)).cast("long").alias("offset_in_bin"),
     )
+
+
+def decontaminate(
+    docs: "DataFrame",
+    benchmark: "DataFrame",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> "DataFrame":
+    """Benchmark decontamination: per-document n-gram overlap with a held-out
+    evaluation set (the GPT-3-style "13-gram" contamination check; here the
+    gram width is a parameter so tests can use short synthetic docs).
+
+    Returns one row per corpus document that shares at least one distinct
+    word ``n``-gram with ANY benchmark document:
+    ``(id_col, n_grams, n_overlap, overlap_frac)`` where ``n_grams`` is the
+    document's distinct-gram count and ``overlap_frac = n_overlap / n_grams``
+    (rounded to 6 places). Callers drop or flag rows above a threshold.
+
+    Scale shape (the part that matters at 100 TB): the benchmark gram set is
+    built once, deduplicated, and **broadcast** — eval suites are KB-to-MB
+    scale while the corpus is the 100 TB side, so the corpus scan never
+    shuffles for the join (map-side broadcast hash join). The only exchange
+    is the per-doc hit aggregation, which carries *hits only* (grams that
+    matched a benchmark gram) — for a clean corpus that is ~0 rows. All gram
+    construction is Catalyst expressions (split/transform/slice), no Python.
+    """
+    from sparkrdf.dedupe import word_shingles
+
+    bench_text = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(bench_text), n)).alias("gram"))
+        .distinct()
+    )
+    grams = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), n).alias("grams"),
+    ).select(
+        id_col,
+        F.size("grams").cast("long").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.col("n_grams"), 6).alias("overlap_frac"),
+    )
+
+
+def weighted_sample(
+    docs: "DataFrame",
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 1_000_000,
+    seed: str = "ws",
+) -> "DataFrame":
+    """Deterministic per-domain downsampling — the domain-mixing primitive of
+    a pretraining pipeline ("keep 100% of wiki, 25% of web, 10% of crawl").
+
+    A row is kept iff ``h64(seed || ':' || id) mod buckets < rate(domain) *
+    buckets``.  Because the decision is a pure function of (seed, row id), it
+    is reproducible across runs, engines and partitionings, stable under
+    re-runs over grown inputs (a kept doc stays kept), and composable with
+    :func:`hash_split` (different seed ⇒ independent hash bits, so sampling
+    does not bias the train/val/test assignment).
+
+    Scale shape: one codegen'd projection + filter — **zero shuffles**, no
+    per-domain pass over the data (a rate map over D domains compiles to one
+    CASE expression evaluated in a single scan), and the filter sits directly
+    above the parquet scan so column pruning/pushdown survive.
+    """
+    from sparkrdf.dedupe import h64
+
+    bucket = F.pmod(
+        h64(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+        F.lit(buckets),
+    )
+    thr = None
+    for dom, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {dom!r} must be in [0, 1], got {rate}")
+        t = F.lit(int(round(rate * buckets)))
+        cond = F.col(domain_col) == dom
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(int(round(default_rate * buckets)))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return docs.filter(bucket < thr)

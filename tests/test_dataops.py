@@ -412,3 +412,63 @@ def test_curate_corpus_pipeline(spark):
     # deterministic: same result on re-run
     again = {r["doc_id"]: r["split"] for r in curate_corpus(docs).collect()}
     assert again == {k: v["split"] for k, v in out.items()}
+
+
+def test_decontaminate_overlap_counts(spark):
+    """Contaminated docs are reported with exact distinct-gram overlap counts;
+    clean docs are absent; gram totals count distinct grams."""
+    from sparkrdf.textops import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")],  # grams: {a b g, b g d}
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma' (1 of its 3 distinct grams)
+            (1, "alpha beta gamma zeta eta"),
+            # shares both benchmark grams (2 of 2)
+            (2, "alpha beta gamma delta"),
+            # clean
+            (3, "one two three four five"),
+            # repeated text: grams are distinct-counted once
+            (4, "alpha beta gamma alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_overlap"] == 1
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_overlap"] == 2
+    assert abs(rows[2]["overlap_frac"] - 1.0) < 1e-9
+    # doc 4: 6 words -> 4 shingles, 3 distinct ('alpha beta gamma' repeats)
+    assert rows[4]["n_grams"] == 3 and rows[4]["n_overlap"] == 1
+
+
+def test_weighted_sample_deterministic_and_stratified(spark, docs):
+    """Sampling is a pure function of (seed, id): stable across partitionings,
+    rate-1 domains keep everything, rate-0 domains drop everything, and the
+    kept set is independent of the hash_split assignment (different seeds)."""
+    from sparkrdf.textops import weighted_sample
+
+    d = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string"))
+    )
+    rates = {"s0": 1.0, "s1": 0.0, "s2": 0.5}
+    kept_a = {r["doc_id"] for r in weighted_sample(d, rates, default_rate=0.25).collect()}
+    kept_b = {
+        r["doc_id"]
+        for r in weighted_sample(d.repartition(13), rates, default_rate=0.25).collect()
+    }
+    assert kept_a == kept_b
+    by_dom = {r["doc_id"]: r["doc_id"] % 4 for r in d.select("doc_id").collect()}
+    n_dom = {i: sum(1 for v in by_dom.values() if v == i) for i in range(4)}
+    assert sum(1 for k in kept_a if by_dom[k] == 0) == n_dom[0]  # rate 1.0
+    assert sum(1 for k in kept_a if by_dom[k] == 1) == 0  # rate 0.0
+    n2 = sum(1 for k in kept_a if by_dom[k] == 2)
+    assert 0 < n2 < n_dom[2]  # strictly downsampled
+
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        weighted_sample(d, {"s0": 1.5}).collect()
