@@ -717,6 +717,54 @@ def q_evt_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle gap) over the events table —
+    the batch twin of a stateful-streaming session window. One shuffle on
+    user_id; lag, running sum and the session aggregate all share it.
+    Oracle: identical lag+cumsum window SQL in DuckDB."""
+    from sparkrdf.eventops import sessionize
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(e, gap_minutes=30)
+
+
+def _comention(spark, sf_dir):
+    """Distinct co-mention edges (u < v) from the JVM NER stage."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.graphops import comention_edges
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    return comention_edges(m, doc_col="doc_id", ent_col="surface")
+
+
+def q_graph_comention_edges(spark, sf_dir):
+    """Entity co-occurrence graph: distinct (u < v) pairs of entities
+    mentioned in the same document — per-doc self-join, work bounded by
+    mentions-per-doc², never corpus²."""
+    return _comention(spark, sf_dir)
+
+
+def q_graph_degree_stats(spark, sf_dir):
+    """Per-vertex degree of the co-mention graph — the skew diagnostic that
+    seeds the triangle orientation."""
+    from sparkrdf.graphops import degree_stats
+
+    return degree_stats(_comention(spark, sf_dir))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the co-mention graph via degree-ordered
+    node-iterator++ — hubs generate no wedges (their edges point into them),
+    so per-vertex work is bounded by oriented out-degree (≤ √m). Oracle:
+    the same orientation algebra as DuckDB tuple-comparison CTEs."""
+    from sparkrdf.graphops import triangles
+
+    return triangles(_comention(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -777,6 +825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_topk": q_rel_window_topk,
         "rel_anti_join": q_rel_anti_join,
         "evt_hourly": q_evt_hourly,
+        "events_sessionize": q_events_sessionize,
+        "graph_comention_edges": q_graph_comention_edges,
+        "graph_degree_stats": q_graph_degree_stats,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -1662,6 +1714,65 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
   COUNT(*)::BIGINT AS n,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS total_value_cents
 FROM events GROUP BY 1, 2
+"""
+
+    sql["events_sessionize"] = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, us, value,
+    SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM t)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+  COUNT(*)::BIGINT AS n_events,
+  MIN(us) AS start_us, MAX(us) AS end_us,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, session_idx
+"""
+
+    # shared CTE prefix for the co-mention graph family: distinct per-doc
+    # mentions -> distinct undirected (u < v) edges
+    graph_edges_cte = f"""
+WITH m AS (
+  SELECT DISTINCT d, e FROM (
+    SELECT doc_id AS d, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+edges AS (
+  SELECT DISTINCT a.e AS u, b.e AS v
+  FROM m a JOIN m b ON a.d = b.d AND a.e < b.e)
+"""
+
+    sql["graph_comention_edges"] = graph_edges_cte + "SELECT u, v FROM edges"
+
+    sql["graph_degree_stats"] = graph_edges_cte + """
+SELECT n, COUNT(*)::BIGINT AS deg FROM (
+  SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) GROUP BY n
+"""
+
+    # degree-ordered node-iterator++: orient every edge from its lower
+    # (degree, id) endpoint, build wedges at the low end, close on the
+    # oriented (q, r) edge — the same algebra graphops.triangles runs.
+    sql["graph_triangles"] = graph_edges_cte + """,
+deg AS (
+  SELECT n, COUNT(*)::BIGINT AS dg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) GROUP BY n),
+o AS (
+  SELECT CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS lo,
+         CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS hi,
+         CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END AS dh
+  FROM edges e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+w AS (
+  SELECT e1.lo AS p, e1.hi AS q, e2.hi AS r
+  FROM o e1 JOIN o e2 ON e1.lo = e2.lo AND (e1.dh, e1.hi) < (e2.dh, e2.hi)),
+tri AS (
+  SELECT list_sort([p, q, r]) AS t
+  FROM w JOIN o ON o.lo = w.q AND o.hi = w.r)
+SELECT t[1] AS a, t[2] AS b, t[3] AS c FROM tri
 """
 
     return sql

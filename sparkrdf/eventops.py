@@ -1,0 +1,67 @@
+"""Event-stream analytics over the ``events`` table.
+
+Batch-side twin of the streaming operators in :mod:`sparkrdf.streaming`:
+the same session semantics a `applyInPandasWithState` stream would keep as
+state are expressed here as a per-key window + running sum, so the batch
+result is DuckDB-oracle-checkable and the semantics are pinned once for
+both execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Returns one row per session:
+    ``(user_col, session_idx, n_events, start_us, end_us, value_cents)``
+    with timestamps as epoch-microsecond bigints (exact integer arithmetic
+    on both engines — no float or format ambiguity) and the value sum in
+    bigint cents.
+
+    Scale shape: ONE shuffle on the user key; the lag + running-sum windows
+    and the session aggregation all share that partitioning, so Catalyst
+    plans a single exchange for the whole operator. No global sort exists —
+    ordering is per-user-partition, which is exactly how a 1000-executor
+    cluster would lay out per-entity timelines. Ties are broken by the event
+    id so the assignment is deterministic under equal timestamps.
+    """
+    # tz-free epoch micros: the events table stores TIMESTAMP_NTZ wall
+    # times; diff against the NTZ epoch so the result never depends on
+    # spark.sql.session.timeZone (unix_micros would, and rejects NTZ).
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({ts_col} AS TIMESTAMP_NTZ))"
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tagged = events.select(
+        F.col(user_col),
+        us.alias("_us"),
+        F.col(id_col),
+        F.col(value_col),
+        F.sum(is_new).over(run).alias("session_idx"),
+    )
+    return tagged.groupBy(user_col, "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.round(F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )

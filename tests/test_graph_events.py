@@ -1,0 +1,153 @@
+"""Graph analytics (sparkrdf/graphops.py) and event sessionization
+(sparkrdf/eventops.py) on hand-built inputs with known answers."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkrdf.eventops import sessionize
+from sparkrdf.graphops import comention_edges, degree_stats, triangles
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+T0_US = 1_704_067_200 * 1_000_000  # epoch micros of T0 (session tz is UTC)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, minutes_after_T0, value)"""
+    return spark.createDataFrame(
+        [
+            (eid, T0 + dt.timedelta(minutes=m), uid, "click", v, "{}")
+            for eid, uid, m, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _sessions(spark, rows, **kw):
+    out = sessionize(_events(spark, rows), **kw).collect()
+    return {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.value_cents)
+        for r in out
+    }
+
+
+def test_sessionize_gap_boundary(spark):
+    # exactly 30 min of idle does NOT open a session (condition is strict >)
+    s = _sessions(
+        spark,
+        [(0, 1, 0, 1.0), (1, 1, 30, 2.0), (2, 1, 60.0001, 4.0)],
+    )
+    assert set(s) == {(1, 1), (1, 2)}
+    n, start, end, cents = s[(1, 1)]
+    assert (n, cents) == (2, 300)
+    assert end - start == 30 * 60 * 1_000_000
+    assert s[(1, 2)][0] == 1 and s[(1, 2)][3] == 400
+
+
+def test_sessionize_per_user_independent(spark):
+    s = _sessions(
+        spark,
+        [(0, 1, 0, 1.0), (1, 2, 1, 1.5), (2, 1, 90, 2.0), (3, 2, 2, 0.25)],
+    )
+    # user 1: two sessions (90 min gap); user 2: one session of 2 events
+    assert set(s) == {(1, 1), (1, 2), (2, 1)}
+    assert s[(2, 1)] == (
+        2, T0_US + 60 * 1_000_000, T0_US + 120 * 1_000_000, 175
+    )
+
+
+def test_sessionize_tied_timestamps_deterministic(spark):
+    # equal ts: event_id breaks the tie, so the session stats are stable
+    s1 = _sessions(spark, [(5, 1, 0, 1.0), (3, 1, 0, 2.0), (9, 1, 45, 4.0)])
+    s2 = _sessions(spark, [(3, 1, 0, 2.0), (9, 1, 45, 4.0), (5, 1, 0, 1.0)])
+    assert s1 == s2
+    assert s1[(1, 1)] == (2, T0_US, T0_US, 300)
+
+
+def test_sessionize_custom_gap(spark):
+    s = _sessions(spark, [(0, 1, 0, 1.0), (1, 1, 10, 1.0)], gap_minutes=5)
+    assert set(s) == {(1, 1), (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# graphops
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    norm = sorted({(min(u, v), max(u, v)) for u, v in pairs})
+    return spark.createDataFrame(norm, "u string, v string")
+
+
+def _tris(spark, pairs):
+    return sorted(
+        (r.a, r.b, r.c) for r in triangles(_edges(spark, pairs)).collect()
+    )
+
+
+def test_comention_edges(spark):
+    m = spark.createDataFrame(
+        [("d1", "x"), ("d1", "y"), ("d1", "x"), ("d2", "y"), ("d2", "x"),
+         ("d3", "z")],
+        "doc_id string, surface string",
+    )
+    got = sorted((r.u, r.v) for r in comention_edges(m).collect())
+    # duplicate mention rows and the reversed d2 order collapse to one edge
+    assert got == [("x", "y")]
+
+
+def test_triangles_k4(spark):
+    verts = ["a", "b", "c", "d"]
+    k4 = [(u, v) for i, u in enumerate(verts) for v in verts[i + 1:]]
+    assert _tris(spark, k4) == [
+        ("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d"),
+    ]
+
+
+def test_triangles_none_in_star_and_path(spark):
+    star = [("hub", f"s{i}") for i in range(6)]
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert _tris(spark, star) == []
+    assert _tris(spark, path) == []
+
+
+def test_triangles_hub_with_fan(spark):
+    # hub h connects to all of a fan a..f; only (a,b) closes a triangle —
+    # each triangle counted exactly once despite the degree-6 hub
+    fan = ["a", "b", "c", "d", "e", "f"]
+    edges = [("h", x) for x in fan] + [("a", "b"), ("c", "d")]
+    assert _tris(spark, edges) == [("a", "b", "h"), ("c", "d", "h")]
+
+
+def test_triangles_shared_edge(spark):
+    # two triangles sharing edge (a,b)
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")]
+    assert _tris(spark, edges) == [("a", "b", "c"), ("a", "b", "d")]
+
+
+def test_degree_stats(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("b", "d")])
+    got = {r.n: r.deg for r in degree_stats(e).collect()}
+    assert got == {"a": 1, "b": 3, "c": 1, "d": 1}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # deterministic pseudo-random graph; oracle = O(n^3) python loop
+    import itertools
+
+    n = 14
+    verts = [f"v{i}" for i in range(n)]
+    pairs = [
+        (verts[i], verts[j])
+        for i, j in itertools.combinations(range(n), 2)
+        if (i * 7 + j * 13 + i * j) % 3 == 0
+    ]
+    eset = {frozenset(p) for p in pairs}
+    expect = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(sorted(verts), 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= eset
+    )
+    assert _tris(spark, pairs) == expect
