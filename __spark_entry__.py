@@ -755,6 +755,16 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_comention(spark, sf_dir))
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (10 power iterations, d=0.85) over the co-mention graph —
+    edges+degrees built once and kept partitioned on the source key; each
+    iteration shuffles only the |V|-row rank table. Oracle: the identical
+    iteration unrolled as DuckDB CTEs, both sides rounded to 6 d.p."""
+    from sparkrdf.graphops import pagerank
+
+    return pagerank(_comention(spark, sf_dir))
+
+
 def q_graph_triangles(spark, sf_dir):
     """Triangle enumeration over the co-mention graph via degree-ordered
     node-iterator++ — hubs generate no wedges (their edges point into them),
@@ -829,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_comention_edges": q_graph_comention_edges,
         "graph_degree_stats": q_graph_degree_stats,
         "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
     }
 
 
@@ -1774,5 +1785,23 @@ tri AS (
   FROM w JOIN o ON o.lo = w.q AND o.hi = w.r)
 SELECT t[1] AS a, t[2] AS b, t[3] AS c FROM tri
 """
+
+    # PageRank: the same 10 power iterations graphops.pagerank runs,
+    # unrolled as one CTE per iteration (recursive CTEs can't aggregate in
+    # the recursive member). Undirected graph -> both edge directions; every
+    # vertex of an edge list has degree >= 1, so no dangling-mass term.
+    pr_cte = graph_edges_cte + """,
+de AS (SELECT u AS s, v AS t FROM edges UNION ALL SELECT v AS s, u AS t FROM edges),
+deg AS (SELECT s, COUNT(*)::DOUBLE AS dg FROM de GROUP BY s),
+nv AS (SELECT COUNT(*)::DOUBLE AS c FROM deg),
+r0 AS (SELECT s AS n, 1.0 / (SELECT c FROM nv) AS pr FROM deg)"""
+    for i in range(10):
+        pr_cte += f""",
+r{i + 1} AS (
+  SELECT de.t AS n,
+    (1 - 0.85) / (SELECT c FROM nv) + 0.85 * SUM(r{i}.pr / deg.dg) AS pr
+  FROM de JOIN deg USING (s) JOIN r{i} ON r{i}.n = de.s
+  GROUP BY de.t)"""
+    sql["graph_pagerank"] = pr_cte + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
 
     return sql

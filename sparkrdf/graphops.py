@@ -83,6 +83,45 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """PageRank over an undirected distinct-pair edge list (each edge walks
+    both ways). Returns ``(n, pr)`` with pr rounded to 6 d.p. so float
+    summation order can never flip an oracle comparison.
+
+    Scale shape: the directed edge+degree table is built once, repartitioned
+    on its source key and persisted — each power iteration then shuffles
+    ONLY the rank table (|V| narrow rows), never the edges. Ranks are
+    eagerly localCheckpoint-ed per round to cut the O(iterations) lineage
+    (the same discipline as dedupe.connected_components). Every vertex of an
+    edge list has degree ≥ 1, so there is no dangling-mass correction and
+    total rank stays 1.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    de = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    deg = de.groupBy("s").agg(F.count("*").cast("double").alias("dg"))
+    out = de.join(deg, "s").repartition("s").persist()
+    n_v = deg.count()
+    base = (1.0 - damping) / n_v
+    ranks = deg.select(F.col("s").alias("n"), F.lit(1.0 / n_v).alias("pr"))
+    for _ in range(n_iter):
+        ranks = (
+            out.join(ranks, out["s"] == ranks["n"])
+            .select(F.col("t"), (F.col("pr") / F.col("dg")).alias("c"))
+            .groupBy("t")
+            .agg((F.lit(base) + damping * F.sum("c")).alias("pr"))
+            .withColumnRenamed("t", "n")
+            .localCheckpoint(eager=True)
+        )
+    out.unpersist()
+    return ranks.select("n", F.round("pr", 6).alias("pr"))
+
+
 def degree_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Per-vertex degree of an undirected distinct-pair edge list — the
     seed statistic for orientation, skew diagnosis and hub capping."""

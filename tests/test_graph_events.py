@@ -6,8 +6,8 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from sparkrdf.eventops import sessionize
-from sparkrdf.graphops import comention_edges, degree_stats, triangles
+from sparkrdf.eventops import sessionize, sessionize_stream
+from sparkrdf.graphops import comention_edges, degree_stats, pagerank, triangles
 
 T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
 T0_US = 1_704_067_200 * 1_000_000  # epoch micros of T0 (session tz is UTC)
@@ -131,6 +131,80 @@ def test_degree_stats(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("b", "d")])
     got = {r.n: r.deg for r in degree_stats(e).collect()}
     assert got == {"a": 1, "b": 3, "c": 1, "d": 1}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    verts = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    # column-stochastic transition matrix of the undirected graph
+    M = np.zeros((n, n))
+    for u, v in pairs:
+        M[idx[v], idx[u]] = 1.0
+        M[idx[u], idx[v]] = 1.0
+    M /= M.sum(axis=0, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (M @ r)
+
+    got = {row.n: row.pr for row in pagerank(_edges(spark, pairs)).collect()}
+    assert set(got) == set(verts)
+    for v in verts:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_symmetry(spark):
+    # a 4-cycle is vertex-transitive: every vertex gets exactly 1/4
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    got = {r.n: r.pr for r in pagerank(_edges(spark, cyc)).collect()}
+    assert got == {"a": 0.25, "b": 0.25, "c": 0.25, "d": 0.25}
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    # file-source stream in two chunks; closed+open sessions all emitted
+    # once the stream drains (processAllAvailable + final watermark batch)
+    rows1 = [(0, 1, 0.0, 1.0), (1, 1, 10.0, 2.0), (2, 2, 5.0, 3.0)]
+    rows2 = [(3, 1, 200.0, 4.0), (4, 2, 12.0, 5.0), (5, 1, 205.0, 6.0)]
+    src = str(tmp_path / "landing")
+    _events(spark, rows1).write.parquet(src + "/c1")
+    _events(spark, rows2).write.parquet(src + "/c2")
+
+    schema = _events(spark, rows1).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/c*")
+    q = (
+        sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.start_us): (r.n_events, r.end_us, r.value_cents)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+
+    batch = sessionize(_events(spark, rows1 + rows2)).collect()
+    expect = {
+        (r.user_id, r.start_us): (r.n_events, r.end_us, r.value_cents)
+        for r in batch
+    }
+    # the stream may not have emitted sessions still open at shutdown;
+    # everything it DID emit must agree with batch, and the closed first
+    # sessions of both users must be present
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v, (k, v, expect[k])
+    assert (1, T0_US) in got
 
 
 def test_triangle_count_matches_bruteforce(spark):
