@@ -755,6 +755,40 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_comention(spark, sf_dir))
 
 
+def q_kg_bgp_match(spark, sf_dir):
+    """Basic-graph-pattern query over the doc-KG triple set: documents of
+    type Document mentioning an entity of class Operator — three filtered
+    scans of one statements table joined on their shared variables (the
+    constant terms push down into the scan). Oracle: the same conjunctive
+    join in DuckDB over the triples CTEs."""
+    from sparkrdf.query import bgp_match
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_match(
+        stmts,
+        [
+            ("?d", _RDF_TYPE, dockg.CLS_DOCUMENT),
+            ("?d", dockg.P_MENTIONS, "?e"),
+            ("?e", _RDF_TYPE, dockg.class_iri("Operator")),
+        ],
+    )
+
+
+def q_graph_khop(spark, sf_dir):
+    """Bounded BFS (k=3, ANY direction) from the Operator class IRI over
+    the IRI-object triples of the doc KG — the AQL `FOR v IN 1..3 ANY`
+    traversal as frontier-joins: class → operator entities → documents
+    mentioning them → everything else those documents mention. Oracle:
+    levels unrolled as DuckDB CTEs with NOT IN visited sets."""
+    from sparkrdf.query import khop
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    iri_edges = (
+        stmts.filter(F.col("o_kind") == "URIRef").select("s", "o").distinct()
+    )
+    return khop(iri_edges, dockg.class_iri("Operator"), 3, src="s", dst="o")
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (10 power iterations, d=0.85) over the co-mention graph —
     edges+degrees built once and kept partitioned on the source key; each
@@ -840,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": q_graph_degree_stats,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "kg_bgp_match": q_kg_bgp_match,
+        "graph_khop": q_graph_khop,
     }
 
 
@@ -1803,5 +1839,42 @@ r{i + 1} AS (
   FROM de JOIN deg USING (s) JOIN r{i} ON r{i}.n = de.s
   GROUP BY de.t)"""
     sql["graph_pagerank"] = pr_cte + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
+
+    # BGP: ?d a Document . ?d mentions ?e . ?e a Operator — pattern 1
+    # matches exactly the docs rows, pattern 2 the mentions rows, pattern 3
+    # the distinct ent-type rows with the Operator class.
+    sql["kg_bgp_match"] = f"""
+WITH {_DOC_CTES}
+SELECT t2.s AS d, t2.ent AS e
+FROM docs t1
+JOIN mentions t2 ON t2.s = t1.s
+JOIN (SELECT DISTINCT ent FROM mentions
+      WHERE cls = '{dockg.class_iri("Operator")}') t3 ON t3.ent = t2.ent
+"""
+
+    # k-hop BFS over the IRI-object triple pairs, levels unrolled; the
+    # visited set at each level is the union of all previous levels.
+    khop_src = dockg.class_iri("Operator")
+    sql["graph_khop"] = f"""
+WITH {_DOC_CTES},
+eg AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, ent AS b FROM mentions
+    UNION ALL SELECT s, '{dockg.CLS_DOCUMENT}' FROM docs
+    UNION ALL SELECT ent, cls FROM mentions)),
+de AS (SELECT a AS s, b AS t FROM eg UNION ALL SELECT b AS s, a AS t FROM eg),
+l0 AS (SELECT '{khop_src}' AS n),
+l1 AS (SELECT DISTINCT de.t AS n FROM de JOIN l0 ON de.s = l0.n
+       WHERE de.t NOT IN (SELECT n FROM l0)),
+l2 AS (SELECT DISTINCT de.t AS n FROM de JOIN l1 ON de.s = l1.n
+       WHERE de.t NOT IN (SELECT n FROM l0 UNION SELECT n FROM l1)),
+l3 AS (SELECT DISTINCT de.t AS n FROM de JOIN l2 ON de.s = l2.n
+       WHERE de.t NOT IN (SELECT n FROM l0 UNION SELECT n FROM l1
+                          UNION SELECT n FROM l2))
+SELECT n, 0 AS dist FROM l0
+UNION ALL SELECT n, 1 FROM l1
+UNION ALL SELECT n, 2 FROM l2
+UNION ALL SELECT n, 3 FROM l3
+"""
 
     return sql

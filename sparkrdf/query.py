@@ -1,0 +1,151 @@
+"""Query-side operators over statement/edge tables: basic-graph-pattern
+matching and bounded traversal.
+
+These are the reads an ArangoRDF user runs AFTER import — AQL traversals
+(``FOR v IN 1..k ANY start ...``) and pattern queries over the stored graph
+(reference: arango_rdf/main.py materializes collections precisely so such
+queries can run). Re-expressed as DataFrame joins so Catalyst pushes the
+constant-term filters into the scan and AQE sizes the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def bgp_match(
+    stmts: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Match a conjunctive basic graph pattern (SPARQL BGP semantics, bag
+    solutions) against a statements table. Each pattern term is either a
+    constant string or a variable ``"?name"``; the result has one column
+    per distinct variable, named without the ``?``.
+
+    Scale shape: every pattern is an independent filtered projection of the
+    statements scan — constant terms become pushed-down predicates, so a
+    selective pattern reads a fraction of the table. Patterns join
+    progressively on their shared variables (plain equi-joins, AQE-sized);
+    they are reordered most-constants-first so the most selective scan
+    seeds the join tree. A pattern sharing no variable with the accumulated
+    bindings is a cartesian blow-up and raises instead of silently
+    crossJoining; a pattern with NO variables acts as an existence gate
+    (broadcast 1-row semi-filter), not a multiplier.
+    """
+    if not patterns:
+        raise ValueError("bgp_match requires at least one pattern")
+
+    cols = {"s": s_col, "p": p_col, "o": o_col}
+
+    def project(pat):
+        s, p, o = pat
+        df = stmts
+        seen: dict[str, str] = {}  # var -> first source column
+        out = []
+        for pos, term in zip(("s", "p", "o"), (s, p, o)):
+            col = cols[pos]
+            if not _is_var(term):
+                df = df.filter(F.col(col) == term)
+            else:
+                var = term[1:]
+                if var in seen:  # repeated var inside one pattern
+                    df = df.filter(F.col(col) == F.col(seen[var]))
+                else:
+                    seen[var] = col
+                    out.append(F.col(col).alias(var))
+        return df.select(*out), set(seen)
+
+    def pat_vars(pat):
+        return {t[1:] for t in pat if _is_var(t)}
+
+    def n_consts(pat):
+        return sum(not _is_var(t) for t in pat)
+
+    # greedy connected ordering: seed with the most-constant (most
+    # selective) pattern, then always extend with a pattern sharing a bound
+    # variable, again most-constants-first (ties keep user order). Only a
+    # genuinely disconnected pattern set raises.
+    pending = [(i, p) for i, p in enumerate(patterns) if pat_vars(p)]
+    gates = [p for p in patterns if not pat_vars(p)]  # var-free existence
+    acc: DataFrame | None = None
+    bound: set[str] = set()
+    while pending:
+        if acc is None:
+            candidates = pending
+        else:
+            candidates = [ip for ip in pending if bound & pat_vars(ip[1])]
+            if not candidates:
+                raise ValueError(
+                    f"patterns {[p for _, p in pending]} share no variable "
+                    "with prior patterns (cartesian product); bind a "
+                    "variable to connect them"
+                )
+        pick = min(candidates, key=lambda ip: (3 - n_consts(ip[1]), ip[0]))
+        pending.remove(pick)
+        proj, vars_ = project(pick[1])
+        if acc is None:
+            acc, bound = proj, vars_
+        else:
+            acc = acc.join(proj, on=sorted(bound & vars_))
+            bound |= vars_
+    gates = [project(g)[0] for g in gates]
+    if acc is None:
+        acc = gates.pop(0).limit(1).select(F.lit(True).alias("matched"))
+    for g in gates:
+        # existence gate: keep all bindings iff the constant triple exists
+        acc = acc.join(F.broadcast(g.limit(1).select(F.lit(1).alias("_g"))))
+        acc = acc.drop("_g")
+    return acc
+
+
+def khop(
+    edges: DataFrame,
+    source: str,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    directed: bool = False,
+) -> DataFrame:
+    """BFS distances ≤ k from ``source``: returns ``(n, dist)`` with the
+    minimum hop count, one row per reached vertex. ``directed=False``
+    walks edges both ways (AQL's ``ANY`` direction).
+
+    Scale shape: classic frontier expansion — each level joins ONLY the
+    current frontier (narrow, shrinking) against the static edge table and
+    anti-joins the visited set; the edge table is repartitioned on its join
+    key once and reused every level. Frontiers are eagerly checkpointed so
+    lineage stays O(1) per level instead of O(k) at the end.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    e = e.repartition("s").persist()
+
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(source,)], "n string").localCheckpoint(
+        eager=True
+    )
+    visited = frontier.select("n", F.lit(0).alias("dist"))
+    for depth in range(1, k + 1):
+        frontier = (
+            e.join(frontier, e["s"] == frontier["n"])
+            .select(F.col("t").alias("n"))
+            .dropDuplicates()
+            .join(visited.select("n"), "n", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionAll(
+            frontier.select("n", F.lit(depth).alias("dist"))
+        ).localCheckpoint(eager=True)
+    e.unpersist()
+    return visited

@@ -1,0 +1,129 @@
+"""BGP pattern matching and k-hop traversal (sparkrdf/query.py)."""
+
+import pytest
+
+from sparkrdf.query import bgp_match, khop
+
+TRIPLES = [
+    ("alice", "type", "Person"),
+    ("bob", "type", "Person"),
+    ("carol", "type", "Robot"),
+    ("alice", "knows", "bob"),
+    ("bob", "knows", "carol"),
+    ("alice", "likes", "alice"),
+    ("bob", "likes", "carol"),
+]
+
+
+@pytest.fixture(scope="module")
+def stmts(spark):
+    return spark.createDataFrame(TRIPLES, "s string, p string, o string").cache()
+
+
+def test_bgp_single_pattern(spark, stmts):
+    got = sorted(r.x for r in bgp_match(stmts, [("?x", "type", "Person")]).collect())
+    assert got == ["alice", "bob"]
+
+
+def test_bgp_join_on_shared_var(spark, stmts):
+    # persons who know someone: ?x a Person . ?x knows ?y
+    got = sorted(
+        (r.x, r.y)
+        for r in bgp_match(
+            stmts, [("?x", "type", "Person"), ("?x", "knows", "?y")]
+        ).collect()
+    )
+    assert got == [("alice", "bob"), ("bob", "carol")]
+
+
+def test_bgp_three_patterns_chain(spark, stmts):
+    # ?x knows ?y . ?y knows ?z . ?x a Person
+    got = sorted(
+        (r.x, r.y, r.z)
+        for r in bgp_match(
+            stmts,
+            [("?x", "knows", "?y"), ("?y", "knows", "?z"), ("?x", "type", "Person")],
+        ).collect()
+    )
+    assert got == [("alice", "bob", "carol")]
+
+
+def test_bgp_star_shape_orders_connected(spark, stmts):
+    # two selective type patterns share no variable with each other, only
+    # via the middle pattern — the greedy ordering must bridge them instead
+    # of raising (regression: naive most-constants-first sort did not)
+    got = sorted(
+        (r.x, r.y)
+        for r in bgp_match(
+            stmts,
+            [("?x", "type", "Person"), ("?y", "type", "Robot"),
+             ("?x", "knows", "?y")],
+        ).collect()
+    )
+    assert got == [("bob", "carol")]
+
+
+def test_bgp_repeated_var_in_pattern(spark, stmts):
+    # self-loops: ?x likes ?x
+    got = [r.x for r in bgp_match(stmts, [("?x", "likes", "?x")]).collect()]
+    assert got == ["alice"]
+
+
+def test_bgp_constant_gate_present_and_absent(spark, stmts):
+    base = [("?x", "type", "Robot")]
+    ok = bgp_match(stmts, base + [("alice", "knows", "bob")]).collect()
+    assert [r.x for r in ok] == ["carol"]
+    empty = bgp_match(stmts, base + [("alice", "knows", "carol")]).collect()
+    assert empty == []
+
+
+def test_bgp_disconnected_pattern_raises(spark, stmts):
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(stmts, [("?x", "type", "Person"), ("?y", "likes", "?z")])
+
+
+def test_bgp_empty_patterns_raises(spark, stmts):
+    with pytest.raises(ValueError):
+        bgp_match(stmts, [])
+
+
+def _khop_edges(spark):
+    # a-b-c-d chain plus isolated branch d-e; f unreachable
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("f", "g")]
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def test_khop_undirected_distances(spark):
+    got = {r.n: r.dist for r in khop(_khop_edges(spark), "a", 3).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_khop_directed(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "a")], "u string, v string"
+    )
+    got = {r.n: r.dist for r in khop(e, "a", 5, directed=True).collect()}
+    # x only points INTO a — never reached going forward
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_khop_min_distance_on_diamond(spark):
+    # two paths a->d: length 2 (via b) and 3 (via c1,c2); BFS keeps 2
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c1"), ("c1", "c2"), ("c2", "d")],
+        "u string, v string",
+    )
+    got = {r.n: r.dist for r in khop(e, "a", 4).collect()}
+    assert got["d"] == 2
+
+
+def test_khop_early_exit_when_frontier_drains(spark):
+    # component of size 2: k=10 must stop after level 1, not loop
+    e = spark.createDataFrame([("a", "b")], "u string, v string")
+    got = {r.n: r.dist for r in khop(e, "a", 10).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_khop_source_not_in_graph(spark):
+    got = {r.n: r.dist for r in khop(_khop_edges(spark), "zzz", 2).collect()}
+    assert got == {"zzz": 0}
