@@ -755,6 +755,56 @@ def q_graph_degree_stats(spark, sf_dir):
     return degree_stats(_comention(spark, sf_dir))
 
 
+def q_evt_error_attribution(spark, sf_dir):
+    """As-of join: each error event attributed to the latest click of the
+    same user at-or-before it (union+window, ONE shuffle on user_id — no
+    inequality join). Oracle: the independent nested-loop formulation
+    (LEFT JOIN + QUALIFY row_number)."""
+    from sparkrdf.eventops import epoch_us
+    from sparkrdf.joins import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), epoch_us("ts").alias("err_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        epoch_us("ts").alias("click_us"),
+    )
+    return asof_join(
+        errors, clicks,
+        on=["user_id"], left_us="err_us", right_us="click_us",
+        right_cols=["click_id", "click_us"], tiebreak="click_id",
+    )
+
+
+def q_evt_nearby_pairs(spark, sf_dir):
+    """Range join: pairs of events from different users within 60 s of each
+    other — band-bucketed equi-join (right side replicated into adjacent
+    60 s buckets), never an |L|×|R| inequality join. Oracle: the plain
+    inequality join in DuckDB."""
+    from sparkrdf.eventops import epoch_us
+    from sparkrdf.joins import range_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        epoch_us("ts").alias("a_us"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        epoch_us("ts").alias("b_us"),
+    )
+    return (
+        range_join(a, b, "a_us", "b_us", 60_000_000)
+        .filter((F.col("a_id") < F.col("b_id")) & (F.col("a_user") != F.col("b_user")))
+        .select("a_id", "b_id", (F.col("b_us") - F.col("a_us")).alias("gap_us"))
+    )
+
+
 def q_kg_bgp_match(spark, sf_dir):
     """Basic-graph-pattern query over the doc-KG triple set: documents of
     type Document mentioning an entity of class Operator — three filtered
@@ -876,6 +926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "kg_bgp_match": q_kg_bgp_match,
         "graph_khop": q_graph_khop,
+        "evt_error_attribution": q_evt_error_attribution,
+        "evt_nearby_pairs": q_evt_nearby_pairs,
     }
 
 
@@ -1875,6 +1927,26 @@ SELECT n, 0 AS dist FROM l0
 UNION ALL SELECT n, 1 FROM l1
 UNION ALL SELECT n, 2 FROM l2
 UNION ALL SELECT n, 3 FROM l3
+"""
+
+    # as-of join, independent formulation: nested-loop LEFT JOIN over all
+    # at-or-before clicks, keep the latest (ties: greatest click_id)
+    sql["evt_error_attribution"] = """
+SELECT e.user_id, epoch_us(e.ts) AS err_us, e.event_id AS err_id,
+       c.event_id AS click_id, epoch_us(c.ts) AS click_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id AND c.ts <= e.ts
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY e.event_id ORDER BY c.ts DESC, c.event_id DESC) = 1
+"""
+
+    sql["evt_nearby_pairs"] = """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.event_id < b.event_id AND a.user_id <> b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
 """
 
     return sql

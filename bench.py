@@ -51,6 +51,8 @@ OP_QUERIES = (
     "events_sessionize",
     "graph_triangles",
     "graph_pagerank",
+    "evt_error_attribution",
+    "evt_nearby_pairs",
 )
 
 

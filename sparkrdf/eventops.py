@@ -13,6 +13,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(col_name: str) -> "F.Column":
+    """tz-free epoch microseconds of a (possibly NTZ) timestamp column:
+    diff against the NTZ epoch so the value never depends on
+    ``spark.sql.session.timeZone`` (``unix_micros`` would, and rejects NTZ
+    input outright)."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({col_name} AS TIMESTAMP_NTZ))"
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",
@@ -74,13 +85,7 @@ def sessionize(
     cluster would lay out per-entity timelines. Ties are broken by the event
     id so the assignment is deterministic under equal timestamps.
     """
-    # tz-free epoch micros: the events table stores TIMESTAMP_NTZ wall
-    # times; diff against the NTZ epoch so the result never depends on
-    # spark.sql.session.timeZone (unix_micros would, and rejects NTZ).
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-        f"CAST({ts_col} AS TIMESTAMP_NTZ))"
-    )
+    us = epoch_us(ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap_us = us - F.lag(us).over(w)
     is_new = F.when(

@@ -170,13 +170,13 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     rows1 = [(0, 1, 0.0, 1.0), (1, 1, 10.0, 2.0), (2, 2, 5.0, 3.0)]
     rows2 = [(3, 1, 200.0, 4.0), (4, 2, 12.0, 5.0), (5, 1, 205.0, 6.0)]
     src = str(tmp_path / "landing")
-    _events(spark, rows1).write.parquet(src + "/c1")
-    _events(spark, rows2).write.parquet(src + "/c2")
+    # chunk 2 is written only AFTER chunk 1 is fully processed: with a
+    # 0-second watermark, processing them out of order would drop the
+    # early sessions as late data
+    _events(spark, rows1).write.parquet(src)
 
     schema = _events(spark, rows1).schema
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", "1"
-    ).parquet(src + "/c*")
+    stream = spark.readStream.schema(schema).parquet(src)
     q = (
         sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
         .writeStream.format("memory")
@@ -185,6 +185,8 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .start()
     )
     try:
+        q.processAllAvailable()
+        _events(spark, rows2).write.mode("append").parquet(src)
         q.processAllAvailable()
     finally:
         q.stop()
