@@ -387,6 +387,25 @@ def q_text_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=3)
 
 
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — explode + two partial-combined
+    hash aggregates + a term-key join; scores rounded before ranking so
+    the tie-break is engine-exact."""
+    from sparkrdf.textops import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_text_cap_per_domain(spark, sf_dir):
+    """Hard cap: at most 50 documents per (lang, source), ordered by
+    doc_id — deterministic domain budget enforcement."""
+    from sparkrdf.textops import cap_per_key
+
+    return cap_per_key(_docs(spark, sf_dir), ["lang", "source"], 50, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_text_weighted_sample(spark, sf_dir):
     """Deterministic per-domain downsampling (domain mixing): keep 100% of
     src0, 50% of src1, 25% of src2, 10% of everything else — one codegen'd
@@ -900,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_decontaminate": q_text_decontaminate,
         "text_weighted_sample": q_text_weighted_sample,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_cap_per_domain": q_text_cap_per_domain,
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
         "corpus_profile": q_corpus_profile,
@@ -1947,6 +1968,25 @@ SELECT a.event_id AS a_id, b.event_id AS b_id,
 FROM events a JOIN events b
   ON a.event_id < b.event_id AND a.user_id <> b.user_id
  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+"""
+
+    sql["text_tfidf_topk"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term),
+dfr AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf,
+       ROUND(tf.tf * (LN(((SELECT n FROM nd) + 1) / (dfr.df + 1)) + 1), 6) AS score
+FROM tf JOIN dfr USING (term)
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY tf.doc_id ORDER BY score DESC, tf.term ASC) <= 5
+"""
+
+    sql["text_cap_per_domain"] = """
+SELECT doc_id, lang, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 50
 """
 
     return sql

@@ -13,7 +13,7 @@ reproduce them bit-for-bit (the driver's correctness gate):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # fixed stopword lists (tiny, deterministic)
@@ -559,3 +559,79 @@ def weighted_sample(
     default_t = F.lit(int(round(default_rate * buckets)))
     thr = default_t if thr is None else thr.otherwise(default_t)
     return docs.filter(bucket < thr)
+
+
+def tfidf_topk(
+    docs: "DataFrame",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Top-k TF-IDF terms per document → (doc_id, term, tf, score), the
+    keyword/feature-extraction primitive of a corpus pipeline. Tokens are
+    the same whitespace words the other textops use; idf is the smoothed
+    ``ln((N+1)/(df+1)) + 1``. Scores are rounded to 6 d.p. BEFORE ranking
+    so the (score desc, term asc) tie-break is engine-exact.
+
+    Scale shape: one explode + two hash aggregates with map-side partials
+    (term frequency keyed on (doc, term); document frequency keyed on
+    term), then an equi-join back on the term key — the df table has one
+    row per DISTINCT term, so AQE broadcasts it when the vocabulary is
+    small and shuffle-joins otherwise. The per-doc top-k is a window over
+    the (doc, term) table, already partitioned by the aggregate key.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t != "", F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(words).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df_tbl, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def cap_per_key(
+    df: "DataFrame",
+    keys: list[str],
+    n: int,
+    order_col: str,
+) -> "DataFrame":
+    """Hard per-key row cap: keep the first ``n`` rows of every key group,
+    ordered by ``order_col`` — "at most N documents per (lang, source)".
+    Deterministic (the order column must be unique within a key), so the
+    kept set is stable across runs and engines.
+
+    Scale shape: one shuffle on the key, then a running row_number — rank
+    + filter fuse into the window operator's first pass. A Zipf-hot key
+    still sorts its whole partition before cutting; at 100 TB pre-trim
+    each map partition to its local top-n first (the window semantics
+    admit it: any row beyond rank n within ONE partition can never enter
+    the global first n) — kept single-pass here because gate scale never
+    spills.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -472,3 +472,65 @@ def test_weighted_sample_deterministic_and_stratified(spark, docs):
 
     with pytest.raises(ValueError, match="rate"):
         weighted_sample(d, {"s0": 1.5}).collect()
+
+
+# ---------------------------------------------------------------------------
+# tf-idf and per-key cap (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_hand_case(spark):
+    from sparkrdf.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    got = {(r.doc_id, r.term): (r.tf, r.score) for r in out.collect()}
+    import math
+
+    def score(tf, df):
+        return round(tf * (math.log(4 / (df + 1)) + 1), 6)
+
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    assert got[(1, "apple")] == (2, score(2, 1))
+    assert got[(1, "banana")] == (1, score(1, 2))
+    # doc 3: cherry tf=3 dominates; date tf=1 df=1
+    assert got[(3, "cherry")] == (3, score(3, 2))
+    assert got[(3, "date")] == (1, score(1, 1))
+    # k=2 respected
+    assert sum(1 for (d, _t) in got if d == 3) == 2
+
+
+def test_tfidf_empty_and_whitespace_docs_dropped(spark):
+    from sparkrdf.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, k=3).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_cap_per_key(spark):
+    from sparkrdf.textops import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, "k%d" % (i % 2)) for i in range(20)], "id long, k string"
+    )
+    out = cap_per_key(df, ["k"], 3, "id")
+    got = sorted((r.k, r.id) for r in out.collect())
+    # first 3 ids of each parity class
+    assert got == [("k0", 0), ("k0", 2), ("k0", 4), ("k1", 1), ("k1", 3), ("k1", 5)]
+
+
+def test_cap_per_key_under_cap_keeps_all(spark):
+    from sparkrdf.textops import cap_per_key
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "id long, k string")
+    assert cap_per_key(df, ["k"], 10, "id").count() == 2
