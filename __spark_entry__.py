@@ -387,6 +387,23 @@ def q_text_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=3)
 
 
+def q_corpus_rollup(spark, sf_dir):
+    """Doc counts + token totals by ROLLUP(lang, source) — per-cell,
+    per-lang and grand-total rows from ONE aggregation pass (Catalyst
+    expands the grouping sets; still a single shuffle with map-side
+    partials). Oracle: GROUP BY ROLLUP in DuckDB."""
+    from sparkrdf.textops import token_count
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Top-5 TF-IDF terms per document — explode + two partial-combined
     hash aggregates + a term-key join; scores rounded before ranking so
@@ -921,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_weighted_sample": q_text_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_cap_per_domain": q_text_cap_per_domain,
+        "corpus_rollup": q_corpus_rollup,
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
         "corpus_profile": q_corpus_profile,
@@ -1987,6 +2005,13 @@ QUALIFY ROW_NUMBER() OVER (
     sql["text_cap_per_domain"] = """
 SELECT doc_id, lang, source FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 50
+"""
+
+    sql["corpus_rollup"] = """
+SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+  SUM(CASE WHEN trim(text) = '' THEN 0
+      ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS total_tokens
+FROM documents GROUP BY ROLLUP (lang, source)
 """
 
     return sql
