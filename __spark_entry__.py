@@ -423,6 +423,24 @@ def q_text_cap_per_domain(spark, sf_dir):
     )
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """CCNet-style cross-corpus line-level boilerplate scrub: drop every
+    line whose normalized form appears in >= 3 distinct documents, rejoin
+    survivors in order — one line-df aggregate + left_anti join."""
+    from sparkrdf.textops import boilerplate_scrub
+
+    return boilerplate_scrub(_docs(spark, sf_dir), min_docs=3)
+
+
+def q_text_unigram_lp(spark, sf_dir):
+    """Corpus-internal unigram log-prob per document (the cheap KenLM
+    perplexity stand-in) — vocab aggregate + occurrence join + per-doc
+    mean, rounded to 6 d.p. before compare."""
+    from sparkrdf.textops import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_text_weighted_sample(spark, sf_dir):
     """Deterministic per-domain downsampling (domain mixing): keep 100% of
     src0, 50% of src1, 25% of src2, 10% of everything else — one codegen'd
@@ -938,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_weighted_sample": q_text_weighted_sample,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_cap_per_domain": q_text_cap_per_domain,
+        "text_boilerplate": q_text_boilerplate,
+        "text_unigram_lp": q_text_unigram_lp,
         "corpus_rollup": q_corpus_rollup,
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
@@ -2005,6 +2025,45 @@ QUALIFY ROW_NUMBER() OVER (
     sql["text_cap_per_domain"] = """
 SELECT doc_id, lang, source FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) <= 50
+"""
+
+    sql["text_boilerplate"] = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM documents),
+norm AS (SELECT doc_id, pos, line, trim(lower(line)) AS nline FROM lines),
+common AS (
+  SELECT nline FROM norm WHERE nline <> ''
+  GROUP BY nline HAVING COUNT(DISTINCT doc_id) >= 3),
+kept AS (
+  SELECT doc_id, pos, line FROM norm
+  WHERE nline NOT IN (SELECT nline FROM common)),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t,
+         COUNT(*)::BIGINT AS kept_n
+  FROM kept GROUP BY doc_id),
+base AS (
+  SELECT doc_id, len(string_split(text, chr(10)))::BIGINT AS total_n
+  FROM documents)
+SELECT b.doc_id, COALESCE(r.t, '') AS text,
+       (b.total_n - COALESCE(r.kept_n, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+    sql["text_unigram_lp"] = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+freq AS (SELECT term, COUNT(*)::DOUBLE AS c FROM tok GROUP BY term),
+tot AS (SELECT SUM(c) AS s FROM freq),
+perdoc AS (
+  SELECT tok.doc_id, COUNT(*)::BIGINT AS n, AVG(LN(freq.c / (SELECT s FROM tot))) AS alp
+  FROM tok JOIN freq USING (term) GROUP BY tok.doc_id)
+SELECT d.doc_id, COALESCE(p.n, 0)::BIGINT AS n_tokens,
+       ROUND(COALESCE(p.alp, 0.0), 6) AS logprob
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
     sql["corpus_rollup"] = """

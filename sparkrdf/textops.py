@@ -635,3 +635,105 @@ def cap_per_key(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def boilerplate_scrub(
+    docs: "DataFrame",
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """CCNet-style cross-corpus line-level boilerplate removal: any line
+    whose normalized form (trim + lowercase) appears in >= ``min_docs``
+    DISTINCT documents is dropped from every document; surviving lines are
+    rejoined with ``\\n`` in original order. Returns
+    (id, text, n_removed) — documents whose every line is boilerplate come
+    back with empty text, not dropped rows.
+
+    Scale shape: one posexplode, one hash aggregate keyed on the
+    normalized line (count-distinct over doc ids, map-side partials), and
+    a left_anti join against the common-line set. The common set is
+    bounded by lines that repeat across >= min_docs documents — tiny
+    relative to the corpus (it IS the boilerplate) — so AQE broadcasts it;
+    no forced hint because a pathological corpus could make it large.
+    Reassembly is one shuffle on the doc id with array_sort on the
+    captured position (no window, no global sort).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("nline", F.trim(F.lower(F.col("line"))))
+    common = (
+        lines.filter(F.col("nline") != "")
+        .groupBy("nline")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("nline")
+    )
+    kept = lines.join(common, "nline", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("_text"),
+        F.count("*").cast("long").alias("_kept"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).cast("long").alias("_total"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def unigram_logprob(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Corpus-internal unigram language-model score per document — the
+    cheap stand-in for CCNet's KenLM perplexity filter: score(doc) =
+    mean over token occurrences of ln(count(token)/total_tokens), where
+    counts come from the corpus itself. Documents far below the corpus
+    median are gibberish / OOV-dense; far above are repetitive. Returns
+    (id, n_tokens, logprob) with logprob rounded to 6 d.p. (the same
+    cross-engine determinism contract tfidf_topk uses); empty documents
+    get (0, 0.0).
+
+    Scale shape: one explode + one hash aggregate keyed on the term
+    (map-side partials), a 1-row total broadcast-crossJoin (stays
+    distributed — no driver collect), an equi-join of token occurrences
+    back to the vocabulary table (AQE broadcasts the vocab when small),
+    and a final per-doc aggregate on the id key.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(t != "", F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    toks = docs.select(F.col(id_col), F.explode(words).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").cast("double").alias("c"))
+    tot = freq.agg(F.sum("c").alias("s"))
+    perdoc = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.avg(F.log(F.col("c") / F.col("s"))).alias("_alp"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(perdoc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(F.col("_alp"), F.lit(0.0)), 6).alias("logprob"),
+    )

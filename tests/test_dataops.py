@@ -534,3 +534,68 @@ def test_cap_per_key_under_cap_keeps_all(spark):
 
     df = spark.createDataFrame([(1, "a"), (2, "a")], "id long, k string")
     assert cap_per_key(df, ["k"], 10, "id").count() == 2
+
+
+def test_boilerplate_scrub(spark):
+    from sparkrdf.textops import boilerplate_scrub
+
+    rows = [
+        (1, "COOKIE NOTICE\nreal content one\nFooter Inc"),
+        (2, "cookie notice\nreal content two\nfooter inc"),
+        (3, "Cookie Notice\nreal content three\nFOOTER INC"),
+        (4, "unique doc\n\nwith a blank line"),
+        (5, "cookie notice\nFooter Inc"),  # everything is boilerplate
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(docs, min_docs=3).collect()
+    }
+    # case-insensitive line df >= 3 → removed everywhere, order preserved
+    assert out[1]["text"] == "real content one"
+    assert out[1]["n_removed"] == 2
+    assert out[2]["text"] == "real content two"
+    # doc untouched when no line crosses the threshold; blank lines kept
+    assert out[4]["text"] == "unique doc\n\nwith a blank line"
+    assert out[4]["n_removed"] == 0
+    # fully-boilerplate doc survives as an empty-text row, not a dropped row
+    assert out[5]["text"] == ""
+    assert out[5]["n_removed"] == 2
+    assert len(out) == 5
+
+
+def test_boilerplate_scrub_threshold_boundary(spark):
+    from sparkrdf.textops import boilerplate_scrub
+
+    rows = [(1, "shared\na"), (2, "shared\nb"), (3, "solo\nc")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # df("shared") == 2 < min_docs=3 → nothing removed
+    out = {r["doc_id"]: r for r in boilerplate_scrub(docs, min_docs=3).collect()}
+    assert all(r["n_removed"] == 0 for r in out.values())
+    # at min_docs=2 the shared line goes
+    out2 = {r["doc_id"]: r for r in boilerplate_scrub(docs, min_docs=2).collect()}
+    assert out2[1]["text"] == "a" and out2[2]["text"] == "b"
+    assert out2[3]["text"] == "solo\nc" and out2[3]["n_removed"] == 0
+    with pytest.raises(ValueError):
+        boilerplate_scrub(docs, min_docs=1)
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from sparkrdf.textops import unigram_logprob
+
+    # corpus: "a a b" + "a c" → counts a=3, b=1, c=1, total=5
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "A  c"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp = lambda c: math.log(c / 5.0)
+    exp1 = (lp(3) + lp(3) + lp(1)) / 3.0
+    exp2 = (lp(3) + lp(1)) / 2.0
+    assert out[1]["n_tokens"] == 3
+    assert abs(out[1]["logprob"] - round(exp1, 6)) < 1e-9
+    assert out[2]["n_tokens"] == 2
+    assert abs(out[2]["logprob"] - round(exp2, 6)) < 1e-9
+    # whitespace-only doc keeps its row with the empty sentinel
+    assert out[3]["n_tokens"] == 0 and out[3]["logprob"] == 0.0
