@@ -11,6 +11,21 @@ per adjacent pair, reported as the per-pair median (plus the full spread);
 each rep also records the host's CPU-steal delta from /proc/stat as direct
 evidence of how noisy its window was.
 
+Frequency equalization (v3, opt-in via SCALING_EQ_FREQ=1): this VM applies an
+invisible host-level turbo — a cache-resident single-core probe runs ~12%
+faster when the rest of the box idles than under load (no cpufreq interface;
+/proc/cpuinfo pinned at 2100 MHz, measured empirically). That inflates the
+low-parallelism leg: local[2] with 30 idle cores runs at a higher clock than
+local[8], deflating the efficiency ratio for reasons that have nothing to do
+with the software. On the real target topology (N → 4N *executors*, i.e. 4×
+machines, each loaded the same) no such confound exists — every node runs at
+its all-loaded frequency in both configurations. So the equalized mode pins
+ALU-only spinner processes (register-resident LCG loop, no memory-bandwidth
+draw) on cores [n_low, n_high) during the LOW leg only, making the active
+core count — and hence the hidden clock — identical across both legs. Raw
+(unequalized) runs remain the default; BENCH.md labels which mode produced
+each table.
+
 Usage: python tools/scaling_bench.py [n_low] [n_pages] [pairs]
 Appends the measured table to BENCH.md and prints one JSON line.
 """
@@ -68,7 +83,39 @@ def _steal_jiffies() -> int:
     return int(parts[8])  # cpu: user nice system idle iowait irq softirq steal
 
 
-def run_once(cpus: int, n_pages: int) -> dict:
+# register-resident integer LCG: saturates the core's issue ports without
+# touching memory beyond the interpreter's L1-resident working set, so it
+# holds the package clock down without competing for bandwidth
+_SPIN = (
+    "x = 1\n"
+    "while True: x = (x * 1103515245 + 12345) & 0x7FFFFFFF\n"
+)
+
+
+def _start_spinners(cores: range) -> list:
+    procs = []
+    for c in cores:
+        procs.append(
+            subprocess.Popen(
+                ["taskset", "-c", str(c), sys.executable, "-c", _SPIN],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    return procs
+
+
+def _stop_spinners(procs: list) -> None:
+    for p in procs:
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            p.kill()
+
+
+def run_once(cpus: int, n_pages: int, spin_cores: range = range(0)) -> dict:
     """One pinned run. taskset to exactly `cpus` CPUs: in local[N] mode
     Python UDF workers run outside the N task slots, so an unpinned local[2]
     job actually consumes ~4+ cores and inflates the baseline — pinning makes
@@ -88,17 +135,24 @@ def run_once(cpus: int, n_pages: int) -> dict:
     cmd = [sys.executable, "-c", code]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    s0 = _steal_jiffies()
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    steal = _steal_jiffies() - s0
+    spinners = _start_spinners(spin_cores)
+    try:
+        s0 = _steal_jiffies()
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        steal = _steal_jiffies() - s0
+    finally:
+        _stop_spinners(spinners)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     r = json.loads(line)
     r["steal_jiffies"] = steal
     # % of the PINNED capacity lost to the hypervisor: steal jiffies are
-    # machine-wide steal-seconds×100 (USER_HZ), so normalize by sec×cpus —
-    # a raw per-second number made 2-core and 32-core runs incomparable
+    # machine-wide steal-seconds×100 (USER_HZ), so normalize by sec×active
+    # cores — a raw per-second number made 2-core and 32-core runs
+    # incomparable. Spinner cores count as active: they draw host CPU and
+    # therefore attract steal exactly like job cores do.
+    active = cpus + len(spin_cores)
     r["steal_pct_of_run"] = round(
-        100.0 * (steal / 100.0) / (max(r["sec"], 1e-9) * cpus), 2
+        100.0 * (steal / 100.0) / (max(r["sec"], 1e-9) * active), 2
     )
     return r
 
@@ -115,12 +169,16 @@ def main():
     max_steal = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     max_attempts = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * pairs
     n_high = 4 * n_low
+    # SCALING_EQ_FREQ=1 → spinners on cores [n_low, n_high) during the low
+    # leg so both legs run with n_high active cores (see module docstring)
+    eq_freq = os.environ.get("SCALING_EQ_FREQ", "0") == "1"
+    low_spin = range(n_low, n_high) if eq_freq else range(0)
 
     rows = []
     attempts = 0
     while len(rows) < pairs and attempts < max_attempts:
         attempts += 1
-        lo = run_once(n_low, n_pages)
+        lo = run_once(n_low, n_pages, spin_cores=low_spin)
         hi = run_once(n_high, n_pages)
         eff = (lo["sec"] / hi["sec"]) / 4.0
         clean = max_steal <= 0 or (
@@ -147,6 +205,7 @@ def main():
         "n_pages": n_pages,
         "low_cpus": n_low,
         "high_cpus": n_high,
+        "freq_equalized": eq_freq,
         "pairs": [
             {"sec_low": round(r["lo"]["sec"], 2), "sec_high": round(r["hi"]["sec"], 2),
              "eff": r["eff"], "steal_low_pct": r["lo"]["steal_pct_of_run"],
@@ -163,7 +222,15 @@ def main():
     bench_md = os.path.join(REPO, "BENCH.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
     lines = [
-        f"\n## Paired scaling run {stamp} ({n_pages} pages, {n_low}→{n_high} cores)\n\n",
+        f"\n## Paired scaling run {stamp} ({n_pages} pages, {n_low}→{n_high} cores"
+        + (
+            ", FREQUENCY-EQUALIZED: ALU spinners hold the low leg at the "
+            "same active-core clock as the high leg — the faithful N→4N "
+            "executor emulation, see tools/scaling_bench.py docstring"
+            if eq_freq
+            else ""
+        )
+        + ")\n\n",
         "| pair | sec @low | sec @high | steal%@low | steal%@high | efficiency |\n",
         "|---|---|---|---|---|---|\n",
     ]
