@@ -441,6 +441,15 @@ def q_text_unigram_lp(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_text_dup_grams(spark, sf_dir):
+    """Cross-document duplicate 5-gram fraction per doc (span-dedup
+    signal) — one (doc,gram) aggregate + one gram-keyed window, exact
+    integer ratio rounded to 6 d.p."""
+    from sparkrdf.textops import cross_doc_dup_grams
+
+    return cross_doc_dup_grams(_docs(spark, sf_dir), n=5, min_docs=2)
+
+
 def q_text_weighted_sample(spark, sf_dir):
     """Deterministic per-domain downsampling (domain mixing): keep 100% of
     src0, 50% of src1, 25% of src2, 10% of everything else — one codegen'd
@@ -958,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cap_per_domain": q_text_cap_per_domain,
         "text_boilerplate": q_text_boilerplate,
         "text_unigram_lp": q_text_unigram_lp,
+        "text_dup_grams": q_text_dup_grams,
         "corpus_rollup": q_corpus_rollup,
         "web_url_canon": q_web_url_canon,
         "web_url_dedup": q_web_url_dedup,
@@ -2064,6 +2074,27 @@ perdoc AS (
 SELECT d.doc_id, COALESCE(p.n, 0)::BIGINT AS n_tokens,
        ROUND(COALESCE(p.alp, 0.0), 6) AS logprob
 FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+    sql["text_dup_grams"] = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE trim(text) <> ''),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 5 + 2),
+                i -> array_to_string(list_slice(w, i, i + 5 - 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 5),
+tf AS (SELECT doc_id, g, COUNT(*)::BIGINT AS c FROM grams GROUP BY doc_id, g),
+shared AS (SELECT g FROM tf GROUP BY g HAVING COUNT(*) >= 2),
+per AS (
+  SELECT tf.doc_id, SUM(tf.c)::BIGINT AS n_grams,
+         ROUND(SUM(CASE WHEN s.g IS NOT NULL THEN tf.c ELSE 0 END)::DOUBLE
+               / SUM(tf.c), 6) AS dup_frac
+  FROM tf LEFT JOIN shared s USING (g) GROUP BY tf.doc_id)
+SELECT d.doc_id, COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.dup_frac, 0.0) AS dup_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
     sql["corpus_rollup"] = """

@@ -737,3 +737,65 @@ def unigram_logprob(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_tokens"),
         F.round(F.coalesce(F.col("_alp"), F.lit(0.0)), 6).alias("logprob"),
     )
+
+
+def cross_doc_dup_grams(
+    docs: "DataFrame",
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Cross-document duplicate-span signal (the Lee et al. span-dedup
+    metric, complementing ``repetition_stats``'s WITHIN-doc fractions):
+    per document, the fraction of token n-gram occurrences whose n-gram
+    also appears in >= ``min_docs`` DISTINCT documents corpus-wide →
+    (id, n_grams, dup_frac). Docs with fewer than n tokens get (0, 0.0);
+    dup_frac is an exact integer ratio rounded to 6 d.p. (sum/sum of
+    counts — no float accumulation, engine-exact).
+
+    Scale shape: one explode + one (doc, gram) hash aggregate (map-side
+    partials collapse within-doc repeats before the exchange), then ONE
+    gram-keyed window pass that counts the gram's distinct docs in place —
+    no self-join, no second scan of the gram stream — and a final per-doc
+    reduce whose cardinality is #docs. The gram exchange is the inherent
+    cost of any cross-doc span statistic; everything else stays narrow.
+    """
+    if n < 1 or min_docs < 2:
+        raise ValueError("need n >= 1 and min_docs >= 2")
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.split(t, r"\s+")
+    gr = F.when(
+        (t != "") & (F.size(words) >= n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tf = (
+        docs.select(F.col(id_col), F.explode(gr).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    # distinct-doc frequency via a window over the gram key: the (doc, gram)
+    # table has one row per pair, so count(*) IS the distinct-doc count
+    ddf = F.count("*").over(Window.partitionBy("g"))
+    per = (
+        tf.withColumn("ddf", ddf)
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(
+                    F.when(F.col("ddf") >= min_docs, F.col("c")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(per, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("dup_frac"), F.lit(0.0)).alias("dup_frac"),
+    )

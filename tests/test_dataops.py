@@ -599,3 +599,44 @@ def test_unigram_logprob_hand_case(spark):
     assert abs(out[2]["logprob"] - round(exp2, 6)) < 1e-9
     # whitespace-only doc keeps its row with the empty sentinel
     assert out[3]["n_tokens"] == 0 and out[3]["logprob"] == 0.0
+
+
+def test_cross_doc_dup_grams(spark):
+    from sparkrdf.textops import cross_doc_dup_grams
+
+    rows = [
+        # docs 1+2 share the 3-gram "x y z"; doc 1 has 3 grams, doc 2 has 2
+        (1, "a b x y z"),      # grams: "a b x","b x y","x y z"
+        (2, "x y z w"),        # grams: "x y z","y z w"
+        (3, "p q r s"),        # grams: "p q r","q r s" — none shared
+        (4, "too short"),      # < 3 tokens
+        (5, ""),               # empty
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_dup_grams(docs, n=3, min_docs=2).collect()
+    }
+    assert out[1]["n_grams"] == 3 and abs(out[1]["dup_frac"] - round(1 / 3, 6)) < 1e-9
+    assert out[2]["n_grams"] == 2 and out[2]["dup_frac"] == 0.5
+    assert out[3]["n_grams"] == 2 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["dup_frac"] == 0.0
+
+
+def test_cross_doc_dup_grams_within_doc_repeat_not_shared(spark):
+    from sparkrdf.textops import cross_doc_dup_grams
+
+    # "m n o" occurs twice WITHIN doc 1 only — distinct-doc df is 1, so it
+    # must NOT count as shared (the within-doc signal belongs to
+    # repetition_stats, not here)
+    docs = spark.createDataFrame(
+        [(1, "m n o m n o"), (2, "u v w")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_dup_grams(docs, n=3, min_docs=2).collect()
+    }
+    assert out[1]["dup_frac"] == 0.0 and out[1]["n_grams"] == 4
+    with pytest.raises(ValueError):
+        cross_doc_dup_grams(docs, n=3, min_docs=1)
