@@ -234,6 +234,23 @@ def q_kg_doc_mentions_jvm(spark, sf_dir):
     return m.select("doc_id", "surface", F.col("n").cast("int").alias("n"))
 
 
+def q_kg_entity_resolution(spark, sf_dir):
+    """Cross-document entity resolution (sparkrdf/extract/resolve.py):
+    suffix-coreference folds within-document short forms ("table" after
+    "sort table") into their long form, then one hash aggregate builds the
+    corpus-wide canonical entity table. Oracle: the identical rule in pure
+    SQL — normalize, last-token left join per document, min-long-form
+    tie-break, aggregate."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.extract.resolve import entity_table
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    return entity_table(m, id_col="doc_id")
+
+
 #: the pages pipeline's materialized input — synthesized once per run
 #: (deterministic, idempotent overwrite) so Spark and the DuckDB oracle read
 #: the exact same parquet file. Fixed n=2000 → a static path the oracle SQL
@@ -945,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pgt_edge_defs": q_kg_pgt_edge_defs,
         "kg_doc_mentions": q_kg_doc_mentions,
         "kg_doc_mentions_jvm": q_kg_doc_mentions_jvm,
+        "kg_entity_resolution": q_kg_entity_resolution,
         "kg_pages_pipeline": q_kg_pages_pipeline,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1713,6 +1731,39 @@ GROUP BY doc_id, surface
 """
     # same oracle, Spark side runs the codegen (JVM regex) detector
     sql["kg_doc_mentions_jvm"] = sql["kg_doc_mentions"]
+
+    # entity resolution: identical suffix-coreference rule in pure SQL over
+    # the same mention set (see sparkrdf/extract/resolve.py docstring)
+    sql["kg_entity_resolution"] = f"""
+WITH m AS (
+  SELECT doc_id, surface, COUNT(*)::INT AS n
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS surface
+        FROM documents)
+  GROUP BY doc_id, surface
+),
+norm AS (
+  SELECT doc_id, surface, n,
+         trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) AS form
+  FROM m
+),
+multis AS (
+  SELECT DISTINCT doc_id, form AS long_form,
+         regexp_extract(form, '(\\S+)$', 1) AS last_tok
+  FROM norm WHERE contains(form, ' ')
+),
+resolved AS (
+  SELECT norm.doc_id, norm.n, norm.form,
+         coalesce(MIN(multis.long_form), norm.form) AS entity_key
+  FROM norm LEFT JOIN multis
+    ON norm.doc_id = multis.doc_id AND norm.form = multis.last_tok
+  GROUP BY norm.doc_id, norm.surface, norm.n, norm.form
+)
+SELECT entity_key,
+       SUM(n)::BIGINT AS n_mentions,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(DISTINCT form)::BIGINT AS n_forms
+FROM resolved GROUP BY entity_key
+"""
 
     # pages pipeline over the materialized input parquet (written eagerly by
     # q_kg_pages_pipeline before the oracle runs — same file, both engines).

@@ -152,3 +152,36 @@ def test_mention_detection_custom_dictionary(spark):
         (4, "part"): 1,
         (4, "scan"): 1,
     }
+
+
+def test_entity_resolution(spark):
+    from sparkrdf.extract.resolve import entity_table, resolve_entities
+
+    rows = [
+        # d1: short form after a long form in the same doc -> folds in
+        ("d1", "Ada  Lovelace", 2),
+        ("d1", "lovelace", 3),
+        ("d1", "grace hopper", 1),
+        # d2: bare short form, no long form in this doc -> self-resolves
+        ("d2", "lovelace", 1),
+        # d3: two long forms share the suffix -> lexicographic min wins
+        ("d3", "marie curie", 1),
+        ("d3", "irene curie", 1),
+        ("d3", "curie", 4),
+    ]
+    m = spark.createDataFrame(rows, "doc_id string, surface string, n int")
+
+    r = {(x.doc_id, x.form): x.entity_key
+         for x in resolve_entities(m).collect()}
+    assert r[("d1", "lovelace")] == "ada lovelace"
+    assert r[("d1", "ada lovelace")] == "ada lovelace"
+    assert r[("d1", "grace hopper")] == "grace hopper"
+    assert r[("d2", "lovelace")] == "lovelace"
+    assert r[("d3", "curie")] == "irene curie"
+
+    ents = {x.entity_key: x for x in entity_table(m).collect()}
+    al = ents["ada lovelace"]
+    assert (al.n_mentions, al.n_docs, al.n_forms) == (5, 1, 2)
+    assert ents["lovelace"].n_docs == 1  # only d2's unresolved bare form
+    assert ents["irene curie"].n_mentions == 5  # 1 + the 4 folded shorts
+    assert ents["marie curie"].n_mentions == 1
