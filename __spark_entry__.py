@@ -939,6 +939,108 @@ def q_graph_triangles(spark, sf_dir):
     return triangles(_comention(spark, sf_dir))
 
 
+def q_graph_npmi_edges(spark, sf_dir):
+    """NPMI-weighted co-occurrence edges (sparkrdf/graphops.py npmi_edges):
+    the association statistic that turns raw co-mention counts into
+    popularity-normalized candidate-relation scores. Oracle: the identical
+    integer marginals + single ln() expression in DuckDB, rounded 6 d.p."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.graphops import npmi_edges
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    return npmi_edges(m, doc_col="doc_id", ent_col="surface")
+
+
+def q_graph_kcore(spark, sf_dir):
+    """Bipartite k-core (k=5, 8 peeling rounds) of the document↔entity
+    mention graph — the dense-subcorpus extraction primitive: documents
+    survive only while they mention ≥5 surviving entities and vice versa,
+    degrees recomputed each round. Oracle: the identical peeling rounds
+    unrolled as DuckDB CTEs (fixed round count makes the definition
+    closed-form; peeling is idempotent after convergence)."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.graphops import kcore
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    bip = m.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("u"),
+        F.col("surface").alias("v"),
+    ).distinct()
+    return kcore(bip, k=5, rounds=8)
+
+
+def q_kg_triple_support(spark, sf_dir):
+    """Knowledge fusion (sparkrdf/extract/fuse.py): per-document assertions
+    — (entity, rdf:type, Mention) for every mention plus
+    (entity, relatedTo, entity) for every within-document co-mention —
+    aggregated into evidence-scored triples: distinct-provenance support,
+    the subject's total evidence mass, and their ratio (Knowledge-Vault
+    style extraction confidence). Oracle: the same two aggregates + join
+    in DuckDB over the identical assertion set."""
+    from sparkrdf.extract.fuse import triple_support
+    from sparkrdf.extract.ner import detect_mentions_jvm
+
+    m = (
+        detect_mentions_jvm(
+            _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+            id_col="doc_id", text_col="text",
+        )
+        .select("doc_id", "surface")
+        .distinct()
+    )
+    ent = F.concat(F.lit(dockg.KG + "entity/"), F.col("surface"))
+    types = m.select(
+        F.col("doc_id").alias("doc"),
+        ent.alias("s"),
+        F.lit(_RDF_TYPE).alias("p"),
+        F.lit(dockg.KG + "class/Mention").alias("o"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    rels = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.surface") < F.col("b.surface")),
+    ).select(
+        F.col("a.doc_id").alias("doc"),
+        F.concat(F.lit(dockg.KG + "entity/"), F.col("a.surface")).alias("s"),
+        F.lit(dockg.KG + "prop/relatedTo").alias("p"),
+        F.concat(F.lit(dockg.KG + "entity/"), F.col("b.surface")).alias("o"),
+    )
+    return triple_support(types.unionByName(rels), prov_col="doc")
+
+
+def q_er_fuzzy_pairs(spark, sf_dir):
+    """Entity matching over part names (sparkrdf/er.py): rarest-token
+    blocking (each record joins exactly one block, keyed by its globally
+    rarest name token) + exact character-bigram Jaccard verification.
+    Oracle: the identical block assignment (ROW_NUMBER over (freq, token))
+    and gram algebra in DuckDB."""
+    from sparkrdf.er import fuzzy_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_pairs(
+        part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name")),
+        threshold=0.5,
+    )
+
+
+def q_corpus_kmeans(spark, sf_dir):
+    """Lloyd's k-means over the embedding table (2 assignment steps, 1
+    centroid update, init = per-label means — the IVF coarse quantizer as
+    seed). Oracle: the identical unrolled iteration in DuckDB; centroids
+    rounded 9 d.p. per update and distances 9 d.p. before the argmin so
+    partial-aggregation float drift can never flip an assignment."""
+    from sparkrdf.similarity import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir), n_assign=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1011,6 +1113,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree_stats": q_graph_degree_stats,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "graph_npmi_edges": q_graph_npmi_edges,
+        "graph_kcore": q_graph_kcore,
+        "kg_triple_support": q_kg_triple_support,
+        "er_fuzzy_pairs": q_er_fuzzy_pairs,
+        "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
         "graph_khop": q_graph_khop,
         "evt_error_attribution": q_evt_error_attribution,
@@ -2011,6 +2118,135 @@ r{i + 1} AS (
   FROM de JOIN deg USING (s) JOIN r{i} ON r{i}.n = de.s
   GROUP BY de.t)"""
     sql["graph_pagerank"] = pr_cte + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
+
+    # NPMI co-mention edges: exact integer marginals, one ln() expression
+    # per edge — identical arithmetic order to graphops.npmi_edges
+    sql["graph_npmi_edges"] = graph_edges_cte.replace("edges AS", "_unused AS") + f""",
+tot AS (SELECT COUNT(DISTINCT d) AS nd FROM m),
+ed AS (SELECT e, COUNT(*) AS n_e FROM m GROUP BY e),
+pc AS (SELECT a.e AS u, b.e AS v, COUNT(*) AS n_uv
+       FROM m a JOIN m b ON a.d = b.d AND a.e < b.e GROUP BY u, v)
+SELECT pc.u, pc.v, pc.n_uv::BIGINT AS n_uv,
+  ROUND(CASE WHEN pc.n_uv = tot.nd THEN 1.0 ELSE
+    ln((pc.n_uv::DOUBLE * tot.nd) / (eu.n_e::DOUBLE * ev.n_e))
+    / ln(tot.nd::DOUBLE / pc.n_uv) END, 6) AS npmi
+FROM pc JOIN ed eu ON pc.u = eu.e JOIN ed ev ON pc.v = ev.e, tot
+"""
+
+    # bipartite doc↔entity k-core (k=5): the identical 8 fixed peeling
+    # rounds graphops.kcore runs, one (degree, keep, filter) CTE triple per
+    # round — peeling is idempotent after convergence so the fixed unroll
+    # and the loop agree by construction
+    _KCORE_K = 5
+    kcore_cte = f"""
+WITH m AS (
+  SELECT DISTINCT 'doc:' || doc_id::VARCHAR AS u, e AS v FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+e0 AS MATERIALIZED (SELECT u, v FROM m)"""
+    cur = "e0"
+    # AS MATERIALIZED on every round: DuckDB inlines plain CTEs, and each
+    # round references the previous one ~5x — an 8-round unroll would
+    # otherwise expand to 5^8 scans of the base table
+    for i in range(8):
+        kcore_cte += f""",
+deg{i} AS MATERIALIZED (SELECT n, COUNT(*) AS dg FROM (
+  SELECT u AS n FROM {cur} UNION ALL SELECT v AS n FROM {cur}) GROUP BY n),
+keep{i} AS MATERIALIZED (SELECT n FROM deg{i} WHERE dg >= {_KCORE_K}),
+e{i + 1} AS MATERIALIZED (SELECT u, v FROM {cur}
+  WHERE u IN (SELECT n FROM keep{i}) AND v IN (SELECT n FROM keep{i}))"""
+        cur = f"e{i + 1}"
+    sql["graph_kcore"] = kcore_cte + f"""
+SELECT n, COUNT(*)::BIGINT AS deg FROM (
+  SELECT u AS n FROM {cur} UNION ALL SELECT v AS n FROM {cur})
+GROUP BY n HAVING COUNT(*) >= {_KCORE_K}
+"""
+
+    # knowledge fusion: the same per-document assertion set (mention-type +
+    # within-doc relatedTo), two aggregates and one join — fuse.triple_support
+    sql["kg_triple_support"] = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id AS d, e FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+a AS (
+  SELECT d AS prov, '{dockg.KG}entity/' || e AS s,
+         '{_RDF_TYPE}' AS p, '{dockg.KG}class/Mention' AS o FROM m
+  UNION
+  SELECT a.d, '{dockg.KG}entity/' || a.e, '{dockg.KG}prop/relatedTo',
+         '{dockg.KG}entity/' || b.e
+  FROM m a JOIN m b ON a.d = b.d AND a.e < b.e),
+t AS (SELECT s, p, o, COUNT(*)::BIGINT AS n_prov FROM a GROUP BY s, p, o),
+sp AS (SELECT s, COUNT(DISTINCT prov)::BIGINT AS subj_prov FROM a GROUP BY s)
+SELECT t.s, t.p, t.o, t.n_prov, sp.subj_prov,
+       ROUND(t.n_prov::DOUBLE / sp.subj_prov, 9) AS conf
+FROM t JOIN sp USING (s)
+"""
+
+    # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)
+    # = er.fuzzy_pairs' min-struct) + distinct-char-bigram Jaccard
+    sql["er_fuzzy_pairs"] = """
+WITH r AS (
+  SELECT id, nm FROM (
+    SELECT p_partkey AS id,
+           trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm
+    FROM part) WHERE length(nm) > 0),
+toks AS (SELECT DISTINCT id, unnest(string_split(nm, ' ')) AS tok FROM r),
+tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+blk AS (
+  SELECT id, tok AS bk FROM (
+    SELECT t.id, t.tok,
+           ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY tf.tf ASC, t.tok ASC) AS rn
+    FROM toks t JOIN tf ON t.tok = tf.tok) WHERE rn = 1),
+g AS (
+  SELECT r.id, blk.bk,
+         list_distinct(list_transform(
+           range(1, greatest(length(r.nm) - 1, 1) + 1),
+           i -> substr(r.nm, i, 2))) AS grams
+  FROM r JOIN blk ON r.id = blk.id)
+SELECT * FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS sim
+  FROM g a JOIN g b ON a.bk = b.bk AND a.id < b.id)
+WHERE sim >= 0.5
+"""
+
+    # k-means (2 assignment steps, 1 centroid update, init = per-label
+    # means): the identical unrolled Lloyd iteration — centroids ROUND(.,9)
+    # per update, distances ROUND(.,9) before the (dist, cluster) argmin
+    _km_dist = (
+        "ROUND(list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - {c}.c[i]) * (e.v[i] - {c}.c[i]))), 9)"
+    )
+    sql["corpus_kmeans"] = f"""
+WITH e AS (SELECT vec_id, label,
+           list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+ex0 AS (SELECT label AS cluster, generate_subscripts(v, 1) AS pos,
+               unnest(v) AS val FROM e),
+c0 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+         SELECT cluster, pos, ROUND(AVG(val), 9) AS cv
+         FROM ex0 GROUP BY cluster, pos) GROUP BY cluster),
+d1 AS (SELECT e.vec_id, c0.cluster, {_km_dist.format(c="c0")} AS dist
+       FROM e, c0),
+a1 AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, cluster ASC) AS rn
+         FROM d1) WHERE rn = 1),
+ex1 AS (SELECT a1.cluster, generate_subscripts(e.v, 1) AS pos,
+               unnest(e.v) AS val FROM e JOIN a1 USING (vec_id)),
+c1 AS (SELECT cluster, list(cv ORDER BY pos) AS c FROM (
+         SELECT cluster, pos, ROUND(AVG(val), 9) AS cv
+         FROM ex1 GROUP BY cluster, pos) GROUP BY cluster),
+d2 AS (SELECT e.vec_id, c1.cluster, {_km_dist.format(c="c1")} AS dist
+       FROM e, c1)
+SELECT vec_id, cluster, ROUND(dist, 6) AS dist FROM (
+  SELECT vec_id, cluster, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cluster ASC) AS rn
+  FROM d2) WHERE rn = 1
+"""
 
     # BGP: ?d a Document . ?d mentions ?e . ?e a Operator — pattern 1
     # matches exactly the docs rows, pattern 2 the mentions rows, pattern 3

@@ -129,3 +129,111 @@ def degree_stats(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
         edges.select(F.col(dst).alias("n"))
     )
     return e.groupBy("n").agg(F.count("*").cast("long").alias("deg"))
+
+def npmi_edges(
+    mentions: DataFrame, doc_col: str = "doc_id", ent_col: str = "surface"
+) -> DataFrame:
+    """Association-weighted co-occurrence edges: normalized pointwise mutual
+    information (NPMI, Bouma 2009) per unordered entity pair.
+
+    Raw co-mention counts are dominated by globally frequent entities; NPMI
+    rescales by the marginals so an edge scores high only when the pair
+    co-occurs MORE than their popularity predicts — the standard statistic
+    for turning webtext co-occurrence into candidate KG relations. With
+    ``N`` = documents containing ≥1 mention, ``n_u``/``n_v`` = documents
+    containing each entity and ``n_uv`` = documents containing both:
+
+        pmi  = ln(n_uv · N / (n_u · n_v))
+        npmi = pmi / ln(N / n_uv)        (and 1.0 when n_uv = N)
+
+    Returns ``(u, v, n_uv, npmi)`` with ``u < v`` and npmi rounded to 6 d.p.
+    (same cross-engine float discipline as :func:`pagerank` — the inputs to
+    both logs are exact integer ratios, so the only FP sensitivity is the
+    final division).
+
+    Scale shape: one (doc, entity) dedup, one per-document self-join (work
+    bounded by mentions-per-doc², AQE splits pathological docs), two hash
+    aggregates for the marginals, and the corpus total joins in as a
+    broadcast single row — nothing global ever shuffles.
+    """
+    m = (
+        mentions.select(F.col(doc_col).alias("d"), F.col(ent_col).alias("e"))
+        .distinct()
+    )
+    ent_docs = m.groupBy("e").agg(F.count("*").alias("n_e"))
+    a, b = m.alias("a"), m.alias("b")
+    pair_docs = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.e") < F.col("b.e")))
+        .groupBy(F.col("a.e").alias("u"), F.col("b.e").alias("v"))
+        .agg(F.count("*").alias("n_uv"))
+    )
+    total = m.select(F.countDistinct("d").alias("n_docs"))
+    j = (
+        pair_docs.join(
+            ent_docs.select(F.col("e").alias("u"), F.col("n_e").alias("n_u")), "u"
+        )
+        .join(ent_docs.select(F.col("e").alias("v"), F.col("n_e").alias("n_v")), "v")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        (F.col("n_uv").cast("double") * F.col("n_docs"))
+        / (F.col("n_u").cast("double") * F.col("n_v"))
+    )
+    denom = F.log(F.col("n_docs").cast("double") / F.col("n_uv"))
+    npmi = F.when(F.col("n_uv") == F.col("n_docs"), F.lit(1.0)).otherwise(
+        pmi / denom
+    )
+    return j.select(
+        "u", "v", F.col("n_uv").cast("long").alias("n_uv"),
+        F.round(npmi, 6).alias("npmi"),
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core membership by iterative peeling: repeatedly drop vertices of
+    degree < k (degrees recomputed over the surviving subgraph) for a FIXED
+    number of ``rounds``. Returns ``(n, deg)`` — the surviving vertices with
+    their in-core degree.
+
+    The fixed round count makes the operator a deterministic, closed-form
+    definition that unrolls to plain SQL (the DuckDB oracle runs the
+    identical peeling rounds as nested CTEs); peeling is monotone and
+    idempotent after convergence, so whenever the graph converges within
+    ``rounds`` this IS the exact k-core, and both engines agree by
+    construction either way. 8 rounds converge every graph in the test
+    corpus; raise it for deep peeling chains.
+
+    Scale shape: per round one degree aggregate plus two semi-joins keyed on
+    the endpoint — the graph only shrinks, later rounds are cheap, and
+    lineage is truncated per round (``localCheckpoint``) exactly like
+    :func:`sparkrdf.dedupe.connected_components`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    cur = e.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionAll(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        cur.select(F.col("u").alias("n"))
+        .unionAll(cur.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return deg.filter(F.col("deg") >= k)

@@ -229,3 +229,89 @@ def lsh_cosine_topk(
         F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance — sequential fold over dimensions, the
+    identical accumulation order the DuckDB oracle's list_sum uses."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _mean_centroids(df: DataFrame, key_col: str, vec_col: str) -> DataFrame:
+    """Per-key mean vectors, each component rounded to 9 d.p.
+
+    The rounding is the cross-engine float contract: Spark's partial
+    aggregation and DuckDB's scan order sum the same doubles differently
+    (~1e-13 relative drift on corpus-sized means), and 9 d.p. is coarse
+    enough to absorb that while staying far finer than any real centroid
+    separation. → (cluster, centroid array<double>)."""
+    dim_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    ex = df.select(
+        F.col(key_col).alias("cluster"), F.posexplode(dim_vec).alias("pos", "val")
+    )
+    return (
+        ex.groupBy("cluster", "pos")
+        .agg(F.round(F.avg("val"), 9).alias("v"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+        .select("cluster", F.transform("pv", lambda s: s["v"]).alias("centroid"))
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    n_assign: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_col: str = "label",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column with deterministic
+    initialization: the starting centroids are the per-``init_col`` means
+    (the same coarse quantizer :func:`ivf_topk` uses), then ``n_assign``
+    assignment steps run with a centroid recomputation between consecutive
+    ones — i.e. ``n_assign`` assigns and ``n_assign - 1`` updates, a fixed
+    closed-form definition the DuckDB oracle unrolls verbatim.
+
+    Assignment is argmin squared-euclidean with ties to the smallest
+    cluster id (min over a (dist, cluster) struct); distances are rounded
+    to 9 d.p. before the argmin so last-ulp noise can never flip a
+    near-tie differently in the two engines. Clusters that attract no
+    vectors simply vanish from the next update, exactly as in textbook
+    Lloyd. Returns ``(vec_id, cluster, dist)`` with dist rounded to 6 d.p.
+
+    Scale shape: the centroid table is |clusters| rows — broadcast by
+    construction — so each assignment is a map-only broadcast join over the
+    embeddings; each update is one posexplode + hash aggregate with
+    map-side partials (shuffle = |clusters|·dim rows). Nothing ever
+    shuffles the full vector table.
+    """
+    if n_assign < 1:
+        raise ValueError("n_assign must be >= 1")
+    dim_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    vecs = emb.select(F.col(id_col), dim_vec.alias("dv"))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d = F.round(_sqdist(F.col("dv"), F.col("centroid")), 9)
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(F.col(id_col), F.col("cluster"), d.alias("dist"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("m"))
+            .select(
+                F.col(id_col),
+                F.col("m.cluster").alias("cluster"),
+                F.col("m.dist").alias("dist"),
+            )
+        )
+
+    cents = _mean_centroids(emb, init_col, vec_col)
+    asg = assign(cents)
+    for _ in range(n_assign - 1):
+        assigned = emb.join(asg.select(id_col, "cluster"), id_col)
+        cents = _mean_centroids(assigned, "cluster", vec_col)
+        asg = assign(cents)
+    return asg.select(id_col, "cluster", F.round("dist", 6).alias("dist"))

@@ -1,0 +1,192 @@
+"""Round-4 KG-construction analytics on hand-built inputs with known
+answers: NPMI co-occurrence weighting, bipartite k-core peeling, knowledge
+fusion (triple support), entity-matching blocking + bigram Jaccard, and
+Lloyd's k-means with deterministic init."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkrdf.er import bigram_set, fuzzy_pairs
+from sparkrdf.extract.fuse import triple_support
+from sparkrdf.graphops import kcore, npmi_edges
+from sparkrdf.similarity import kmeans_assign
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, surface string")
+
+
+# ---------------------------------------------------------------------------
+# npmi_edges
+# ---------------------------------------------------------------------------
+
+
+def test_npmi_known_values(spark):
+    # d1{a,b} d2{a,b} d3{a,c} d4{b}: N=4, n_a=3, n_b=3, n_c=1
+    m = _mentions(
+        spark,
+        [("d1", "a"), ("d1", "b"), ("d2", "a"), ("d2", "b"),
+         ("d3", "a"), ("d3", "c"), ("d4", "b")],
+    )
+    out = {(r.u, r.v): (r.n_uv, r.npmi) for r in npmi_edges(m).collect()}
+    exp_ab = round(math.log(2 * 4 / (3 * 3)) / math.log(4 / 2), 6)
+    exp_ac = round(math.log(1 * 4 / (3 * 1)) / math.log(4 / 1), 6)
+    assert out == {("a", "b"): (2, exp_ab), ("a", "c"): (1, exp_ac)}
+    assert out[("a", "b")][1] < 0  # co-occur LESS than popularity predicts
+    assert out[("a", "c")][1] > 0
+
+
+def test_npmi_perfect_cooccurrence_is_one(spark):
+    m = _mentions(spark, [("d1", "x"), ("d1", "y"), ("d2", "x"), ("d2", "y")])
+    out = {(r.u, r.v): r.npmi for r in npmi_edges(m).collect()}
+    assert out == {("x", "y"): 1.0}
+
+
+def test_npmi_duplicate_mentions_collapse(spark):
+    # repeated (doc, entity) rows must not inflate the counts
+    m = _mentions(spark, [("d1", "x"), ("d1", "x"), ("d1", "y"), ("d2", "x")])
+    out = {(r.u, r.v): r.n_uv for r in npmi_edges(m).collect()}
+    assert out == {("x", "y"): 1}
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+def test_kcore_triangle_with_pendant(spark):
+    # triangle a-b-c plus pendant d on a: 2-core = the triangle, all deg 2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])
+    out = {r.n: r.deg for r in kcore(e, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_path_graph_empty(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_needs_iterative_peeling(spark):
+    # chain p1-p2-p3-p4 hanging off triangle vertex a: each peel round
+    # removes exactly one chain node (the current degree-1 end), so the
+    # correct 2-core only emerges after 4 rounds
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("a", "p1"), ("p1", "p2"), ("p2", "p3"), ("p3", "p4")],
+    )
+    out = {r.n: r.deg for r in kcore(e, k=2, rounds=8).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+    # insufficient rounds leave chain remnants (fixed-round semantics)
+    partial = {r.n for r in kcore(e, k=2, rounds=1).collect()}
+    assert "p1" in partial
+
+
+# ---------------------------------------------------------------------------
+# triple_support
+# ---------------------------------------------------------------------------
+
+
+def test_triple_support_counts_and_confidence(spark):
+    a = spark.createDataFrame(
+        [
+            ("p1", "s1", "t", "A"),
+            ("p2", "s1", "t", "A"),
+            ("p3", "s1", "t", "A"),
+            ("p3", "s1", "t", "A"),  # duplicate assertion, same provenance
+            ("p1", "s1", "r", "B"),
+            ("p1", "s2", "t", "A"),
+        ],
+        "doc string, s string, p string, o string",
+    )
+    out = {
+        (r.s, r.p, r.o): (r.n_prov, r.subj_prov, r.conf)
+        for r in triple_support(a).collect()
+    }
+    assert out[("s1", "t", "A")] == (3, 3, 1.0)
+    assert out[("s1", "r", "B")] == (1, 3, round(1 / 3, 9))
+    assert out[("s2", "t", "A")] == (1, 1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# er.fuzzy_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_set(spark):
+    df = spark.range(1).select(
+        bigram_set(F.lit("abc")).alias("g3"), bigram_set(F.lit("a")).alias("g1")
+    )
+    r = df.collect()[0]
+    assert r.g3 == ["ab", "bc"] and r.g1 == ["a"]
+
+
+def test_fuzzy_pairs_blocking_and_similarity(spark):
+    recs = spark.createDataFrame(
+        [(1, "Navy  Blue"), (2, "navy blue"), (3, "navy green"), (4, "steel gray")],
+        "id long, name string",
+    )
+    out = {(r.id_a, r.id_b): r.sim for r in fuzzy_pairs(recs, threshold=0.5).collect()}
+    # 1 and 2 normalize identically; their rarest token is "blue" (tf 2 <
+    # navy's 3) so they share a block and score 1.0
+    assert out == {(1, 2): 1.0}
+    # (1,3) share "navy" but navy is NEITHER record's rarest token — the
+    # documented recall trade of single-block rarest-token blocking
+    assert (1, 3) not in out
+
+
+def test_fuzzy_pairs_threshold(spark):
+    recs = spark.createDataFrame(
+        [(1, "zeta one"), (2, "zeta two"), (3, "one two"), (4, "one two")],
+        "id long, name string",
+    )
+    # "zeta" (tf 2) is rarer than "one"/"two" (tf 3) for records 1 and 2,
+    # so they share the zeta block and score their partial-name similarity
+    lo = {(r.id_a, r.id_b): r.sim for r in fuzzy_pairs(recs, threshold=0.1).collect()}
+    assert lo[(3, 4)] == 1.0
+    assert (1, 2) in lo and 0 < lo[(1, 2)] < 1
+    hi = {(r.id_a, r.id_b) for r in fuzzy_pairs(recs, threshold=0.99).collect()}
+    assert hi == {(3, 4)}  # only the exact duplicate survives
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_reassigns_mislabeled_point(spark):
+    # (1,0) starts in label 2 but sits next to cluster 1 — one Lloyd
+    # assignment moves it; the second (after the centroid update) keeps it
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 1),
+            (1, [0.0, 2.0], 1),
+            (2, [10.0, 0.0], 2),
+            (3, [10.0, 2.0], 2),
+            (4, [1.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: (r.cluster, r.dist) for r in kmeans_assign(emb, n_assign=2).collect()}
+    assert {i: out[i][0] for i in range(5)} == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
+    # final centroid of cluster 1 = mean{(0,0),(0,2),(1,0)} rounded 9 d.p.
+    cx, cy = round(1 / 3, 9), round(2 / 3, 9)
+    assert out[4][1] == round(round((1 - cx) ** 2 + (0 - cy) ** 2, 9), 6)
+
+
+def test_kmeans_single_assign_uses_init_centroids(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0], 1), (1, [4.0], 1), (2, [10.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # init centroids: c1 = 2.0, c2 = 10.0; one assignment, no update
+    out = {r.vec_id: r.cluster for r in kmeans_assign(emb, n_assign=1).collect()}
+    assert out == {0: 1, 1: 1, 2: 2}
+    with pytest.raises(ValueError):
+        kmeans_assign(emb, n_assign=0)
