@@ -1016,18 +1016,21 @@ def q_kg_triple_support(spark, sf_dir):
 
 
 def q_er_fuzzy_pairs(spark, sf_dir):
-    """Entity matching over part names (sparkrdf/er.py): rarest-token
-    blocking (each record joins exactly one block, keyed by its globally
-    rarest name token) + exact character-bigram Jaccard verification.
-    Oracle: the identical block assignment (ROW_NUMBER over (freq, token))
-    and gram algebra in DuckDB."""
+    """Entity matching over part names (sparkrdf/er.py): exact-duplicate
+    collapse first (fuzzy-pairing raw records would re-derive every pair
+    inside each exact-duplicate group quadratically — the standard ER
+    pipeline always dedups to distinct FORMS before pairwise scoring; the
+    part table has 64 distinct names over 20k rows), then rarest-token
+    blocking + exact character-bigram Jaccard over the distinct forms,
+    each represented by its smallest part key. Oracle: the identical block
+    assignment (ROW_NUMBER over (freq, token)) and gram algebra in DuckDB."""
     from sparkrdf.er import fuzzy_pairs
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    return fuzzy_pairs(
-        part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name")),
-        threshold=0.5,
+    forms = part.groupBy("p_name").agg(F.min("p_partkey").alias("id")).select(
+        "id", F.col("p_name").alias("name")
     )
+    return fuzzy_pairs(forms, threshold=0.5)
 
 
 def q_corpus_kmeans(spark, sf_dir):
@@ -2186,11 +2189,12 @@ FROM t JOIN sp USING (s)
     # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)
     # = er.fuzzy_pairs' min-struct) + distinct-char-bigram Jaccard
     sql["er_fuzzy_pairs"] = """
-WITH r AS (
+WITH recs AS (
+  SELECT MIN(p_partkey) AS id, p_name AS name FROM part GROUP BY p_name),
+r AS (
   SELECT id, nm FROM (
-    SELECT p_partkey AS id,
-           trim(regexp_replace(lower(p_name), '\\s+', ' ', 'g')) AS nm
-    FROM part) WHERE length(nm) > 0),
+    SELECT id, trim(regexp_replace(lower(name), '\\s+', ' ', 'g')) AS nm
+    FROM recs) WHERE length(nm) > 0),
 toks AS (SELECT DISTINCT id, unnest(string_split(nm, ' ')) AS tok FROM r),
 tf AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
 blk AS (

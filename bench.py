@@ -51,6 +51,11 @@ OP_QUERIES = (
     "events_sessionize",
     "graph_triangles",
     "graph_pagerank",
+    "graph_npmi_edges",
+    "graph_kcore",
+    "kg_triple_support",
+    "er_fuzzy_pairs",
+    "corpus_kmeans",
     "evt_error_attribution",
     "evt_nearby_pairs",
 )
