@@ -939,6 +939,45 @@ def q_graph_triangles(spark, sf_dir):
     return triangles(_comention(spark, sf_dir))
 
 
+#: materialized (url, html-as-text) pages input for the link-graph queries —
+#: same contract as PAGES_MAT_PATH: deterministic n=2000 synthesis, written
+#: idempotently, read by BOTH engines so the extraction is value-checked.
+LINKS_MAT_PATH = "/tmp/sparkrdf_materialized_pagelinks2000.parquet"
+
+
+def _links_input(spark):
+    from sparkrdf.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 2000).select(
+        "url", F.col("html").cast("string").alias("html")
+    )
+    pages.coalesce(1).write.mode("overwrite").parquet(LINKS_MAT_PATH)
+    return spark.read.parquet(LINKS_MAT_PATH)
+
+
+def q_web_link_hosts(spark, sf_dir):
+    """Web link-graph extraction (sparkrdf/weblinks.py): anchors out of the
+    raw HTML (codegen regexp_extract_all), host parsing, self-link drop,
+    one hash aggregate → weighted host→host edge table. Oracle: the
+    identical regex algebra in DuckDB over the same materialized pages."""
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    return host_link_graph(extract_links(_links_input(spark)))
+
+
+def q_web_host_rank(spark, sf_dir):
+    """Directed weighted PageRank with dangling-mass redistribution
+    (sparkrdf/graphops.py pagerank_directed) over the extracted host graph
+    — host authority, the canonical web-graph computation. Oracle: the
+    identical 10 iterations unrolled as MATERIALIZED DuckDB CTEs including
+    the per-iteration dangling term."""
+    from sparkrdf.graphops import pagerank_directed
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return pagerank_directed(g)
+
+
 def q_graph_npmi_edges(spark, sf_dir):
     """NPMI-weighted co-occurrence edges (sparkrdf/graphops.py npmi_edges):
     the association statistic that turns raw co-mention counts into
@@ -1118,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_npmi_edges": q_graph_npmi_edges,
         "graph_kcore": q_graph_kcore,
+        "web_link_hosts": q_web_link_hosts,
+        "web_host_rank": q_web_host_rank,
         "kg_triple_support": q_kg_triple_support,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
@@ -2121,6 +2162,53 @@ r{i + 1} AS (
   FROM de JOIN deg USING (s) JOIN r{i} ON r{i}.n = de.s
   GROUP BY de.t)"""
     sql["graph_pagerank"] = pr_cte + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
+
+    # link-graph extraction: identical regex algebra over the same
+    # materialized (url, html) parquet both engines read
+    _links_base = f"""
+WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet')),
+raw AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html, '<a\\s[^>]*href="([^"]+)"', 1)) AS dst
+  FROM pages),
+h AS (
+  SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+         regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+  FROM raw),
+edges AS MATERIALIZED (
+  SELECT src_host, dst_host, COUNT(*)::BIGINT AS n_links FROM h
+  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+  GROUP BY src_host, dst_host)"""
+
+    sql["web_link_hosts"] = _links_base + """
+SELECT src_host, dst_host, n_links FROM edges
+"""
+
+    # directed weighted PageRank with the dangling-node correction, the 10
+    # iterations unrolled; every per-iteration CTE is MATERIALIZED (each is
+    # referenced more than once — plain CTEs would inline exponentially)
+    _dpr = _links_base + """,
+we AS MATERIALIZED (SELECT src_host AS s, dst_host AS t, n_links::DOUBLE AS w FROM edges),
+outw AS (SELECT s, SUM(w) AS ow FROM we GROUP BY s),
+norm AS MATERIALIZED (SELECT we.s, we.t, we.w / outw.ow AS frac
+                      FROM we JOIN outw USING (s)),
+nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM we UNION ALL SELECT t AS n FROM we)),
+nv AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS c FROM nodes),
+srcs AS MATERIALIZED (SELECT DISTINCT s AS n FROM we),
+r0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT c FROM nv) AS pr FROM nodes)"""
+    for i in range(10):
+        _dpr += f""",
+dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0) AS dm FROM r{i}
+  WHERE n NOT IN (SELECT n FROM srcs)),
+inf{i} AS MATERIALIZED (SELECT norm.t AS n, SUM(r{i}.pr * norm.frac) AS c
+  FROM norm JOIN r{i} ON r{i}.n = norm.s GROUP BY norm.t),
+r{i + 1} AS MATERIALIZED (
+  SELECT nodes.n,
+         (1 - 0.85) / (SELECT c FROM nv)
+         + 0.85 * (COALESCE(inf{i}.c, 0) + (SELECT dm FROM dm{i}) / (SELECT c FROM nv)) AS pr
+  FROM nodes LEFT JOIN inf{i} ON nodes.n = inf{i}.n)"""
+    sql["web_host_rank"] = _dpr + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
 
     # NPMI co-mention edges: exact integer marginals, one ln() expression
     # per edge — identical arithmetic order to graphops.npmi_edges

@@ -190,3 +190,70 @@ def test_kmeans_single_assign_uses_init_centroids(spark):
     assert out == {0: 1, 1: 1, 2: 2}
     with pytest.raises(ValueError):
         kmeans_assign(emb, n_assign=0)
+
+
+# ---------------------------------------------------------------------------
+# weblinks + pagerank_directed
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_and_host_graph(spark):
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    rows = [
+        ("https://a.org/p1",
+         b'x<a href="https://b.org/x">t</a>y<a class="z" href="https://c.org/y">u</a>'),
+        ("https://a.org/p2", b'<a href="/relative">r</a><a href="https://b.org/z">w</a>'),
+        ("https://b.org/p3", b'<a href="https://b.org/self">self</a>'),
+        ("https://c.org/p4", b"no anchors here"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    links = {(r.src, r.dst) for r in extract_links(pages).collect()}
+    assert ("https://a.org/p2", "/relative") in links  # kept verbatim
+    assert len(links) == 5
+    g = {(r.src_host, r.dst_host): r.n_links for r in host_link_graph(
+        extract_links(pages)).collect()}
+    # relative link has no host; b.org→b.org self-link dropped
+    assert g == {("a.org", "b.org"): 2, ("a.org", "c.org"): 1}
+
+
+def _pr_directed_ref(edges, damping=0.85, n_iter=10):
+    """Driver-side reference of the directed dangling-aware iteration."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    pr = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(n_iter):
+        dm = sum(p for n, p in pr.items() if n not in outw)
+        base = (1.0 - damping) / len(nodes)
+        nxt = {n: base + damping * dm / len(nodes) for n in nodes}
+        for u, v, w in edges:
+            nxt[v] += damping * pr[u] * (w / outw[u])
+        pr = nxt
+    return {n: round(p, 6) for n, p in pr.items()}
+
+
+def test_pagerank_directed_matches_reference(spark):
+    from sparkrdf.graphops import pagerank_directed
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 1), ("d", "a", 2)]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string, n_links long")
+    got = {r.n: r.pr for r in pagerank_directed(df).collect()}
+    exp = _pr_directed_ref([(u, v, float(w)) for u, v, w in edges])
+    assert got == exp
+    # total rank is conserved (dangling mass redistributed, not leaked)
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_directed_all_dangling_sinks(spark):
+    from sparkrdf.graphops import pagerank_directed
+
+    # star into a sink: b, c never link out
+    df = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1)], "src_host string, dst_host string, n_links long"
+    )
+    got = {r.n: r.pr for r in pagerank_directed(df, n_iter=3).collect()}
+    exp = _pr_directed_ref([("a", "b", 1.0), ("a", "c", 1.0)], n_iter=3)
+    assert got == exp
+    assert got["b"] == got["c"] > got["a"] * 0  # symmetric sinks agree
