@@ -978,6 +978,34 @@ def q_web_host_rank(spark, sf_dir):
     return pagerank_directed(g)
 
 
+def q_web_host_hits(spark, sf_dir):
+    """HITS hubs/authorities (sparkrdf/graphops.py hits) over the extracted
+    host graph — the companion web-authority algorithm to PageRank: hosts
+    that link to good authorities become hubs and vice versa. Oracle: the
+    identical 10 iterations (auth then hub, L1-normalized, 12 d.p. rounded
+    per normalization) unrolled as MATERIALIZED DuckDB CTEs."""
+    from sparkrdf.graphops import hits
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return hits(g)
+
+
+def q_web_host_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (sparkrdf/graphops.py random_walks)
+    over the extracted host graph — the DeepWalk/node2vec input generator,
+    md5-hashed hops instead of an RNG so the corpus is reproducible
+    engine-to-engine and resume-safe. Oracle: every hop recomputed in
+    DuckDB (identical md5-index arithmetic, neighbor ordering, sink
+    stopping), steps unrolled as MATERIALIZED CTEs."""
+    from sparkrdf.graphops import random_walks
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return random_walks(g, walk_len=3, walks_per_node=2, seed=7,
+                        src="src_host", dst="dst_host")
+
+
 def q_graph_npmi_edges(spark, sf_dir):
     """NPMI-weighted co-occurrence edges (sparkrdf/graphops.py npmi_edges):
     the association statistic that turns raw co-mention counts into
@@ -1159,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "web_link_hosts": q_web_link_hosts,
         "web_host_rank": q_web_host_rank,
+        "web_host_hits": q_web_host_hits,
+        "web_host_walks": q_web_host_walks,
         "kg_triple_support": q_kg_triple_support,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
@@ -2209,6 +2239,62 @@ r{i + 1} AS MATERIALIZED (
          + 0.85 * (COALESCE(inf{i}.c, 0) + (SELECT dm FROM dm{i}) / (SELECT c FROM nv)) AS pr
   FROM nodes LEFT JOIN inf{i} ON nodes.n = inf{i}.n)"""
     sql["web_host_rank"] = _dpr + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
+
+    # HITS: auth(v) = Σ hub(u→v), hub(u) = Σ auth(u→v), each L1-normalized
+    # and rounded 12 d.p. per normalization (the one cross-engine float
+    # hazard is the global-sum normalizer) — mirrors graphops.hits exactly
+    _hits = _links_base + """,
+we AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM we UNION ALL SELECT t AS n FROM we)),
+nv AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS c FROM nodes),
+h0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT c FROM nv) AS hub FROM nodes)"""
+    for i in range(10):
+        _hits += f""",
+araw{i} AS MATERIALIZED (SELECT we.t AS n, SUM(h{i}.hub) AS a
+  FROM we JOIN h{i} ON h{i}.n = we.s GROUP BY we.t),
+a{i + 1} AS MATERIALIZED (
+  SELECT nodes.n,
+         ROUND(COALESCE(ar.a, 0) / (SELECT SUM(a) FROM araw{i}), 12) AS auth
+  FROM nodes LEFT JOIN araw{i} ar USING (n)),
+hraw{i} AS MATERIALIZED (SELECT we.s AS n, SUM(a{i + 1}.auth) AS h
+  FROM we JOIN a{i + 1} ON a{i + 1}.n = we.t GROUP BY we.s),
+h{i + 1} AS MATERIALIZED (
+  SELECT nodes.n,
+         ROUND(COALESCE(hr.h, 0) / (SELECT SUM(h) FROM hraw{i}), 12) AS hub
+  FROM nodes LEFT JOIN hraw{i} hr USING (n))"""
+    sql["web_host_hits"] = _hits + """
+SELECT h10.n, ROUND(h10.hub, 6) AS hub, ROUND(a10.auth, 6) AS auth
+FROM h10 JOIN a10 USING (n)
+"""
+
+    # deterministic random walks: identical md5-index hop arithmetic,
+    # neighbor ordering (row_number by name) and sink stopping, 3 steps
+    # unrolled; every per-step CTE MATERIALIZED (multi-referenced)
+    _walks = _links_base + """,
+we AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges),
+nbr AS MATERIALIZED (
+  SELECT s, t, ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) - 1 AS idx FROM we),
+dg AS MATERIALIZED (SELECT s, COUNT(*) AS dg FROM we GROUP BY s),
+w0 AS MATERIALIZED (
+  SELECT d.s AS start, wn.walk_no, 0 AS step, d.s AS node
+  FROM dg d, (SELECT unnest(range(2))::INT AS walk_no) wn)"""
+    for t in range(3):
+        _walks += f""",
+w{t + 1} AS MATERIALIZED (
+  SELECT w.start, w.walk_no, {t + 1} AS step, nbr.t AS node
+  FROM w{t} w
+  JOIN dg ON dg.s = w.node
+  JOIN nbr ON nbr.s = w.node AND nbr.idx =
+    CAST(('0x' || substr(md5('7' || '|' || w.start || '|' || w.walk_no
+                             || '|' || '{t}' || '|' || w.node), 1, 8))
+         AS BIGINT) % dg.dg)"""
+    sql["web_host_walks"] = _walks + """
+SELECT start, walk_no, step, node FROM w0
+UNION ALL SELECT start, walk_no, step, node FROM w1
+UNION ALL SELECT start, walk_no, step, node FROM w2
+UNION ALL SELECT start, walk_no, step, node FROM w3
+"""
 
     # NPMI co-mention edges: exact integer marginals, one ln() expression
     # per edge — identical arithmetic order to graphops.npmi_edges

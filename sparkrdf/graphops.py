@@ -9,7 +9,7 @@ re-expressed here as joins so Catalyst distributes them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -308,3 +308,155 @@ def pagerank_directed(
         )
     norm.unpersist()
     return ranks.select("n", F.round("pr", 6).alias("pr"))
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over a directed edge list.
+    Returns ``(n, hub, auth)``, both rounded 6 d.p.
+
+    Per iteration: auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v),
+    each L1-normalized. Scores are rounded to 12 d.p. after every
+    normalization — the global-sum normalizer is the one place engine
+    summation order could drift, and 12 d.p. is far below any real score
+    separation while far above the ~1e-14 accumulated ulp drift, so the
+    DuckDB oracle reproduces every iteration bit-for-bit after rounding.
+
+    Scale shape: identical to :func:`pagerank_directed` — the edge table is
+    partitioned once and persisted, per iteration only the |V|-row score
+    table shuffles, normalizers are broadcast single-row aggregates, and
+    scores are localCheckpoint-ed so the plan stays flat.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .dropDuplicates()
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("n"))
+        .unionAll(e.select(F.col("t").alias("n")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n_v = nodes.count()
+    scores = nodes.select(
+        "n", F.lit(1.0 / n_v).alias("hub"), F.lit(1.0 / n_v).alias("auth")
+    )
+
+    def _norm(df, col):
+        tot = df.agg(F.sum(col).alias("_tot"))
+        return (
+            df.crossJoin(F.broadcast(tot))
+            .withColumn(col, F.round(F.col(col) / F.col("_tot"), 12))
+            .drop("_tot")
+        )
+
+    for _ in range(n_iter):
+        auth = (
+            e.join(scores.select(F.col("n").alias("s"), "hub"), "s")
+            .groupBy(F.col("t").alias("n"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _norm(
+            nodes.join(auth, "n", "left").fillna(0.0, ["auth"]), "auth"
+        ).localCheckpoint(eager=True)
+        hub = (
+            e.join(auth.select(F.col("n").alias("t"), "auth"), "t")
+            .groupBy(F.col("s").alias("n"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _norm(nodes.join(hub, "n", "left").fillna(0.0, ["hub"]), "hub")
+        scores = (
+            hub.join(auth, "n").select("n", "hub", "auth").localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return scores.select(
+        "n", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    )
+
+def _md5_long(col) -> "F.Column":
+    """First 8 hex chars of md5 as a non-negative BIGINT — the cross-engine
+    deterministic hash (DuckDB: ('0x' || substr(md5(x),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    seed: int = 7,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic "random" walks over a directed edge list — the corpus
+    generator for graph-embedding training (DeepWalk / node2vec with
+    p = q = 1): from every node with out-edges, ``walks_per_node`` walks of
+    up to ``walk_len`` steps; the walker at ``node`` on step ``t`` moves to
+    out-neighbor index ``md5(seed|start|walk_no|t|node) % outdeg(node)``
+    with neighbors ordered by name. md5 replaces an RNG so the walk corpus
+    is reproducible run-to-run, engine-to-engine (the DuckDB oracle
+    reproduces every hop), and resume-safe — the same properties
+    textops.hash_split buys over randomSplit. Walks stop early at sinks.
+    Returns one row per visited position: ``(start, walk_no, step, node)``.
+
+    Scale shape: the indexed neighbor table (one row_number window keyed by
+    source) and the degree table are built once and persisted; each step is
+    two narrow equi-joins keyed on the current node — frontier size never
+    exceeds |starts|·walks_per_node, and hot nodes are join KEYS (AQE skew
+    split), never window partitions.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
+    w = Window.partitionBy("s").orderBy("t")
+    nbr = (
+        e.select("s", "t", (F.row_number().over(w) - 1).alias("idx"))
+        .repartition("s")
+        .persist()
+    )
+    deg = nbr.groupBy("s").agg(F.count("*").alias("dg"))
+    starts = deg.select(F.col("s").alias("start")).crossJoin(
+        F.broadcast(
+            e.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk_no")
+            )
+        )
+    )
+    cur = starts.select(
+        "start", "walk_no", F.lit(0).alias("step"), F.col("start").alias("node")
+    ).localCheckpoint(eager=True)
+    out = cur
+    for t in range(walk_len):
+        h = _md5_long(
+            F.concat_ws(
+                "|",
+                F.lit(str(seed)),
+                F.col("start"),
+                F.col("walk_no").cast("string"),
+                F.lit(str(t)),
+                F.col("node"),
+            )
+        )
+        stepped = (
+            cur.join(deg.withColumnRenamed("s", "node"), "node")
+            .select("start", "walk_no", (h % F.col("dg")).alias("idx"), "node")
+            .join(
+                nbr.select(
+                    F.col("s").alias("node"), F.col("idx"), F.col("t").alias("nxt")
+                ),
+                ["node", "idx"],
+            )
+            .select(
+                "start",
+                "walk_no",
+                F.lit(t + 1).alias("step"),
+                F.col("nxt").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = stepped
+        out = out.unionByName(cur)
+    nbr.unpersist()
+    return out

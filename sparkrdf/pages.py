@@ -128,6 +128,13 @@ def synthesize_pages(spark, n: int, partitions: int | None = None):
     """Distributed deterministic pages table (see module docstring)."""
     import pandas as pd
 
+    # the mapInPandas closure imports sparkrdf on executors — ship the
+    # package for sessions launched without --py-files (callers that never
+    # go through hashing.register_udfs would otherwise fail off-CWD)
+    from sparkrdf.session import ensure_pyfiles
+
+    ensure_pyfiles(spark)
+
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 4)
 

@@ -257,3 +257,66 @@ def test_pagerank_directed_all_dangling_sinks(spark):
     exp = _pr_directed_ref([("a", "b", 1.0), ("a", "c", 1.0)], n_iter=3)
     assert got == exp
     assert got["b"] == got["c"] > got["a"] * 0  # symmetric sinks agree
+
+
+def _hits_ref(edges, n_iter=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: 1.0 / len(nodes) for n in nodes}
+    auth = dict(hub)
+    for _ in range(n_iter):
+        a = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            a[v] += hub[u]
+        tot = sum(a.values())
+        auth = {n: round(x / tot, 12) for n, x in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            h[u] += auth[v]
+        tot = sum(h.values())
+        hub = {n: round(x / tot, 12) for n, x in h.items()}
+    return {n: (round(hub[n], 6), round(auth[n], 6)) for n in nodes}
+
+
+def test_hits_matches_reference(spark):
+    from sparkrdf.graphops import hits
+
+    edges = [("a", "b"), ("a", "c"), ("d", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.n: (r.hub, r.auth) for r in hits(df).collect()}
+    assert got == _hits_ref(edges)
+    # c is the strongest authority (two in-links, one from the best hub a)
+    assert got["c"][1] == max(v[1] for v in got.values())
+    # a is the strongest hub (links to both authorities)
+    assert got["a"][0] == max(v[0] for v in got.values())
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    import hashlib
+
+    from sparkrdf.graphops import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    out = random_walks(df, walk_len=3, walks_per_node=2, seed=7)
+    rows = out.collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault((r.start, r.walk_no), {})[r.step] = r.node
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    for (start, wn), path in walks.items():
+        assert path[0] == start
+        for s in range(1, max(path) + 1):
+            assert path[s] in adj[path[s - 1]]  # every hop is a real edge
+        if max(path) < 3:  # early stop only at a sink
+            assert path[max(path)] == "d"
+    # d is a sink and never a start (no out-edges)
+    assert all(s != "d" for s, _ in walks)
+    # first hop of (a, walk 0) recomputed by hand: neighbors sorted = [b, c]
+    h = int(hashlib.md5(b"7|a|0|0|a").hexdigest()[:8], 16)
+    assert walks[("a", 0)][1] == sorted(adj["a"])[h % 2]
+    # identical re-run → identical corpus (the whole point vs an RNG)
+    again = {(r.start, r.walk_no, r.step): r.node
+             for r in random_walks(df, walk_len=3, walks_per_node=2, seed=7).collect()}
+    assert again == {(s, w, st): n for (s, w), p in walks.items() for st, n in p.items()}
