@@ -320,3 +320,99 @@ def test_random_walks_deterministic_and_valid(spark):
     again = {(r.start, r.walk_no, r.step): r.node
              for r in random_walks(df, walk_len=3, walks_per_node=2, seed=7).collect()}
     assert again == {(s, w, st): n for (s, w), p in walks.items() for st, n in p.items()}
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-checks (driver-side reference implementations)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+).filter(lambda e: e[0] != e[1])
+
+
+def _kcore_ref(pairs, k, rounds=8):
+    edges = {(f"n{u}", f"n{v}") for u, v in pairs}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(_edge, min_size=1, max_size=20),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_kcore_random_graphs(spark, pairs, k):
+    # canonical undirected distinct pairs, like comention_edges emits
+    pairs = sorted({(min(u, v), max(u, v)) for u, v in pairs})
+    df = spark.createDataFrame(
+        [(f"n{u}", f"n{v}") for u, v in pairs], "u string, v string"
+    )
+    got = {r.n: r.deg for r in kcore(df, k=k, rounds=8).collect()}
+    assert got == _kcore_ref(pairs, k)
+
+
+def _npmi_ref(rows):
+    docs = {}
+    for d, e in rows:
+        docs.setdefault(d, set()).add(e)
+    nd = len(docs)
+    ne = {}
+    for es in docs.values():
+        for x in es:
+            ne[x] = ne.get(x, 0) + 1
+    pair = {}
+    for es in docs.values():
+        es = sorted(es)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair[(es[i], es[j])] = pair.get((es[i], es[j]), 0) + 1
+    out = {}
+    for (u, v), nuv in pair.items():
+        if nuv == nd:
+            out[(u, v)] = (nuv, 1.0)
+        else:
+            out[(u, v)] = (
+                nuv,
+                round(
+                    math.log(nuv * nd / (ne[u] * ne[v])) / math.log(nd / nuv), 6
+                ),
+            )
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5), st.sampled_from("abcdef")
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_npmi_random_corpora(spark, rows):
+    m = _mentions(spark, [(f"d{d}", e) for d, e in rows])
+    got = {(r.u, r.v): (r.n_uv, r.npmi) for r in npmi_edges(m).collect()}
+    assert got == _npmi_ref([(f"d{d}", e) for d, e in rows])
