@@ -316,6 +316,18 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_text_cluster_split(spark, sf_dir):
+    """Contamination-safe split (sparkrdf/curate.py cluster_split):
+    near-duplicate clusters keyed by their canonical id so a whole family
+    lands in one split — splitting raw ids leaks paraphrases across the
+    train/test boundary (Lee et al. 2022). Oracle: the recursive-CTE
+    transitive closure + the identical md5 bucket arithmetic on the
+    canonical key."""
+    from sparkrdf.curate import cluster_split
+
+    return cluster_split(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash_groups(_docs(spark, sf_dir)).select(
         "sig", F.col("n").cast("long").alias("n"), "keep_id"
@@ -1141,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "text_cluster_split": q_text_cluster_split,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_h3": q_dedup_simhash_h3,
         "text_stats": q_text_stats,
@@ -1578,6 +1591,28 @@ comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node),
 sizes AS (SELECT canonical, COUNT(*)::BIGINT AS n FROM comp GROUP BY canonical)
 SELECT c.node AS doc_id, c.canonical AS canonical_id, s.n AS cluster_size
 FROM comp c JOIN sizes s USING (canonical)
+"""
+
+    # cluster-safe split: the same transitive closure, canonical key
+    # coalesced onto every document, then the identical md5 bucket CASE
+    sql["text_cluster_split"] = f"""
+WITH RECURSIVE {jaccard_ctes},
+pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.node),
+comp AS (SELECT node, MIN(lbl) AS canonical FROM walk GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+SELECT doc_id, split_key,
+  CASE WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 7))::BIGINT % 10000 < 9800 THEN 'train'
+       WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 7))::BIGINT % 10000 < 9900 THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
 """
 
     sql["dedup_simhash"] = _simhash_sql()

@@ -66,3 +66,48 @@ def curate_corpus(
     return hash_split(dedup, id_col=id_col, fractions=fractions).withColumn(
         "n_tokens", token_count(F.col(text_col)).cast("long")
     )
+
+
+def cluster_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    fractions: dict[str, float] | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Contamination-safe split assignment: near-duplicate CLUSTERS stay in
+    one split. Splitting by raw document id leaks whenever near-duplicates
+    straddle the train/test boundary (the test set then contains
+    paraphrases of training docs — Lee et al. 2022's core finding); the fix
+    is to split on the cluster's canonical id so every near-dup family
+    lands together.
+
+    Pipeline: :func:`sparkrdf.dedupe.dedup_clusters` (LSH → exact verify →
+    connected components) gives each clustered doc its canonical id; every
+    other doc keys by itself; :func:`sparkrdf.textops.hash_split` assigns
+    the split as a pure function of that key. Returns
+    ``(id_col, split_key, split)``.
+
+    Scale shape: the cluster table is bounded by the (tiny) verified pair
+    set, so the join back to the corpus is broadcast-sized in practice and
+    keyed on the uniform doc id either way; the split itself stays one
+    codegen projection.
+    """
+    from sparkrdf.dedupe import dedup_clusters
+    from sparkrdf.textops import hash_split
+
+    clusters = dedup_clusters(
+        docs, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    keyed = (
+        docs.select(id_col)
+        .join(clusters.select(id_col, "canonical_id"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("canonical_id", F.col(id_col)).alias("split_key"),
+        )
+    )
+    return hash_split(
+        keyed, id_col="split_key", fractions=fractions, buckets=buckets
+    ).select(id_col, "split_key", "split")

@@ -416,3 +416,29 @@ def test_npmi_random_corpora(spark, rows):
     m = _mentions(spark, [(f"d{d}", e) for d, e in rows])
     got = {(r.u, r.v): (r.n_uv, r.npmi) for r in npmi_edges(m).collect()}
     assert got == _npmi_ref([(f"d{d}", e) for d, e in rows])
+
+
+def test_cluster_split_keeps_near_dup_families_together(spark):
+    import hashlib
+
+    from sparkrdf.curate import cluster_split
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    # ids 100/9901: near-identical texts; their RAW md5 buckets land in
+    # different splits (verified below), so a naive id split would leak
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:7], 16) % 10000
+
+    a, b = 100, next(
+        i for i in range(9900, 99999)
+        if (bucket(i) >= 9800) != (bucket(100) >= 9800)
+    )
+    rows = [(a, base), (b, base + " extra"), (77, "totally unrelated text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.split_key, r.split)
+           for r in cluster_split(docs, threshold=0.5).collect()}
+    # the family shares its canonical key (min id) and hence the split
+    assert out[a] == out[b] == (a, out[a][1])
+    # the loner keys by itself and gets the plain hash_split assignment
+    exp = "train" if bucket(77) < 9800 else ("val" if bucket(77) < 9900 else "test")
+    assert out[77] == (77, exp)
