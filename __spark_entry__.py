@@ -931,6 +931,21 @@ def q_graph_khop(spark, sf_dir):
     return khop(iri_edges, dockg.class_iri("Operator"), 3, src="s", dst="o")
 
 
+def q_kg_path_closure(spark, sf_dir):
+    """Transitive closure (SPARQL p+ / unbounded AQL traversal) of the doc
+    KG's IRI-object triples via iterative doubling (sparkrdf/query.py
+    path_closure) — path length squares per round, 6 rounds cover 64-edge
+    chains. Oracle: DuckDB recursive-CTE closure over the same edge set —
+    an independent one-edge-at-a-time definition of reachability."""
+    from sparkrdf.query import path_closure
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    iri_edges = (
+        stmts.filter(F.col("o_kind") == "URIRef").select("s", "o").distinct()
+    )
+    return path_closure(iri_edges)
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (10 power iterations, d=0.85) over the co-mention graph —
     edges+degrees built once and kept partitioned on the source key; each
@@ -1207,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
         "graph_khop": q_graph_khop,
+        "kg_path_closure": q_kg_path_closure,
         "evt_error_attribution": q_evt_error_attribution,
         "evt_nearby_pairs": q_evt_nearby_pairs,
     }
@@ -2475,6 +2491,23 @@ JOIN (SELECT DISTINCT ent FROM mentions
 
     # k-hop BFS over the IRI-object triple pairs, levels unrolled; the
     # visited set at each level is the union of all previous levels.
+    # transitive closure over the same IRI-edge set: the recursive CTE is
+    # the independent one-edge-at-a-time formulation of what path_closure
+    # computes by doubling
+    sql["kg_path_closure"] = f"""
+WITH RECURSIVE {_DOC_CTES},
+eg AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, ent AS b FROM mentions
+    UNION ALL SELECT s, '{dockg.CLS_DOCUMENT}' FROM docs
+    UNION ALL SELECT ent, cls FROM mentions)),
+closure(s, o) AS (
+  SELECT a, b FROM eg
+  UNION
+  SELECT c.s, eg.b FROM closure c JOIN eg ON eg.a = c.o)
+SELECT s, o FROM closure
+"""
+
     khop_src = dockg.class_iri("Operator")
     sql["graph_khop"] = f"""
 WITH {_DOC_CTES},

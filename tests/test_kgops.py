@@ -442,3 +442,25 @@ def test_cluster_split_keeps_near_dup_families_together(spark):
     # the loner keys by itself and gets the plain hash_split assignment
     exp = "train" if bucket(77) < 9800 else ("val" if bucket(77) < 9900 else "test")
     assert out[77] == (77, exp)
+
+
+def test_path_closure_chain_and_convergence(spark):
+    import pytest as _pytest
+
+    from sparkrdf.query import path_closure
+
+    # 5-node chain: closure = all ordered pairs (i < j), needs 3 doublings
+    chain = [(f"n{i}", f"n{i+1}") for i in range(4)]
+    df = spark.createDataFrame(chain, "s string, o string")
+    got = {(r.s, r.o) for r in path_closure(df).collect()}
+    assert got == {(f"n{i}", f"n{j}") for i in range(5) for j in range(i + 1, 5)}
+    # a cycle closes onto itself (reflexive pairs appear via the loop)
+    cyc = spark.createDataFrame([("a", "b"), ("b", "a")], "s string, o string")
+    got = {(r.s, r.o) for r in path_closure(cyc).collect()}
+    assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
+    # exhausted doubling bound raises instead of silently truncating
+    deep = spark.createDataFrame(
+        [(f"m{i}", f"m{i+1}") for i in range(5)], "s string, o string"
+    )
+    with _pytest.raises(RuntimeError):
+        path_closure(deep, max_doubling=1)
