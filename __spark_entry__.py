@@ -1033,6 +1033,42 @@ def q_web_host_walks(spark, sf_dir):
                         src="src_host", dst="dst_host")
 
 
+def q_web_walk_skipgrams(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the walk corpus
+    (sparkrdf/graphops.py walk_skipgrams) — the examples DeepWalk feeds a
+    word2vec objective; self-join keyed on the walk identity, window=2.
+    Oracle: identical position-window join over the identical (md5-hop)
+    walks in DuckDB."""
+    from sparkrdf.graphops import random_walks, walk_skipgrams
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    walks = random_walks(g, walk_len=3, walks_per_node=2, seed=7,
+                         src="src_host", dst="dst_host")
+    return walk_skipgrams(walks, window=2)
+
+
+def q_web_walk_negatives(spark, sf_dir):
+    """Deterministic negative sampling (sparkrdf/graphops.py
+    negative_samples): k=2 hashed-uniform vocab draws per skip-gram pair,
+    accidental positives kept (standard word2vec practice — exclusion
+    would make the sample count data-dependent). Oracle: the identical
+    md5-index arithmetic against the same name-sorted vocab."""
+    from sparkrdf.graphops import negative_samples, random_walks, walk_skipgrams
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    walks = random_walks(g, walk_len=3, walks_per_node=2, seed=7,
+                         src="src_host", dst="dst_host")
+    pairs = walk_skipgrams(walks, window=2)
+    vocab = (
+        g.select(F.col("src_host").alias("n"))
+        .unionAll(g.select(F.col("dst_host").alias("n")))
+        .distinct()
+    )
+    return negative_samples(pairs, vocab, k=2, seed=7)
+
+
 def q_graph_npmi_edges(spark, sf_dir):
     """NPMI-weighted co-occurrence edges (sparkrdf/graphops.py npmi_edges):
     the association statistic that turns raw co-mention counts into
@@ -1217,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_rank": q_web_host_rank,
         "web_host_hits": q_web_host_hits,
         "web_host_walks": q_web_host_walks,
+        "web_walk_skipgrams": q_web_walk_skipgrams,
+        "web_walk_negatives": q_web_walk_negatives,
         "kg_triple_support": q_kg_triple_support,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
@@ -2345,6 +2383,36 @@ SELECT start, walk_no, step, node FROM w0
 UNION ALL SELECT start, walk_no, step, node FROM w1
 UNION ALL SELECT start, walk_no, step, node FROM w2
 UNION ALL SELECT start, walk_no, step, node FROM w3
+"""
+
+    # skip-gram pairs + deterministic negatives over the same walk corpus
+    _wk = _walks + """,
+wk AS MATERIALIZED (
+  SELECT start, walk_no, step, node FROM w0
+  UNION ALL SELECT start, walk_no, step, node FROM w1
+  UNION ALL SELECT start, walk_no, step, node FROM w2
+  UNION ALL SELECT start, walk_no, step, node FROM w3),
+sg AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS context, COUNT(*)::BIGINT AS n
+  FROM wk a JOIN wk b
+    ON a.start = b.start AND a.walk_no = b.walk_no
+   AND abs(a.step - b.step) BETWEEN 1 AND 2
+  GROUP BY a.node, b.node)"""
+    sql["web_walk_skipgrams"] = _wk + "\nSELECT center, context, n FROM sg"
+
+    sql["web_walk_negatives"] = _wk + """,
+vocab AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM we UNION ALL SELECT t AS n FROM we)),
+iv AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY n) - 1 AS _idx, n AS negative FROM vocab),
+nv AS MATERIALIZED (SELECT COUNT(*) AS c FROM vocab),
+smp AS (SELECT center, context, j
+        FROM sg, (SELECT unnest(range(2))::INT AS j))
+SELECT smp.center, smp.context, smp.j, iv.negative
+FROM smp JOIN iv ON iv._idx =
+  CAST(('0x' || substr(md5('7' || '|' || smp.center || '|' || smp.context
+                           || '|' || smp.j), 1, 8)) AS BIGINT)
+  % (SELECT c FROM nv)
 """
 
     # NPMI co-mention edges: exact integer marginals, one ln() expression

@@ -460,3 +460,72 @@ def random_walks(
         out = out.unionByName(cur)
     nbr.unpersist()
     return out
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pairs from a random-walk corpus — the
+    training examples DeepWalk/node2vec feed a word2vec objective: within
+    one walk, every ordered pair of positions at distance 1..window.
+    Input is :func:`random_walks` output ``(start, walk_no, step, node)``;
+    returns ``(center, context, n)`` with pair multiplicity aggregated.
+
+    Scale shape: one self-join keyed on the walk identity (start, walk_no)
+    — work bounded by walk_len·window per walk, never corpus² — and one
+    hash aggregate with map-side partials.
+    """
+    a, b = walks.alias("a"), walks.alias("b")
+    d = F.abs(F.col("a.step") - F.col("b.step"))
+    return (
+        a.join(
+            b,
+            (F.col("a.start") == F.col("b.start"))
+            & (F.col("a.walk_no") == F.col("b.walk_no"))
+            & (d > 0)
+            & (d <= window),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"), F.col("b.node").alias("context")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def negative_samples(
+    pairs: DataFrame, vocab: DataFrame, k: int = 2, seed: int = 7
+) -> DataFrame:
+    """Deterministic negative sampling for skip-gram training: for each
+    (center, context) pair, ``k`` negatives drawn uniformly from ``vocab``
+    (a one-column node table) by hashed index —
+    ``md5(seed|center|context|j) % |vocab|`` over the name-sorted vocab.
+    md5 replaces the RNG for the same reasons as :func:`random_walks`
+    (reproducible engine-to-engine, resume-safe). Accidental positives are
+    KEPT, matching standard word2vec practice (exclusion would make the
+    sample count data-dependent). Returns ``(center, context, j, negative)``.
+
+    Scale shape: the vocab index is a window over the VOCAB table only —
+    the small dimension by construction (hosts/entities, not the corpus) —
+    broadcast into a map-only join against the pair stream; the pair table
+    itself never shuffles.
+    """
+    n_vocab = vocab.count()
+    w = Window.orderBy(vocab.columns[0])
+    indexed = vocab.select(
+        (F.row_number().over(w) - 1).alias("_idx"),
+        F.col(vocab.columns[0]).alias("negative"),
+    )
+    samples = pairs.select("center", "context").crossJoin(
+        F.broadcast(
+            pairs.sparkSession.range(k).select(F.col("id").cast("int").alias("j"))
+        )
+    )
+    idx = _md5_long(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("center"),
+            F.col("context"),
+            F.col("j").cast("string"),
+        )
+    ) % F.lit(n_vocab)
+    return samples.withColumn("_idx", idx).join(
+        F.broadcast(indexed), "_idx"
+    ).select("center", "context", "j", "negative")

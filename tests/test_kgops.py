@@ -464,3 +464,31 @@ def test_path_closure_chain_and_convergence(spark):
     )
     with _pytest.raises(RuntimeError):
         path_closure(deep, max_doubling=1)
+
+
+def test_walk_skipgrams_and_negatives(spark):
+    import hashlib
+
+    from sparkrdf.graphops import negative_samples, walk_skipgrams
+
+    # one walk a->b->c->d (steps 0..3), plus a second 1-step walk
+    walks = spark.createDataFrame(
+        [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"), ("a", 0, 3, "d"),
+         ("x", 1, 0, "x"), ("x", 1, 1, "y")],
+        "start string, walk_no int, step int, node string",
+    )
+    sg = {(r.center, r.context): r.n for r in walk_skipgrams(walks, window=2).collect()}
+    # distance-1 and distance-2 pairs, both directions, no cross-walk pairs
+    assert sg[("a", "b")] == 1 and sg[("b", "a")] == 1
+    assert sg[("a", "c")] == 1 and ("a", "d") not in sg
+    assert sg[("x", "y")] == 1 and ("a", "y") not in sg
+    assert sg[("b", "c")] == sg[("b", "d")] == 1
+
+    pairs = spark.createDataFrame([("a", "b")], "center string, context string")
+    vocab = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "n string")
+    neg = {r.j: r.negative for r in negative_samples(pairs, vocab, k=2, seed=7).collect()}
+    exp = {
+        j: sorted("abcd")[int(hashlib.md5(f"7|a|b|{j}".encode()).hexdigest()[:8], 16) % 4]
+        for j in range(2)
+    }
+    assert neg == exp
