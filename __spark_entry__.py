@@ -1145,6 +1145,77 @@ def q_kg_triple_support(spark, sf_dir):
     return triple_support(types.unionByName(rels), prov_col="doc")
 
 
+def q_kg_canonical_triples(spark, sf_dir):
+    """Entity canonicalization (sparkrdf/extract/fuse.py
+    canonicalize_triples): corpus-wide sameAs pairs from the per-document
+    suffix-coreference resolver (a short form folds into its long form)
+    are transitively closed into components, every entity maps to its
+    component's MIN IRI, and the co-mention triple table is rewritten
+    through that map — aliases collapse into one canonical fact. Oracle:
+    the identical suffix rule, a recursive-CTE closure, and the same
+    coalesce-rewrite + DISTINCT in DuckDB."""
+    from sparkrdf.extract.fuse import canonicalize_triples
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.extract.resolve import resolve_entities
+
+    m = detect_mentions_jvm(
+        _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+        id_col="doc_id", text_col="text",
+    )
+    r = resolve_entities(m, id_col="doc_id")
+    ent = lambda c: F.concat(F.lit(dockg.KG + "entity/"), c)  # noqa: E731
+    pairs = (
+        r.filter(F.col("form") != F.col("entity_key"))
+        .select(ent(F.col("form")).alias("id_a"), ent(F.col("entity_key")).alias("id_b"))
+        .distinct()
+    )
+    forms = r.select("doc_id", "form").distinct()
+    a, b = forms.alias("a"), forms.alias("b")
+    triples = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.form") < F.col("b.form")),
+    ).select(
+        ent(F.col("a.form")).alias("s"),
+        F.lit(dockg.KG + "prop/relatedTo").alias("p"),
+        ent(F.col("b.form")).alias("o"),
+    ).distinct()
+    return canonicalize_triples(triples, pairs)
+
+
+def q_kg_source_trust(spark, sf_dir):
+    """Truth discovery (sparkrdf/extract/fuse.py source_trust): the
+    AverageLog fixed point (Pasternack & Roth 2010) jointly scoring source
+    reliability and fact confidence over per-source co-mention assertions
+    (source = the documents table's publisher column). Two rounds + a
+    final confidence pass, every score rounded 9 d.p. — the oracle unrolls
+    the identical iteration in DuckDB CTEs."""
+    from sparkrdf.extract.fuse import source_trust
+    from sparkrdf.extract.ner import detect_mentions_jvm
+
+    m = (
+        detect_mentions_jvm(
+            _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+            id_col="doc_id", text_col="text",
+        )
+        .select("doc_id", "surface")
+        .distinct()
+    )
+    ms = m.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+    ent = lambda c: F.concat(F.lit(dockg.KG + "entity/"), c)  # noqa: E731
+    a, b = ms.alias("a"), ms.alias("b")
+    asserts = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.surface") < F.col("b.surface")),
+    ).select(
+        F.col("a.source").alias("source"),
+        ent(F.col("a.surface")).alias("s"),
+        F.lit(dockg.KG + "prop/relatedTo").alias("p"),
+        ent(F.col("b.surface")).alias("o"),
+    )
+    return source_trust(asserts, prov_col="source", rounds=2)
+
+
 def q_er_fuzzy_pairs(spark, sf_dir):
     """Entity matching over part names (sparkrdf/er.py): exact-duplicate
     collapse first (fuzzy-pairing raw records would re-derive every pair
@@ -1256,6 +1327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_walk_skipgrams": q_web_walk_skipgrams,
         "web_walk_negatives": q_web_walk_negatives,
         "kg_triple_support": q_kg_triple_support,
+        "kg_canonical_triples": q_kg_canonical_triples,
+        "kg_source_trust": q_kg_source_trust,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -2477,6 +2550,84 @@ sp AS (SELECT s, COUNT(DISTINCT prov)::BIGINT AS subj_prov FROM a GROUP BY s)
 SELECT t.s, t.p, t.o, t.n_prov, sp.subj_prov,
        ROUND(t.n_prov::DOUBLE / sp.subj_prov, 9) AS conf
 FROM t JOIN sp USING (s)
+"""
+
+    # entity canonicalization: suffix-coreference sameAs pairs → recursive
+    # transitive closure → MIN-IRI canonical map → coalesce-rewrite of the
+    # co-mention triple table + DISTINCT (fuse.canonicalize_triples)
+    sql["kg_canonical_triples"] = f"""
+WITH RECURSIVE m AS (
+  SELECT DISTINCT doc_id,
+         trim(regexp_replace(lower(surface), '\\s+', ' ', 'g')) AS form
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS surface
+        FROM documents)),
+multis AS (
+  SELECT DISTINCT doc_id, form AS long_form,
+         regexp_extract(form, '(\\S+)$', 1) AS last_tok
+  FROM m WHERE contains(form, ' ')),
+resolved AS (
+  SELECT m.doc_id, m.form, coalesce(MIN(mu.long_form), m.form) AS entity_key
+  FROM m LEFT JOIN multis mu
+    ON m.doc_id = mu.doc_id AND m.form = mu.last_tok
+  GROUP BY m.doc_id, m.form),
+pairs AS (
+  SELECT DISTINCT '{dockg.KG}entity/' || form AS u,
+                  '{dockg.KG}entity/' || entity_key AS v
+  FROM resolved WHERE form <> entity_key),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+walk(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.node),
+comp AS (SELECT node, MIN(lbl) AS canon FROM walk GROUP BY node),
+triples AS (
+  SELECT DISTINCT '{dockg.KG}entity/' || a.form AS s,
+         '{dockg.KG}prop/relatedTo' AS p,
+         '{dockg.KG}entity/' || b.form AS o
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.form < b.form)
+SELECT DISTINCT coalesce(ca.canon, t.s) AS s, t.p,
+       coalesce(co.canon, t.o) AS o
+FROM triples t
+LEFT JOIN comp ca ON ca.node = t.s
+LEFT JOIN comp co ON co.node = t.o
+"""
+
+    # truth discovery: the AverageLog iteration (rounds=2 + final pass)
+    # unrolled with the engine's exact integer-scaled score discipline —
+    # every 9-d.p. score rides as ROUND(x*1e9)::BIGINT, each average is
+    # SUM(int)/(COUNT*1e9) (exact sum, one deterministic division), only
+    # ln touches transcendental floats (fuse.source_trust)
+    sql["kg_source_trust"] = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+a AS (
+  SELECT DISTINCT d.source AS src,
+         '{dockg.KG}entity/' || x.e AS s,
+         '{dockg.KG}prop/relatedTo' AS p,
+         '{dockg.KG}entity/' || y.e AS o
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e
+  JOIN documents d ON d.doc_id = x.doc_id),
+srcn AS (SELECT src, COUNT(*)::BIGINT AS n FROM a GROUP BY src),
+c1 AS (SELECT s, p, o,
+         ROUND(ROUND(SUM(1000000000::BIGINT) / (COUNT(*) * 1e9), 9) * 1e9, 0)::BIGINT AS conf_i
+       FROM a GROUP BY s, p, o),
+t1 AS (SELECT a.src,
+         ROUND(ROUND((SUM(c1.conf_i) / (COUNT(*) * 1e9)) * ln(1 + srcn.n), 9) * 1e9, 0)::BIGINT AS trust_i
+       FROM a JOIN c1 USING (s, p, o) JOIN srcn ON srcn.src = a.src
+       GROUP BY a.src, srcn.n),
+c2 AS (SELECT s, p, o,
+         ROUND(ROUND(SUM(t1.trust_i) / (COUNT(*) * 1e9), 9) * 1e9, 0)::BIGINT AS conf_i
+       FROM a JOIN t1 ON t1.src = a.src GROUP BY s, p, o),
+t2 AS (SELECT a.src,
+         ROUND(ROUND((SUM(c2.conf_i) / (COUNT(*) * 1e9)) * ln(1 + srcn.n), 9) * 1e9, 0)::BIGINT AS trust_i
+       FROM a JOIN c2 USING (s, p, o) JOIN srcn ON srcn.src = a.src
+       GROUP BY a.src, srcn.n)
+SELECT a.s, a.p, a.o, COUNT(DISTINCT a.src)::BIGINT AS n_src,
+       ROUND(SUM(t2.trust_i) / (COUNT(*) * 1e9), 9) AS conf
+FROM a JOIN t2 ON t2.src = a.src
+GROUP BY a.s, a.p, a.o
 """
 
     # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)

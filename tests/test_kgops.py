@@ -492,3 +492,110 @@ def test_walk_skipgrams_and_negatives(spark):
         for j in range(2)
     }
     assert neg == exp
+
+
+# ---------------------------------------------------------------------------
+# canonicalize_triples
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_triples_transitive_merge(spark):
+    from sparkrdf.extract.fuse import canonicalize_triples
+
+    # equivalence B~A, C~B closes transitively: {A,B,C} -> canonical A (MIN)
+    pairs = spark.createDataFrame(
+        [("B", "A"), ("C", "B")], "id_a string, id_b string"
+    )
+    triples = spark.createDataFrame(
+        [
+            ("A", "rel", "D"),  # already canonical
+            ("B", "rel", "D"),  # alias subject -> collapses into the row above
+            ("C", "rel", "A"),  # both endpoints merge -> self-loop (A,rel,A)
+            ("D", "rel", "E"),  # untouched by the closure
+        ],
+        "s string, p string, o string",
+    )
+    out = {(r.s, r.p, r.o) for r in canonicalize_triples(triples, pairs).collect()}
+    assert out == {("A", "rel", "D"), ("A", "rel", "A"), ("D", "rel", "E")}
+
+
+def test_canonicalize_triples_no_pairs_is_identity(spark):
+    from sparkrdf.extract.fuse import canonicalize_triples
+
+    pairs = spark.createDataFrame([], "id_a string, id_b string")
+    triples = spark.createDataFrame(
+        [("A", "rel", "B"), ("A", "rel", "B"), ("B", "rel", "C")],
+        "s string, p string, o string",
+    )
+    out = sorted(
+        (r.s, r.p, r.o) for r in canonicalize_triples(triples, pairs).collect()
+    )
+    assert out == [("A", "rel", "B"), ("B", "rel", "C")]  # plain distinct
+
+
+# ---------------------------------------------------------------------------
+# source_trust (AverageLog)
+# ---------------------------------------------------------------------------
+
+
+def _averagelog_reference(assertions, rounds=2):
+    """Driver-side reference of the exact integer-scaled iteration."""
+    a = sorted(set(assertions))
+    srcs = sorted({s for s, *_ in a})
+    n_claims = {s: sum(1 for x in a if x[0] == s) for s in srcs}
+    facts = sorted({f[1:] for f in a})
+    trust_i = {s: 10**9 for s in srcs}
+    for _ in range(rounds):
+        conf_i = {}
+        for f in facts:
+            sl = [trust_i[s] for s, *rest in a if tuple(rest) == f]
+            conf_i[f] = round(round(sum(sl) / (len(sl) * 1e9), 9) * 1e9)
+        new_trust = {}
+        for s in srcs:
+            cl = [conf_i[tuple(rest)] for s2, *rest in a if s2 == s]
+            mean = sum(cl) / (len(cl) * 1e9)
+            new_trust[s] = round(
+                round(mean * math.log(1 + n_claims[s]), 9) * 1e9
+            )
+        trust_i = new_trust
+    out = {}
+    for f in facts:
+        sl = [trust_i[s] for s, *rest in a if tuple(rest) == f]
+        out[f] = (len(sl), round(sum(sl) / (len(sl) * 1e9), 9))
+    return out
+
+
+def test_source_trust_averagelog_known_values(spark):
+    from sparkrdf.extract.fuse import source_trust
+
+    # S1 asserts f1,f2 (prolific), S2 asserts f1 only, S3 asserts f3
+    rows = [
+        ("S1", "a", "p", "b"),
+        ("S1", "a", "p", "c"),
+        ("S2", "a", "p", "b"),
+        ("S3", "x", "p", "y"),
+        ("S2", "a", "p", "b"),  # duplicate assertion collapses pre-shuffle
+    ]
+    df = spark.createDataFrame(rows, "source string, s string, p string, o string")
+    got = {
+        (r.s, r.p, r.o): (r.n_src, r.conf)
+        for r in source_trust(df, prov_col="source").collect()
+    }
+    exp = _averagelog_reference([tuple(r) for r in rows])
+    assert got == exp
+    # a fact backed by the prolific source AND a second source outranks the
+    # single-source fact of a one-claim source
+    assert got[("a", "p", "b")][1] > got[("x", "p", "y")][1]
+
+
+def test_source_trust_single_source_uniform(spark):
+    from sparkrdf.extract.fuse import source_trust
+
+    # one source, two claims: both facts get identical confidence
+    df = spark.createDataFrame(
+        [("S", "a", "p", "b"), ("S", "c", "p", "d")],
+        "source string, s string, p string, o string",
+    )
+    out = source_trust(df, prov_col="source").collect()
+    confs = {r.conf for r in out}
+    assert len(out) == 2 and len(confs) == 1
