@@ -1182,6 +1182,73 @@ def q_kg_canonical_triples(spark, sf_dir):
     return canonicalize_triples(triples, pairs)
 
 
+def q_kg_predicate_profile(spark, sf_dir):
+    """Schema induction (sparkrdf/graphops.py predicate_profile): per-
+    predicate usage statistics over the constructed doc-KG — triple count,
+    distinct subjects/objects, max per-subject fanout and the functional-
+    property flag that drives scalar-vs-array PGT collapse. Oracle: the
+    identical two-stage aggregate in DuckDB."""
+    from sparkrdf.graphops import predicate_profile
+
+    t = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return predicate_profile(t)
+
+
+def q_kg_snapshot_diff(spark, sf_dir):
+    """Incremental crawl delta (sparkrdf/compare.py snapshot_diff): two
+    overlapping crawl snapshots (doc_id % 10 excludes a different decile
+    from each) are materialized into triple sets and symmetrically diffed
+    — each triple present in exactly one snapshot comes back tagged
+    added/removed, ready for a MERGE-shaped sink. Oracle: the same two
+    EXCEPTs over the identically-filtered triple derivation."""
+    from sparkrdf.compare import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    old_t = dockg.doc_triples(spark, d.filter(F.col("doc_id") % 10 != 9)).select(
+        "s", "p", "o"
+    )
+    new_t = dockg.doc_triples(spark, d.filter(F.col("doc_id") % 10 != 0)).select(
+        "s", "p", "o"
+    )
+    return snapshot_diff(old_t, new_t)
+
+
+def q_kg_entity_temporal(spark, sf_dir):
+    """Temporal fact scoping (sparkrdf/eventops.py observation_ranges):
+    every page observation of a linked entity carries the crawl timestamp;
+    per entity this collapses to (first_seen, last_seen, n_prov) — the
+    validity interval a temporal KG stores. Runs over the same
+    deterministic materialized pages table as kg_pages_pipeline (written
+    idempotently here too, so query order doesn't matter). Oracle: the
+    identical mention→link CTEs + one MIN/MAX/COUNT-DISTINCT aggregate."""
+    from sparkrdf.eventops import observation_ranges
+    from sparkrdf.extract.link import link_mentions
+    from sparkrdf.extract.mint import with_page_iri
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.pages import synthesize_pages
+
+    pages = with_page_iri(synthesize_pages(spark, 2000))
+    pages.select("url", "warc_ts", "text", "lang", "page_iri").coalesce(
+        1
+    ).write.mode("overwrite").parquet(PAGES_MAT_PATH)
+    mat = spark.read.parquet(PAGES_MAT_PATH)
+    links = link_mentions(spark, detect_mentions_jvm(mat))
+    # warc_ts is NOT derivable from url (unlike page_iri), so the mention
+    # stream joins back to pages once — mention-granular left side, page
+    # table right side, plain equi-join on url
+    obs = links.join(mat.select("url", "warc_ts", "page_iri"), "url").select(
+        "entity_iri", "warc_ts", "page_iri"
+    )
+    out = observation_ranges(obs, ["entity_iri"], ts_col="warc_ts", prov_col="page_iri")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    return out.select(
+        "entity_iri",
+        F.date_format("first_seen", fmt).alias("first_seen"),
+        F.date_format("last_seen", fmt).alias("last_seen"),
+        F.col("n_prov"),
+    )
+
+
 def q_kg_source_trust(spark, sf_dir):
     """Truth discovery (sparkrdf/extract/fuse.py source_trust): the
     AverageLog fixed point (Pasternack & Roth 2010) jointly scoring source
@@ -1329,6 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triple_support": q_kg_triple_support,
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_source_trust": q_kg_source_trust,
+        "kg_predicate_profile": q_kg_predicate_profile,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_entity_temporal": q_kg_entity_temporal,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -1462,6 +1532,45 @@ UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
 UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
 UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
 UNION ALL SELECT DISTINCT ent, '{_RDF_TYPE}', cls FROM mentions
+"""
+
+    # schema induction: distinct triples → (p,s)-keyed fanout aggregate →
+    # per-predicate rollup + distinct-object count (graphops.predicate_profile)
+    sql["kg_predicate_profile"] = f"""
+WITH {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+ps AS (SELECT p, s, COUNT(*)::BIGINT AS fan FROM trip GROUP BY p, s),
+subj AS (SELECT p, SUM(fan)::BIGINT AS n_triples, COUNT(*)::BIGINT AS n_subj,
+                MAX(fan)::BIGINT AS max_fanout FROM ps GROUP BY p),
+obj AS (SELECT p, COUNT(DISTINCT o)::BIGINT AS n_obj FROM trip GROUP BY p)
+SELECT subj.p, n_triples, n_subj, n_obj, max_fanout,
+       (max_fanout = 1) AS functional
+FROM subj JOIN obj USING (p)
+"""
+
+    # incremental crawl delta: the same triple derivation with doc_id kept,
+    # filtered into two overlapping snapshots, then two set EXCEPTs
+    # (compare.snapshot_diff's anti-join pair)
+    sql["kg_snapshot_diff"] = f"""
+WITH {_DOC_CTES},
+raw AS (
+  SELECT doc_id, s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT doc_id, s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT doc_id, s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT doc_id, s, '{dockg.P_TOKENS}', ntok FROM docs
+  UNION ALL SELECT doc_id, ent, '{_RDF_TYPE}', cls FROM mentions),
+ta AS (SELECT DISTINCT s, p, o FROM raw WHERE doc_id % 10 <> 9),
+tb AS (SELECT DISTINCT s, p, o FROM raw WHERE doc_id % 10 <> 0)
+SELECT s, p, o, 'added' AS change
+FROM (SELECT s, p, o FROM tb EXCEPT SELECT s, p, o FROM ta)
+UNION ALL
+SELECT s, p, o, 'removed' AS change
+FROM (SELECT s, p, o FROM ta EXCEPT SELECT s, p, o FROM tb)
 """
 
     sql["kg_rpt_edges"] = f"""
@@ -2140,6 +2249,25 @@ UNION ALL SELECT page_iri, '{_EPRED["tokenCount"]}',
   CAST(len(string_split_regex(text, '\\s+')) AS VARCHAR) FROM pages
 UNION ALL SELECT DISTINCT page_iri, '{_EPRED["mentions"]}', ent FROM linked
 UNION ALL SELECT DISTINCT ent, '{_ERDF_TYPE}', cls FROM linked
+"""
+
+    # temporal fact scoping: the same materialized pages + mention→link
+    # CTEs, one MIN/MAX/COUNT-DISTINCT aggregate per entity
+    # (eventops.observation_ranges)
+    sql["kg_entity_temporal"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{PAGES_MAT_PATH}/*.parquet')),
+gaz(surface, ent, cls) AS (VALUES {gaz_vals}),
+mention AS (
+  SELECT page_iri, warc_ts, unnest(regexp_extract_all(text, '{page_pat}', 1)) AS surface
+  FROM pages),
+linked AS (
+  SELECT DISTINCT m.page_iri, m.warc_ts, g.ent
+  FROM mention m JOIN gaz g USING (surface))
+SELECT ent AS entity_iri,
+       strftime(MIN(warc_ts), '%Y-%m-%dT%H:%M:%SZ') AS first_seen,
+       strftime(MAX(warc_ts), '%Y-%m-%dT%H:%M:%SZ') AS last_seen,
+       COUNT(DISTINCT page_iri)::BIGINT AS n_prov
+FROM linked GROUP BY ent
 """
 
     sql["sim_topk"] = f"""

@@ -126,3 +126,31 @@ def precision_recall(emitted: DataFrame, golden: DataFrame) -> dict:
         "false_pos": fp,
         "false_neg": fn,
     }
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Symmetric delta between two KG snapshots → (…cols, change).
+
+    The incremental-crawl primitive: given the triple sets materialized
+    from two crawl batches, emit each triple present in exactly one of
+    them, tagged ``'added'`` (new-only) or ``'removed'`` (old-only).
+    Unchanged triples — the overwhelming majority between consecutive
+    crawls — never appear in the output, so a downstream sink can apply
+    the delta instead of rewriting the table (io.merge_by_key /
+    MERGE INTO take exactly this shape).
+
+    Columns are compared by name (the old snapshot is projected onto the
+    new one's column list). Both sides deduplicate first: snapshots are
+    statement SETS.
+
+    Scale shape: two left-anti joins keyed on all columns — Spark plans
+    each as one hash-partitioned exchange per side with no row expansion,
+    and the union of the two anti-joins is linear in the delta size. No
+    driver-side collection, no window, no skew-prone single key.
+    """
+    cols = new.columns
+    o = old.select(*cols).dropDuplicates()
+    n = new.dropDuplicates()
+    added = n.join(o, cols, "left_anti").withColumn("change", F.lit("added"))
+    removed = o.join(n, cols, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)

@@ -109,3 +109,29 @@ def sessionize(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+def observation_ranges(
+    observations: DataFrame,
+    key_cols: list,
+    ts_col: str = "warc_ts",
+    prov_col: str = "page_iri",
+) -> DataFrame:
+    """Temporal scoping: per-key first/last observation + provenance reach.
+
+    KG facts extracted from a rolling crawl carry the crawl timestamp of
+    every page that asserted them; scoping collapses those observations to
+    ``(…key, first_seen, last_seen, n_prov)`` — the validity interval a
+    temporal KG stores per fact and the signal a freshness-aware ranker
+    consumes (a fact last seen two years ago decays; one seen across many
+    crawls is stable).
+
+    One hash aggregate with map-side partials: MIN/MAX of the timestamp
+    and a distinct-count of the provenance column, keyed by the fact key.
+    Nothing else shuffles; the observation stream is consumed once.
+    """
+    return observations.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+        F.countDistinct(prov_col).cast("long").alias("n_prov"),
+    )

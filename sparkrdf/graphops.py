@@ -529,3 +529,52 @@ def negative_samples(
     return samples.withColumn("_idx", idx).join(
         F.broadcast(indexed), "_idx"
     ).select("center", "context", "j", "negative")
+
+
+def predicate_profile(
+    triples: DataFrame, s_col: str = "s", p_col: str = "p", o_col: str = "o"
+) -> DataFrame:
+    """Schema induction: per-predicate usage statistics over a triple table.
+
+    The ontology-profiling step of KG construction — after extraction the
+    predicate vocabulary is open-ended, and downstream modeling (PGT
+    collapse rules, edge-definition generation, index choice) needs to know
+    each predicate's shape. Returns per predicate:
+
+    - ``n_triples``   — distinct (s,o) assertions using it;
+    - ``n_subj``/``n_obj`` — distinct subjects / objects it connects;
+    - ``max_fanout``  — the largest per-subject out-degree under it;
+    - ``functional``  — true iff every subject has exactly one object
+      (``max_fanout == 1``) — the OWL FunctionalProperty signal that
+      decides scalar-vs-array property collapse in the PGT mapping.
+
+    Scale shape: one (p,s)-keyed count aggregate (map-side partials) feeds
+    n_subj / n_triples / max_fanout in a single second-stage aggregate per
+    predicate; n_obj is one more distinct-aggregate keyed (p,o). Nothing
+    ever groups by the bare predicate over raw triples — predicate keys are
+    Zipf-hot, so both aggregates keep the subject/object in the key until
+    the row stream is already predicate-sized.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).dropDuplicates()
+    per_ps = t.groupBy("p", "s").agg(F.count("*").cast("long").alias("fan"))
+    subj_side = per_ps.groupBy("p").agg(
+        F.sum("fan").cast("long").alias("n_triples"),
+        F.count("*").cast("long").alias("n_subj"),
+        F.max("fan").cast("long").alias("max_fanout"),
+    )
+    obj_side = (
+        t.select("p", "o")
+        .dropDuplicates()
+        .groupBy("p")
+        .agg(F.count("*").cast("long").alias("n_obj"))
+    )
+    return subj_side.join(obj_side, "p").select(
+        "p",
+        "n_triples",
+        "n_subj",
+        "n_obj",
+        "max_fanout",
+        (F.col("max_fanout") == 1).alias("functional"),
+    )

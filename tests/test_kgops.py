@@ -599,3 +599,66 @@ def test_source_trust_single_source_uniform(spark):
     out = source_trust(df, prov_col="source").collect()
     confs = {r.conf for r in out}
     assert len(out) == 2 and len(confs) == 1
+
+
+# ---------------------------------------------------------------------------
+# predicate_profile / snapshot_diff / observation_ranges
+# ---------------------------------------------------------------------------
+
+
+def test_predicate_profile_known_values(spark):
+    from sparkrdf.graphops import predicate_profile
+
+    t = spark.createDataFrame(
+        [
+            ("a", "name", "x"),   # functional: every subject once
+            ("b", "name", "x"),
+            ("a", "knows", "b"),  # non-functional: a has fanout 2
+            ("a", "knows", "c"),
+            ("b", "knows", "c"),
+            ("b", "knows", "c"),  # duplicate assertion collapses first
+        ],
+        "s string, p string, o string",
+    )
+    out = {r.p: r for r in predicate_profile(t).collect()}
+    assert (out["name"].n_triples, out["name"].n_subj, out["name"].n_obj) == (2, 2, 1)
+    assert out["name"].max_fanout == 1 and out["name"].functional
+    assert (out["knows"].n_triples, out["knows"].n_subj, out["knows"].n_obj) == (3, 2, 2)
+    assert out["knows"].max_fanout == 2 and not out["knows"].functional
+
+
+def test_snapshot_diff_added_removed_unchanged(spark):
+    from sparkrdf.compare import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", "p", "1"), ("b", "p", "2"), ("b", "p", "2"), ("c", "p", "3")],
+        "s string, p string, o string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "1"), ("c", "p", "3x"), ("d", "p", "4")],
+        "s string, p string, o string",
+    )
+    out = {(r.s, r.o): r.change for r in snapshot_diff(old, new).collect()}
+    assert out == {
+        ("c", "3x"): "added",
+        ("d", "4"): "added",
+        ("b", "2"): "removed",
+        ("c", "3"): "removed",
+    }  # ("a","1") unchanged -> absent; old dup counted once
+
+
+def test_observation_ranges(spark):
+    import datetime
+
+    from sparkrdf.eventops import observation_ranges
+
+    ts = lambda d: datetime.datetime(2026, 1, d, 12, 0, 0)  # noqa: E731
+    obs = spark.createDataFrame(
+        [("e1", ts(1), "p1"), ("e1", ts(9), "p2"), ("e1", ts(5), "p1"),
+         ("e2", ts(3), "p3")],
+        "entity string, warc_ts timestamp, page_iri string",
+    )
+    out = {r.entity: r for r in observation_ranges(obs, ["entity"]).collect()}
+    assert out["e1"].first_seen == ts(1) and out["e1"].last_seen == ts(9)
+    assert out["e1"].n_prov == 2  # p1 seen twice counts once
+    assert out["e2"].n_prov == 1
