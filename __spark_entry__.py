@@ -1182,6 +1182,38 @@ def q_kg_canonical_triples(spark, sf_dir):
     return canonicalize_triples(triples, pairs)
 
 
+def q_kg_triple_negatives(spark, sf_dir):
+    """KG-embedding training negatives (sparkrdf/graphops.py
+    corrupt_triples): per positive co-mention triple, 2 deterministic
+    corruptions (even j replaces the subject, odd j the object) drawn
+    md5-uniform from the name-sorted entity vocabulary, then the standard
+    'filtered' anti-join removes corruptions that are true triples. Oracle:
+    the identical index/draw/CASE/anti-exists algebra in DuckDB."""
+    from sparkrdf.extract.ner import detect_mentions_jvm
+    from sparkrdf.graphops import corrupt_triples
+
+    m = (
+        detect_mentions_jvm(
+            _docs(spark, sf_dir), dictionary=DOC_NER_DICT,
+            id_col="doc_id", text_col="text",
+        )
+        .select("doc_id", "surface")
+        .distinct()
+    )
+    ent = lambda c: F.concat(F.lit(dockg.KG + "entity/"), c)  # noqa: E731
+    a, b = m.alias("a"), m.alias("b")
+    t = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.surface") < F.col("b.surface")),
+    ).select(
+        ent(F.col("a.surface")).alias("s"),
+        F.lit(dockg.KG + "prop/relatedTo").alias("p"),
+        ent(F.col("b.surface")).alias("o"),
+    ).distinct()
+    return corrupt_triples(t, k=2, seed=11, filtered=True)
+
+
 def q_kg_predicate_profile(spark, sf_dir):
     """Schema induction (sparkrdf/graphops.py predicate_profile): per-
     predicate usage statistics over the constructed doc-KG — triple count,
@@ -1399,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_entity_temporal": q_kg_entity_temporal,
+        "kg_triple_negatives": q_kg_triple_negatives,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -2756,6 +2789,38 @@ SELECT a.s, a.p, a.o, COUNT(DISTINCT a.src)::BIGINT AS n_src,
        ROUND(SUM(t2.trust_i) / (COUNT(*) * 1e9), 9) AS conf
 FROM a JOIN t2 ON t2.src = a.src
 GROUP BY a.s, a.p, a.o
+"""
+
+    # KG-embedding negatives: name-sorted entity index, md5-uniform draw,
+    # even-j subject / odd-j object corruption, filtered anti-exists
+    # (graphops.corrupt_triples)
+    sql["kg_triple_negatives"] = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+t AS (
+  SELECT DISTINCT '{dockg.KG}entity/' || x.e AS s,
+         '{dockg.KG}prop/relatedTo' AS p,
+         '{dockg.KG}entity/' || y.e AS o
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e),
+vocab AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM t UNION ALL SELECT o AS n FROM t)),
+iv AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY n) - 1 AS _idx, n AS draw FROM vocab),
+nv AS MATERIALIZED (SELECT COUNT(*) AS c FROM vocab),
+smp AS (SELECT s, p, o, j FROM t, (SELECT unnest(range(2))::INT AS j)),
+cand AS (
+  SELECT smp.s, smp.p, smp.o, smp.j,
+    CASE WHEN smp.j % 2 = 0 THEN iv.draw ELSE smp.s END AS cs,
+    CASE WHEN smp.j % 2 = 1 THEN iv.draw ELSE smp.o END AS co
+  FROM smp JOIN iv ON iv._idx =
+    CAST(('0x' || substr(md5('11' || '|' || smp.s || '|' || smp.p || '|'
+                             || smp.o || '|' || smp.j), 1, 8)) AS BIGINT)
+    % (SELECT c FROM nv))
+SELECT s, p, o, j, cs, co FROM cand
+WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.s = cand.cs AND t.p = cand.p AND t.o = cand.co)
 """
 
     # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)

@@ -578,3 +578,80 @@ def predicate_profile(
         "max_fanout",
         (F.col("max_fanout") == 1).alias("functional"),
     )
+
+
+def corrupt_triples(
+    triples: DataFrame,
+    k: int = 2,
+    seed: int = 11,
+    filtered: bool = True,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """KG-embedding negative generation: deterministic corrupted triples.
+
+    The training-data step every TransE-family embedding run needs
+    (Bordes et al. 2013): per positive ``(s, p, o)`` emit ``k`` corruptions
+    that replace the subject (even ``j``) or the object (odd ``j``) with a
+    hashed-uniform draw from the entity vocabulary —
+    ``md5(seed|s|p|o|j) % |entities|`` over the name-sorted entity index,
+    the same RNG-free discipline as :func:`negative_samples` (reproducible
+    engine-to-engine, resume-safe, no data-dependent sample counts at the
+    draw stage). With ``filtered=True`` (the standard "filtered" protocol),
+    corruptions that happen to be TRUE triples — including draws that
+    reproduce the original entity — are anti-joined away so the model is
+    never trained to score a real fact as negative.
+
+    Returns ``(s, p, o, j, cs, co)``: the positive, the draw index, and the
+    corrupted triple ``(cs, p, co)``.
+
+    Scale shape: the entity index is a window over the VOCAB only (entities,
+    not assertions) and broadcasts into a map-only join against the triple
+    stream; the filter is one anti-join keyed on the corrupted triple —
+    both sides triple-sized, no self-join amplification beyond ×k.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).dropDuplicates()
+    vocab = t.select(F.col("s").alias("n")).unionAll(
+        t.select(F.col("o").alias("n"))
+    ).dropDuplicates()
+    n_vocab = vocab.count()
+    w = Window.orderBy("n")
+    indexed = vocab.select(
+        (F.row_number().over(w) - 1).alias("_idx"), F.col("n").alias("draw")
+    )
+    samples = t.crossJoin(
+        F.broadcast(
+            t.sparkSession.range(k).select(F.col("id").cast("int").alias("j"))
+        )
+    )
+    idx = _md5_long(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            F.col("s"),
+            F.col("p"),
+            F.col("o"),
+            F.col("j").cast("string"),
+        )
+    ) % F.lit(n_vocab)
+    cand = (
+        samples.withColumn("_idx", idx)
+        .join(F.broadcast(indexed), "_idx")
+        .select(
+            "s",
+            "p",
+            "o",
+            "j",
+            F.when(F.col("j") % 2 == 0, F.col("draw")).otherwise(F.col("s")).alias("cs"),
+            F.when(F.col("j") % 2 == 1, F.col("draw")).otherwise(F.col("o")).alias("co"),
+        )
+    )
+    if not filtered:
+        return cand
+    pos = t.select(
+        F.col("s").alias("cs"), F.col("p").alias("p"), F.col("o").alias("co")
+    )
+    return cand.join(pos, ["cs", "p", "co"], "left_anti")

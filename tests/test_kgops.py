@@ -662,3 +662,46 @@ def test_observation_ranges(spark):
     assert out["e1"].first_seen == ts(1) and out["e1"].last_seen == ts(9)
     assert out["e1"].n_prov == 2  # p1 seen twice counts once
     assert out["e2"].n_prov == 1
+
+
+# ---------------------------------------------------------------------------
+# corrupt_triples (TransE filtered negatives)
+# ---------------------------------------------------------------------------
+
+
+def _md5_idx(seed, s, p, o, j, n):
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{s}|{p}|{o}|{j}".encode()).hexdigest()
+    return int(h[:8], 16) % n
+
+
+def test_corrupt_triples_hand_computed(spark):
+    from sparkrdf.graphops import corrupt_triples
+
+    rows = [("A", "r", "B"), ("B", "r", "C")]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    vocab = sorted({"A", "B", "C"})
+    out = corrupt_triples(t, k=2, seed=11, filtered=False).collect()
+    assert len(out) == 4  # every (triple, j) present when unfiltered
+    for r in out:
+        draw = vocab[_md5_idx(11, r.s, r.p, r.o, r.j, len(vocab))]
+        if r.j % 2 == 0:
+            assert (r.cs, r.co) == (draw, r.o)  # subject corrupted
+        else:
+            assert (r.cs, r.co) == (r.s, draw)  # object corrupted
+
+
+def test_corrupt_triples_filtered_drops_true_facts(spark):
+    from sparkrdf.graphops import corrupt_triples
+
+    rows = [("A", "r", "B"), ("B", "r", "C")]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    unfiltered = corrupt_triples(t, k=2, seed=11, filtered=False).collect()
+    filtered = corrupt_triples(t, k=2, seed=11, filtered=True).collect()
+    true_set = set(rows)
+    kept = {(r.cs, r.p, r.co) for r in filtered}
+    assert kept == {
+        (r.cs, r.p, r.co) for r in unfiltered if (r.cs, r.p, r.co) not in true_set
+    }
+    assert not (kept & true_set)
