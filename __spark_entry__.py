@@ -1214,6 +1214,51 @@ def q_kg_triple_negatives(spark, sf_dir):
     return corrupt_triples(t, k=2, seed=11, filtered=True)
 
 
+def q_kg_rdfs_entailed(spark, sf_dir):
+    """ρDF entailment materialization (sparkrdf/reason.py
+    rdfs_materialize): the doc-KG's IRI-object triples forward-chained
+    under dockg.DOC_ONTOLOGY — sub-property generalization (rdfs7), then
+    domain/range typing through the generalized predicates (rdfs2/3), then
+    sub-class inheritance over asserted AND derived type triples (rdfs9).
+    Both hierarchy closures are ontology-sized broadcasts; the rules are
+    map-only. Oracle: recursive-CTE closures + the same rule algebra."""
+    from sparkrdf.reason import rdfs_materialize
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    inst = stmts.filter(F.col("o_kind") == "URIRef").select("s", "p", "o")
+    onto = spark.createDataFrame(dockg.DOC_ONTOLOGY, "s string, p string, o string")
+    return rdfs_materialize(inst, onto)
+
+
+def q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (Neumann & Moerkotte 2011; sparkrdf/reason.py
+    characteristic_sets): subjects grouped by their exact predicate set —
+    the star-join cardinality statistic + schemaless-crawl schema summary.
+    Two map-side-combinable hash aggregates, no joins. Oracle: string_agg
+    (DISTINCT ... ORDER BY) per subject, then the set-keyed rollup."""
+    from sparkrdf.reason import characteristic_sets
+
+    t = dockg.doc_triples(spark, _docs(spark, sf_dir)).select("s", "p", "o").dropDuplicates()
+    return characteristic_sets(t)
+
+
+def q_kg_shape_violations(spark, sf_dir):
+    """SHACL-lite cardinality validation (sparkrdf/reason.py
+    shape_violations): class-targeted min/max-count property shapes
+    (dockg.DOC_SHAPES) over the doc-KG — zero-assertion min violations
+    included via the pre-aggregated left join, NULL max = unbounded.
+    Oracle: the identical focus/count/CASE algebra in DuckDB."""
+    from sparkrdf.reason import shape_violations
+
+    t = dockg.doc_triples(spark, _docs(spark, sf_dir)).select("s", "p", "o").dropDuplicates()
+    shapes = spark.createDataFrame(
+        dockg.DOC_SHAPES,
+        "shape_id string, target_class string, path string, "
+        "min_count int, max_count int",
+    )
+    return shape_violations(t, shapes)
+
+
 def q_kg_predicate_profile(spark, sf_dir):
     """Schema induction (sparkrdf/graphops.py predicate_profile): per-
     predicate usage statistics over the constructed doc-KG — triple count,
@@ -1429,6 +1474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": q_kg_canonical_triples,
         "kg_source_trust": q_kg_source_trust,
         "kg_predicate_profile": q_kg_predicate_profile,
+        "kg_rdfs_entailed": q_kg_rdfs_entailed,
+        "kg_char_sets": q_kg_char_sets,
+        "kg_shape_violations": q_kg_shape_violations,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_entity_temporal": q_kg_entity_temporal,
         "kg_triple_negatives": q_kg_triple_negatives,
@@ -1565,6 +1613,90 @@ UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
 UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
 UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
 UNION ALL SELECT DISTINCT ent, '{_RDF_TYPE}', cls FROM mentions
+"""
+
+    # ρDF entailment: recursive-CTE hierarchy closures + the same four
+    # instance rules in the same order (reason.rdfs_materialize)
+    _onto_values = ", ".join(f"('{s}', '{p}', '{o}')" for s, p, o in dockg.DOC_ONTOLOGY)
+    _rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    sql["kg_rdfs_entailed"] = f"""
+WITH RECURSIVE {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+onto(s, p, o) AS (VALUES {_onto_values}),
+spc(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{_rdfs}subPropertyOf'
+  UNION
+  SELECT c.a, onto.o FROM spc c
+  JOIN onto ON onto.s = c.b AND onto.p = '{_rdfs}subPropertyOf'),
+scc(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{_rdfs}subClassOf'
+  UNION
+  SELECT c.a, onto.o FROM scc c
+  JOIN onto ON onto.s = c.b AND onto.p = '{_rdfs}subClassOf'),
+t1 AS (
+  SELECT s, p, o FROM trip
+  UNION SELECT t.s, c.b, t.o FROM trip t JOIN spc c ON c.a = t.p),
+typed AS (
+  SELECT t.s AS s, '{_RDF_TYPE}' AS p, d.o AS o
+  FROM t1 t JOIN onto d ON d.s = t.p AND d.p = '{_rdfs}domain'
+  UNION
+  SELECT t.o, '{_RDF_TYPE}', r.o
+  FROM t1 t JOIN onto r ON r.s = t.p AND r.p = '{_rdfs}range'),
+t2 AS (SELECT * FROM t1 UNION SELECT * FROM typed),
+inh AS (
+  SELECT t.s AS s, '{_RDF_TYPE}' AS p, c.b AS o
+  FROM t2 t JOIN scc c ON c.a = t.o WHERE t.p = '{_RDF_TYPE}')
+SELECT DISTINCT s, p, o FROM (SELECT * FROM t2 UNION ALL SELECT * FROM inh)
+"""
+
+    # characteristic sets: per-subject sorted distinct predicate string,
+    # then the set-keyed rollup (reason.characteristic_sets)
+    sql["kg_char_sets"] = f"""
+WITH {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+per AS (SELECT s, string_agg(DISTINCT p, ' ' ORDER BY p) AS predicate_set,
+               COUNT(*)::BIGINT AS nt
+        FROM trip GROUP BY s)
+SELECT predicate_set, COUNT(*)::BIGINT AS n_subjects, SUM(nt)::BIGINT AS n_triples
+FROM per GROUP BY predicate_set
+"""
+
+    # SHACL-lite validation: focus selection by rdf:type, (s,p)-pre-agg
+    # counts, left join + min/max CASE (reason.shape_violations)
+    _shape_values = ", ".join(
+        f"('{sid}', '{tc}', '{path}', {mn}, {'NULL::INT' if mx is None else mx})"
+        for sid, tc, path, mn, mx in dockg.DOC_SHAPES
+    )
+    sql["kg_shape_violations"] = f"""
+WITH {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+shp(shape_id, target_class, path, min_count, max_count) AS (VALUES {_shape_values}),
+focus AS (SELECT DISTINCT s AS focus, o AS target_class FROM trip
+          WHERE p = '{_RDF_TYPE}'),
+fs AS (SELECT f.focus, s.shape_id, s.path, s.min_count, s.max_count
+       FROM focus f JOIN shp s USING (target_class)),
+cnt AS (SELECT s AS focus, p AS path, COUNT(*)::BIGINT AS n
+        FROM trip GROUP BY s, p),
+chk AS (SELECT fs.*, COALESCE(cnt.n, 0)::BIGINT AS n_values
+        FROM fs LEFT JOIN cnt USING (focus, path))
+SELECT focus, shape_id, path, n_values,
+       CASE WHEN n_values < min_count THEN 'min' ELSE 'max' END AS kind
+FROM chk
+WHERE n_values < min_count
+   OR (max_count IS NOT NULL AND n_values > max_count)
 """
 
     # schema induction: distinct triples → (p,s)-keyed fanout aggregate →

@@ -47,6 +47,38 @@ DOC_GAZETTEER: list[tuple[str, str]] = [
 ]
 
 
+P_REFERENCES = KG + "prop/references"
+P_RELATED = KG + "prop/relatedTo"
+CLS_ENTITY = KG + "class/Entity"
+CLS_THING = KG + "class/Thing"
+
+# deterministic schema for the doc-KG, used by the reasoning/validation
+# queries: a class tree over the gazetteer classes, a property chain over
+# kg:mentions, and domain/range declared on the INTERMEDIATE property (so
+# rdfs2/rdfs3 only fire through the sub-property closure — the interacting-
+# rules case).
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+DOC_ONTOLOGY: list[tuple[str, str, str]] = [
+    (KG + "class/Operator", _RDFS + "subClassOf", KG + "class/Tech"),
+    (KG + "class/Tech", _RDFS + "subClassOf", CLS_THING),
+    (KG + "class/Structure", _RDFS + "subClassOf", CLS_THING),
+    (CLS_DOCUMENT, _RDFS + "subClassOf", CLS_THING),
+    (CLS_ENTITY, _RDFS + "subClassOf", CLS_THING),
+    (P_MENTIONS, _RDFS + "subPropertyOf", P_REFERENCES),
+    (P_REFERENCES, _RDFS + "subPropertyOf", P_RELATED),
+    (P_REFERENCES, _RDFS + "domain", CLS_DOCUMENT),
+    (P_REFERENCES, _RDFS + "range", CLS_ENTITY),
+]
+
+# SHACL-lite property shapes over the doc-KG (shape_id, target_class, path,
+# min_count, max_count; NULL max = unbounded)
+DOC_SHAPES: list[tuple[str, str, str, int, int | None]] = [
+    ("doc-mentions", CLS_DOCUMENT, P_MENTIONS, 1, 3),
+    ("doc-lang", CLS_DOCUMENT, P_LANG, 1, 1),
+    ("op-mention", KG + "class/Operator", P_MENTIONS, 1, None),
+]
+
+
 def entity_iri(term: str) -> str:
     return f"{KG}entity/{term}"
 

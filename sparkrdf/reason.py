@@ -1,0 +1,218 @@
+"""Ontology reasoning & schema validation over distributed triple streams.
+
+Three KG-construction post-passes the reference delegates to ArangoDB-side
+tooling (its graphs land in a database and entailment/validation happen
+there, cf. ArangoRDF's ``load_meta_ontology`` pulling OWL/RDFS vocabularies
+into collections — arango_rdf/main.py): here they are Spark-native
+transforms over the ``(s, p, o)`` stream itself:
+
+* :func:`rdfs_materialize` — forward-chained ρDF entailment (the minimal
+  RDFS fragment of Muñoz, Pérez & Gutierrez 2009: ``rdfs:subClassOf``,
+  ``rdfs:subPropertyOf``, ``rdfs:domain``, ``rdfs:range``), the standard
+  "materialize the closure once, query without inference" trade that every
+  large triple store (WebPIE, Inferray, RDFox) makes at scale.
+* :func:`characteristic_sets` — the Neumann & Moerkotte (ICDE 2011)
+  subject-predicate-set statistic used for cardinality estimation of star
+  joins; doubles as schema induction over a schemaless crawl KG.
+* :func:`shape_violations` — SHACL-lite cardinality validation
+  (sh:minCount / sh:maxCount per class-targeted property shape), the QA
+  gate a construction pipeline runs before publishing a snapshot.
+
+Scale shape (shared): ontology and shape tables are human-authored —
+thousands of rows at most — so every rule application is a *broadcast*
+join against the triple stream; the only all-data shuffles are the final
+``dropDuplicates`` (entailment) and the ``(s, p)`` hash aggregates
+(characteristic sets, validation), both map-side-combinable. Nothing in
+this module shuffles the triple stream more than once per output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf import terms as T
+from sparkrdf.query import path_closure
+
+RDFS_SUBCLASS = T.RDFS_NS + "subClassOf"
+RDFS_SUBPROP = T.RDFS_NS + "subPropertyOf"
+RDFS_DOMAIN = T.RDFS_NS + "domain"
+RDFS_RANGE = T.RDFS_NS + "range"
+
+
+def _spo(df: DataFrame, s: str, p: str, o: str) -> DataFrame:
+    return df.select(F.col(s).alias("s"), F.col(p).alias("p"), F.col(o).alias("o"))
+
+
+def rdfs_materialize(
+    triples: DataFrame,
+    ontology: DataFrame,
+    max_doubling: int = 6,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Materialize the ρDF entailment of ``triples`` under ``ontology``.
+
+    ``ontology`` is a small ``(s, p, o)`` DataFrame holding the schema
+    triples (``rdfs:subClassOf`` / ``rdfs:subPropertyOf`` / ``rdfs:domain``
+    / ``rdfs:range``); ``triples`` is the instance stream. Returns the
+    distinct union of the asserted instance triples and everything the four
+    ρDF instance rules derive:
+
+    1. ``(s p o), p ⊑p* q     ⊢ (s q o)``        (rdfs7)
+    2. ``(s p o), p dom C     ⊢ (s rdf:type C)``  (rdfs2)
+    3. ``(s p o), p rng C     ⊢ (o rdf:type C)``  (rdfs3)
+    4. ``(x rdf:type C), C ⊑c* D ⊢ (x rdf:type D)``  (rdfs9)
+
+    Rule order makes one pass complete: sub-property closure first (so
+    domain/range declared on a *super*-property fire for sub-property
+    assertions), then domain/range (minting new ``rdf:type`` triples), then
+    sub-class closure over ALL type triples, asserted and derived. The two
+    ``⊑*`` relations are pre-closed transitively (iterative doubling via
+    :func:`sparkrdf.query.path_closure` — ontology-sized, converges in
+    ``log₂(depth)`` rounds) so each rule is a single join, not a fixpoint.
+
+    Scale shape: both closures and the domain/range tables broadcast; all
+    four rules are map-only against the triple stream; the one triple-sized
+    shuffle is the final ``dropDuplicates``. Entailment output is bounded by
+    ``|T| · (1 + depth(⊑p) + depth(⊑c) + |dom| + |rng|)`` per input triple —
+    linear in the instance data, never quadratic.
+    """
+    t = _spo(triples, s_col, p_col, o_col).dropDuplicates()
+    onto = _spo(ontology, "s", "p", "o")
+
+    sub_prop = onto.filter(F.col("p") == RDFS_SUBPROP)
+    sub_cls = onto.filter(F.col("p") == RDFS_SUBCLASS)
+    dom = F.broadcast(
+        onto.filter(F.col("p") == RDFS_DOMAIN).select(
+            F.col("s").alias("p"), F.col("o").alias("_cls")
+        )
+    )
+    rng = F.broadcast(
+        onto.filter(F.col("p") == RDFS_RANGE).select(
+            F.col("s").alias("p"), F.col("o").alias("_cls")
+        )
+    )
+    # strict transitive closures of the two hierarchies (pair tables are
+    # ontology-sized: safe to close eagerly and broadcast)
+    spc = F.broadcast(
+        path_closure(sub_prop, src="s", dst="o", max_doubling=max_doubling).select(
+            F.col("s").alias("p"), F.col("o").alias("_sup")
+        )
+    )
+    scc = F.broadcast(
+        path_closure(sub_cls, src="s", dst="o", max_doubling=max_doubling).select(
+            F.col("s").alias("_cls"), F.col("o").alias("_sup")
+        )
+    )
+
+    # rdfs7: property generalization (strict closure join + the asserted p)
+    t1 = t.unionByName(
+        t.join(spc, "p").select("s", F.col("_sup").alias("p"), "o")
+    )
+    # rdfs2/rdfs3 over the generalized stream
+    typed = (
+        t1.join(dom, "p").select("s", F.lit(T.RDF_TYPE).alias("p"), F.col("_cls").alias("o"))
+    ).unionByName(
+        t1.join(rng, "p").select(
+            F.col("o").alias("s"), F.lit(T.RDF_TYPE).alias("p"), F.col("_cls").alias("o")
+        )
+    )
+    t2 = t1.unionByName(typed)
+    # rdfs9: class generalization over every type triple, asserted + derived
+    inherited = (
+        t2.filter(F.col("p") == T.RDF_TYPE)
+        .withColumnRenamed("o", "_cls")
+        .join(scc, "_cls")
+        .select("s", F.lit(T.RDF_TYPE).alias("p"), F.col("_sup").alias("o"))
+    )
+    return t2.unionByName(inherited).dropDuplicates()
+
+
+def characteristic_sets(
+    triples: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    sep: str = " ",
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group subjects
+    by their exact set of emitted predicates.
+
+    Returns one row per distinct predicate set: ``predicate_set`` (the
+    sorted, ``sep``-joined predicate IRIs — a canonical set key),
+    ``n_subjects`` (how many subjects carry exactly that set) and
+    ``n_triples`` (total assertions across those subjects). These are the
+    sufficient statistics for star-join cardinality estimation — the
+    selectivity of ``?x p₁ ?a . ?x p₂ ?b`` is the subject count summed over
+    the sets containing ``{p₁, p₂}`` — and a crawl-scale KG typically
+    collapses to a few thousand rows, so the output broadcasts into a
+    planner.
+
+    Scale shape: two hash aggregates — ``(s)``-keyed ``collect_set``
+    (map-side combined; set size is bounded by the schema, not the data)
+    then a set-keyed count. One shuffle each, no joins.
+    """
+    per_subject = (
+        _spo(triples, s_col, p_col, p_col)
+        .groupBy("s")
+        .agg(
+            F.concat_ws(sep, F.sort_array(F.collect_set("p"))).alias("predicate_set"),
+            F.count("*").alias("_nt"),
+        )
+    )
+    return per_subject.groupBy("predicate_set").agg(
+        F.count("*").alias("n_subjects"),
+        F.sum("_nt").cast("long").alias("n_triples"),
+    )
+
+
+def shape_violations(
+    triples: DataFrame,
+    shapes: DataFrame,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SHACL-lite cardinality validation: per class-targeted property shape,
+    flag focus nodes whose value count falls outside ``[min_count,
+    max_count]``.
+
+    ``shapes`` rows: ``(shape_id string, target_class string, path string,
+    min_count int, max_count int)`` — ``max_count`` NULL means unbounded
+    (sh:maxCount absent). Focus nodes are selected by ``rdf:type
+    target_class`` (sh:targetClass semantics). Returns ``(focus, shape_id,
+    path, n_values, kind)`` with ``kind`` ``'min'`` or ``'max'`` — one row
+    per violated shape, min-violations reported even when the node asserts
+    the path zero times (the case a naive inner join silently drops).
+
+    Scale shape: value counts are pre-aggregated ``(s, p)``-keyed (map-side
+    combine — never a focus×triples row blowup), the shape table broadcasts
+    into the focus stream, and the counts join is subject-keyed. One triple
+    shuffle for the aggregate, one for the focus/count join.
+    """
+    t = _spo(triples, s_col, p_col, o_col)
+    focus = (
+        t.filter(F.col("p") == T.RDF_TYPE)
+        .select(F.col("s").alias("focus"), F.col("o").alias("target_class"))
+        .dropDuplicates()
+        .join(F.broadcast(shapes), "target_class")
+    )
+    counts = t.groupBy(F.col("s").alias("focus"), F.col("p").alias("path")).agg(
+        F.count("*").alias("_n")
+    )
+    checked = focus.join(counts, ["focus", "path"], "left").withColumn(
+        "n_values", F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    )
+    return checked.filter(
+        (F.col("n_values") < F.col("min_count"))
+        | (F.col("max_count").isNotNull() & (F.col("n_values") > F.col("max_count")))
+    ).select(
+        "focus",
+        "shape_id",
+        "path",
+        "n_values",
+        F.when(F.col("n_values") < F.col("min_count"), F.lit("min"))
+        .otherwise(F.lit("max"))
+        .alias("kind"),
+    )

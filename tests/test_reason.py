@@ -1,0 +1,115 @@
+"""Hand-computed cases for sparkrdf.reason (ρDF entailment, characteristic
+sets, SHACL-lite cardinality validation)."""
+
+from pyspark.sql import functions as F
+
+from sparkrdf import terms as T
+from sparkrdf.reason import (
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASS,
+    RDFS_SUBPROP,
+    characteristic_sets,
+    rdfs_materialize,
+    shape_violations,
+)
+
+TY = T.RDF_TYPE
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_rdfs_materialize_hand_computed(spark):
+    onto = _df(
+        spark,
+        [
+            ("mentions", RDFS_SUBPROP, "references"),
+            ("references", RDFS_SUBPROP, "relatedTo"),
+            ("Op", RDFS_SUBCLASS, "Tech"),
+            ("Tech", RDFS_SUBCLASS, "Thing"),
+            ("Doc", RDFS_SUBCLASS, "Thing"),
+            # declared on the SUPER-property: must fire for `mentions`
+            # assertions via the sub-property closure
+            ("references", RDFS_DOMAIN, "Doc"),
+            ("references", RDFS_RANGE, "Ent"),
+        ],
+    )
+    inst = _df(spark, [("a", "mentions", "b"), ("b", TY, "Op")])
+    got = {tuple(r) for r in rdfs_materialize(inst, onto).collect()}
+    expect = {
+        # asserted
+        ("a", "mentions", "b"),
+        ("b", TY, "Op"),
+        # rdfs7 sub-property generalization (transitive)
+        ("a", "references", "b"),
+        ("a", "relatedTo", "b"),
+        # rdfs2/rdfs3 via the generalized predicate
+        ("a", TY, "Doc"),
+        ("b", TY, "Ent"),
+        # rdfs9 over asserted AND derived type triples
+        ("b", TY, "Tech"),
+        ("b", TY, "Thing"),
+        ("a", TY, "Thing"),  # from the derived (a type Doc)
+    }
+    assert got == expect
+
+
+def test_rdfs_materialize_no_ontology_is_identity(spark):
+    inst = _df(spark, [("a", "p", "b"), ("a", "p", "b")])
+    onto = _df(spark, []).filter(F.lit(False))
+    got = rdfs_materialize(inst, onto).collect()
+    assert [tuple(r) for r in got] == [("a", "p", "b")]  # deduped, unchanged
+
+
+def test_characteristic_sets_hand_computed(spark):
+    t = _df(
+        spark,
+        [
+            ("s1", "p1", "x"),
+            ("s1", "p2", "y"),
+            ("s1", "p2", "z"),  # same predicate twice: set unchanged, count 3
+            ("s2", "p2", "x"),
+            ("s2", "p1", "x"),
+            ("s3", "p1", "x"),
+        ],
+    )
+    got = {r["predicate_set"]: (r["n_subjects"], r["n_triples"]) for r in
+           characteristic_sets(t).collect()}
+    assert got == {"p1 p2": (2, 5), "p1": (1, 1)}
+
+
+def test_shape_violations_hand_computed(spark):
+    t = _df(
+        spark,
+        [
+            ("d1", TY, "Doc"),
+            ("d2", TY, "Doc"),
+            ("d3", TY, "Doc"),
+            ("x", TY, "Other"),  # not targeted
+            ("d1", "mentions", "a"),
+            ("d2", "mentions", "a"),
+            ("d2", "mentions", "b"),
+            ("d2", "mentions", "c"),
+            # d3 asserts mentions zero times -> min violation must appear
+            ("x", "mentions", "a"),
+        ],
+    )
+    shapes = spark.createDataFrame(
+        [("sh1", "Doc", "mentions", 1, 2)],
+        "shape_id string, target_class string, path string, "
+        "min_count int, max_count int",
+    )
+    got = {(r.focus, r.kind, r.n_values) for r in shape_violations(t, shapes).collect()}
+    assert got == {("d2", "max", 3), ("d3", "min", 0)}
+
+
+def test_shape_violations_null_max_is_unbounded(spark):
+    t = _df(spark, [("d1", TY, "Doc")] + [("d1", "mentions", f"v{i}") for i in range(5)])
+    shapes = spark.createDataFrame(
+        [("sh1", "Doc", "mentions", 1, None)],
+        "shape_id string, target_class string, path string, "
+        "min_count int, max_count int",
+    )
+    assert shape_violations(t, shapes).count() == 0
