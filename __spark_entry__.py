@@ -916,6 +916,42 @@ def q_kg_bgp_match(spark, sf_dir):
     )
 
 
+def q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
+    left-join-extended with its mentioned entities where any exist, NULL-
+    padded where none do — the well-designed left-outer BGP case. Oracle:
+    the same two filtered scans LEFT JOINed in DuckDB."""
+    from sparkrdf.query import bgp_optional
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_optional(
+        stmts,
+        [("?d", _RDF_TYPE, dockg.CLS_DOCUMENT)],
+        [("?d", dockg.P_MENTIONS, "?e")],
+    )
+
+
+def q_kg_summary_graph(spark, sf_dir):
+    """Graph summarization (sparkrdf/graphops.py quotient_graph): the doc
+    KG's mention edges rolled up to (source class, predicate, object class)
+    with triple and distinct-endpoint counts — the induced schema diagram.
+    Node→class map = min rdf:type per node. Oracle: the identical
+    coalesce/rollup in DuckDB."""
+    from sparkrdf.graphops import quotient_graph
+
+    t = (
+        dockg.doc_triples(spark, _docs(spark, sf_dir))
+        .filter(F.col("o_kind") == "URIRef")
+        .select("s", "p", "o")
+    )
+    groups = (
+        t.filter(F.col("p") == _RDF_TYPE)
+        .groupBy(F.col("s").alias("n"))
+        .agg(F.min("o").alias("g"))
+    )
+    return quotient_graph(t.filter(F.col("p") != _RDF_TYPE), groups)
+
+
 def q_graph_khop(spark, sf_dir):
     """Bounded BFS (k=3, ANY direction) from the Operator class IRI over
     the IRI-object triples of the doc KG — the AQL `FOR v IN 1..3 ANY`
@@ -1003,6 +1039,34 @@ def q_web_host_rank(spark, sf_dir):
 
     g = host_link_graph(extract_links(_links_input(spark)))
     return pagerank_directed(g)
+
+
+def q_graph_lpa(spark, sf_dir):
+    """Deterministic synchronous label propagation (sparkrdf/graphops.py
+    label_propagation, 4 rounds, min-label tie-break) over the undirected
+    host link graph — community detection whose output is diffable between
+    crawls. Oracle: the 4 rounds unrolled as DuckDB CTEs (count + ROW_NUMBER
+    argmax with the identical tie order)."""
+    from sparkrdf.graphops import label_propagation
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return label_propagation(g.select("src_host", "dst_host"), iters=4,
+                             src="src_host", dst="dst_host")
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Neighborhood-overlap link prediction (sparkrdf/graphops.py
+    adamic_adar): common-neighbor / Jaccard / Adamic–Adar scores for every
+    non-adjacent host pair sharing a neighbor — the candidate generator for
+    edge completion. Oracle: the identical wedge/degree/anti-exists algebra
+    in DuckDB, both sides rounded 9 d.p."""
+    from sparkrdf.graphops import adamic_adar
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return adamic_adar(g.select("src_host", "dst_host"),
+                       src="src_host", dst="dst_host")
 
 
 def q_web_host_hits(spark, sf_dir):
@@ -1477,6 +1541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entailed": q_kg_rdfs_entailed,
         "kg_char_sets": q_kg_char_sets,
         "kg_shape_violations": q_kg_shape_violations,
+        "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_summary_graph": q_kg_summary_graph,
+        "graph_lpa": q_graph_lpa,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_entity_temporal": q_kg_entity_temporal,
         "kg_triple_negatives": q_kg_triple_negatives,
@@ -1697,6 +1765,33 @@ SELECT focus, shape_id, path, n_values,
 FROM chk
 WHERE n_values < min_count
    OR (max_count IS NOT NULL AND n_values > max_count)
+"""
+
+    # SPARQL OPTIONAL: all documents left-joined with their mentions
+    # (query.bgp_optional — well-designed left-outer BGP)
+    sql["kg_bgp_optional"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, m.ent AS e
+FROM docs d LEFT JOIN mentions m ON m.s = d.s
+"""
+
+    # graph summarization: min-class node grouping + the quotient rollup
+    # with distinct endpoint counts (graphops.quotient_graph)
+    sql["kg_summary_graph"] = f"""
+WITH {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+grp AS (SELECT s AS n, MIN(o) AS g FROM trip WHERE p = '{_RDF_TYPE}' GROUP BY s),
+et AS (SELECT * FROM trip WHERE p <> '{_RDF_TYPE}')
+SELECT COALESCE(gs.g, '_ungrouped') AS src_group, et.p,
+       COALESCE(go.g, '_ungrouped') AS dst_group,
+       COUNT(*)::BIGINT AS n_triples,
+       COUNT(DISTINCT et.s)::BIGINT AS n_src,
+       COUNT(DISTINCT et.o)::BIGINT AS n_dst
+FROM et LEFT JOIN grp gs ON gs.n = et.s LEFT JOIN grp go ON go.n = et.o
+GROUP BY 1, 2, 3
 """
 
     # schema induction: distinct triples → (p,s)-keyed fanout aggregate →
@@ -2667,6 +2762,42 @@ edges AS MATERIALIZED (
 
     sql["web_link_hosts"] = _links_base + """
 SELECT src_host, dst_host, n_links FROM edges
+"""
+
+    # deterministic sync label propagation, the 4 rounds unrolled: per
+    # round a neighbor-label count + ROW_NUMBER argmax with the identical
+    # (count DESC, label ASC) tie order (graphops.label_propagation)
+    _lpa = _links_base + """,
+ue AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+  SELECT src_host AS u, dst_host AS v FROM edges
+  UNION ALL SELECT dst_host, src_host FROM edges)),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS n, u AS lbl FROM ue)"""
+    for i in range(4):
+        _lpa += f""",
+c{i} AS (SELECT ue.u AS n, l.lbl, COUNT(*) AS c
+  FROM ue JOIN l{i} l ON l.n = ue.v GROUP BY ue.u, l.lbl),
+l{i + 1} AS MATERIALIZED (SELECT n, lbl FROM (
+  SELECT n, lbl, ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rn
+  FROM c{i}) WHERE rn = 1)"""
+    sql["graph_lpa"] = _lpa + "\nSELECT n, lbl AS label FROM l4\n"
+
+    # neighborhood-overlap link prediction: per-center wedges, degree join,
+    # anti-exists on the ordered existing-edge pair (graphops.adamic_adar)
+    sql["graph_adamic_adar"] = _links_base + """,
+pe AS MATERIALIZED (SELECT DISTINCT least(src_host, dst_host) AS u,
+                    greatest(src_host, dst_host) AS v FROM edges),
+ue AS MATERIALIZED (SELECT u, v FROM pe UNION ALL SELECT v, u FROM pe),
+deg AS MATERIALIZED (SELECT u AS n, COUNT(*)::BIGINT AS d FROM ue GROUP BY u),
+ctr AS (SELECT ue.u AS z, ue.v AS nb, deg.d FROM ue JOIN deg ON deg.n = ue.u),
+pairs AS (SELECT a.nb AS u, b.nb AS v, a.d AS dz FROM ctr a
+          JOIN ctr b ON a.z = b.z AND a.nb < b.nb),
+sc AS (SELECT u, v, COUNT(*)::BIGINT AS common, SUM(1.0 / ln(dz)) AS aa
+       FROM pairs GROUP BY u, v)
+SELECT sc.u, sc.v, sc.common,
+       ROUND(sc.common::DOUBLE / (du.d + dv.d - sc.common), 9) AS jaccard,
+       ROUND(sc.aa, 9) AS aa
+FROM sc JOIN deg du ON du.n = sc.u JOIN deg dv ON dv.n = sc.v
+WHERE NOT EXISTS (SELECT 1 FROM pe WHERE pe.u = sc.u AND pe.v = sc.v)
 """
 
     # directed weighted PageRank with the dangling-node correction, the 10

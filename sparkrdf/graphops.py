@@ -655,3 +655,164 @@ def corrupt_triples(
         F.col("s").alias("cs"), F.col("p").alias("p"), F.col("o").alias("co")
     )
     return cand.join(pos, ["cs", "p", "co"], "left_anti")
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 4, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007), made deterministic: every node starts labeled
+    with its own id; each round it adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (the async/random-order
+    variants of LPA are irreproducible run-to-run — useless for a pipeline
+    whose outputs must be diffable between crawls). A fixed ``iters`` keeps
+    the job shape static; sync LPA on near-bipartite structures can
+    oscillate rather than converge, so a fixed cutoff is the standard
+    remedy. Returns ``(n, label)`` for every node with at least one edge.
+
+    Scale shape: per round, one edge-sized join (neighbor labels) into a
+    map-side-combinable ``(n, label)`` count and a node-sized row_number
+    window — the edge table is deduped + both-directions once up front and
+    reused; labels are checkpointed per round so lineage stays O(1).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    und = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .dropDuplicates()
+        .repartition("v")
+        .persist()
+    )
+    labels = und.select(F.col("u").alias("n")).dropDuplicates().select(
+        "n", F.col("n").alias("lbl")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(iters):
+        nbr = und.join(labels, und["v"] == labels["n"]).select(
+            und["u"].alias("n"), "lbl"
+        )
+        counts = nbr.groupBy("n", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("n", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels.select("n", F.col("lbl").alias("label"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph: for
+    every NON-adjacent node pair sharing at least one neighbor, the three
+    classic heuristics — common-neighbor count, Jaccard overlap, and
+    Adamic–Adar (Σ 1/ln(deg(z)) over shared neighbors z, the inverse-
+    log-frequency weighting that makes rare shared neighbors count more).
+    The candidate generator for KG edge completion: score the pairs, rank,
+    propose. Returns ``(u, v, common, jaccard, aa)`` with ``u < v``.
+
+    Scale shape: wedges are generated per CENTER node (two adjacency rows
+    sharing their center), so work is Σ deg(z)² — the classic hub blowup.
+    ``max_neighbor_degree`` caps it by dropping super-hub centers (standard
+    practice: a node linked by half the web says nothing about relatedness
+    anyway, and the cap turns a quadratic tail into a constant). Degrees
+    are computed once; the existing-edge filter is one anti-join on the
+    ordered pair.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .dropDuplicates()
+    )
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("n")).agg(F.count("*").cast("long").alias("d"))
+    centers = adj.join(deg, adj["u"] == deg["n"]).select(
+        F.col("u").alias("z"), F.col("v").alias("nb"), "d"
+    )
+    if max_neighbor_degree is not None:
+        centers = centers.filter(F.col("d") <= max_neighbor_degree)
+    a, b = centers.alias("a"), centers.alias("b")
+    pairs = a.join(
+        b, (F.col("a.z") == F.col("b.z")) & (F.col("a.nb") < F.col("b.nb"))
+    ).select(
+        F.col("a.nb").alias("u"), F.col("b.nb").alias("v"), F.col("a.d").alias("dz")
+    )
+    scored = pairs.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("common"),
+        F.sum(F.lit(1.0) / F.log(F.col("dz"))).alias("_aa"),
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("_dv"))
+    return (
+        scored.join(e, ["u", "v"], "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common") / (F.col("_du") + F.col("_dv") - F.col("common")), 9
+            ).alias("jaccard"),
+            F.round(F.col("_aa"), 9).alias("aa"),
+        )
+    )
+
+
+def quotient_graph(
+    triples: DataFrame,
+    groups: DataFrame,
+    default_group: str = "_ungrouped",
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Graph summarization: collapse nodes into groups (``groups``: ``(n,
+    g)``, e.g. each node's class) and roll the triple stream up to one row
+    per ``(source group, predicate, object group)`` — the quotient graph,
+    with triple count and distinct endpoint counts. This is the
+    "ontology-level schema diagram" induced from instance data: Documents
+    --mentions--> Tech, 1.2M assertions, 800k distinct docs. Nodes missing
+    from ``groups`` land in ``default_group`` instead of silently dropping
+    their assertions.
+
+    Scale shape: two subject/object-keyed left joins (the group map is
+    |V|-sized — broadcast it upstream if the vocabulary is small) and one
+    hash aggregate on the group triple; distinct endpoint counts ride the
+    same aggregate via the expand-and-count-distinct path. Output is
+    schema-bounded (groups² × predicates), never data-sized.
+    """
+    g = groups.select(F.col(groups.columns[0]).alias("n"), F.col(groups.columns[1]).alias("g"))
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    )
+    sg = g.select(F.col("n").alias("s"), F.col("g").alias("_sg"))
+    og = g.select(F.col("n").alias("o"), F.col("g").alias("_og"))
+    return (
+        t.join(sg, "s", "left")
+        .join(og, "o", "left")
+        .select(
+            F.coalesce(F.col("_sg"), F.lit(default_group)).alias("src_group"),
+            "p",
+            F.coalesce(F.col("_og"), F.lit(default_group)).alias("dst_group"),
+            "s",
+            "o",
+        )
+        .groupBy("src_group", "p", "dst_group")
+        .agg(
+            F.count("*").cast("long").alias("n_triples"),
+            F.countDistinct("s").cast("long").alias("n_src"),
+            F.countDistinct("o").cast("long").alias("n_dst"),
+        )
+    )

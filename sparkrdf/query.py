@@ -188,3 +188,35 @@ def path_closure(
         f"path_closure still growing after {max_doubling} doubling rounds "
         f"(paths beyond 2^{max_doubling} edges); raise max_doubling"
     )
+
+
+def bgp_optional(
+    stmts: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL ``OPTIONAL`` (left-join) semantics over two basic graph
+    patterns: solutions of ``patterns`` extended with the bindings of
+    ``optional`` where the optional group matches, NULL-padded where it
+    does not — "all documents, with their mentions if any". Restricted to
+    the *well-designed* case (Pérez, Arenas & Gutierrez 2009): the two
+    groups must share at least one variable, so the semantics is exactly a
+    relational left outer join and never the non-monotone surprise of
+    disconnected OPTIONALs.
+
+    Scale shape: both groups compile through :func:`bgp_match` (pushed-down
+    constant filters, most-selective-first join order); the final left join
+    is an equi-join on the shared variables — AQE-sized like any other.
+    """
+    req = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    opt = bgp_match(stmts, optional, s_col=s_col, p_col=p_col, o_col=o_col)
+    shared = sorted(set(req.columns) & set(opt.columns))
+    if not shared:
+        raise ValueError(
+            "optional group shares no variable with the required group "
+            "(not well-designed; the result would be a cartesian pad)"
+        )
+    return req.join(opt, shared, "left")

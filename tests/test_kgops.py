@@ -705,3 +705,95 @@ def test_corrupt_triples_filtered_drops_true_facts(spark):
         (r.cs, r.p, r.co) for r in unfiltered if (r.cs, r.p, r.co) not in true_set
     }
     assert not (kept & true_set)
+
+
+# ---------------------------------------------------------------------------
+# label_propagation / adamic_adar / quotient_graph
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_two_communities(spark):
+    from sparkrdf.graphops import label_propagation
+
+    # two triangles joined by a single bridge edge
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r.n: r.label for r in label_propagation(df, iters=4).collect()}
+
+    # driver-side reference: same sync update, min-label tie-break
+    und = {}
+    for u, v in edges:
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    lbl = {n: n for n in und}
+    for _ in range(4):
+        new = {}
+        for n, nbrs in und.items():
+            counts = {}
+            for z in nbrs:
+                counts[lbl[z]] = counts.get(lbl[z], 0) + 1
+            new[n] = min(counts, key=lambda c: (-counts[c], c))
+        lbl = new
+    assert got == lbl
+    # and the two triangles really separate
+    assert len({got[n] for n in "abc"}) == 1
+    assert len({got[n] for n in "def"}) == 1
+
+
+def test_adamic_adar_path_and_triangle(spark):
+    import math
+
+    from sparkrdf.graphops import adamic_adar
+
+    # path a-b-c: only (a,c) is a non-adjacent pair with a shared neighbor
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    out = adamic_adar(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.common) == ("a", "c", 1)
+    assert r.jaccard == 1.0  # 1 / (1 + 1 - 1)
+    assert abs(r.aa - round(1 / math.log(2), 9)) < 1e-12
+
+    # triangle: every sharing pair is already adjacent -> empty
+    tri = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "u string, v string"
+    )
+    assert adamic_adar(tri).count() == 0
+
+
+def test_adamic_adar_hub_cap(spark):
+    from sparkrdf.graphops import adamic_adar
+
+    # star center z with 3 leaves: leaves pair only through the hub
+    df = spark.createDataFrame(
+        [("z", "l1"), ("z", "l2"), ("z", "l3")], "u string, v string"
+    )
+    assert adamic_adar(df).count() == 3
+    assert adamic_adar(df, max_neighbor_degree=2).count() == 0
+
+
+def test_quotient_graph_hand_computed(spark):
+    from sparkrdf.graphops import quotient_graph
+
+    t = spark.createDataFrame(
+        [
+            ("d1", "mentions", "e1"),
+            ("d1", "mentions", "e2"),
+            ("d2", "mentions", "e1"),
+            ("d1", "cites", "x"),  # object not in the group map
+        ],
+        "s string, p string, o string",
+    )
+    groups = spark.createDataFrame(
+        [("d1", "Doc"), ("d2", "Doc"), ("e1", "Ent"), ("e2", "Ent")],
+        "n string, g string",
+    )
+    got = {
+        (r.src_group, r.p, r.dst_group): (r.n_triples, r.n_src, r.n_dst)
+        for r in quotient_graph(t, groups).collect()
+    }
+    assert got == {
+        ("Doc", "mentions", "Ent"): (3, 2, 2),
+        ("Doc", "cites", "_ungrouped"): (1, 1, 1),
+    }

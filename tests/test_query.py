@@ -127,3 +127,44 @@ def test_khop_early_exit_when_frontier_drains(spark):
 def test_khop_source_not_in_graph(spark):
     got = {r.n: r.dist for r in khop(_khop_edges(spark), "zzz", 2).collect()}
     assert got == {"zzz": 0}
+
+
+# ---------------------------------------------------------------------------
+# bgp_optional (SPARQL OPTIONAL / left-join semantics)
+# ---------------------------------------------------------------------------
+
+
+def _stmts3(spark, rows):
+    return spark.createDataFrame(rows, "s string, p string, o string")
+
+
+def test_bgp_optional_null_pads_unmatched(spark):
+    from sparkrdf.query import bgp_optional
+
+    stmts = _stmts3(
+        spark,
+        [
+            ("d1", "type", "Doc"),
+            ("d2", "type", "Doc"),
+            ("d1", "mentions", "e1"),
+            ("d1", "mentions", "e2"),
+        ],
+    )
+    got = sorted(
+        (r.d, r.e)
+        for r in bgp_optional(
+            stmts, [("?d", "type", "Doc")], [("?d", "mentions", "?e")]
+        ).collect()
+    )
+    # d1 extended with both mentions; d2 kept, NULL-padded
+    assert got == [("d1", "e1"), ("d1", "e2"), ("d2", None)]
+
+
+def test_bgp_optional_disconnected_raises(spark):
+    import pytest
+
+    from sparkrdf.query import bgp_optional
+
+    stmts = _stmts3(spark, [("a", "p", "b")])
+    with pytest.raises(ValueError, match="well-designed"):
+        bgp_optional(stmts, [("?x", "p", "b")], [("?y", "q", "c")])
