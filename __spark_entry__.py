@@ -952,6 +952,22 @@ def q_kg_summary_graph(spark, sf_dir):
     return quotient_graph(t.filter(F.col("p") != _RDF_TYPE), groups)
 
 
+def q_kg_bisim_sigs(spark, sf_dir):
+    """k-bisimulation structural signatures (sparkrdf/graphops.py
+    bisim_signatures, k=2) over the doc-KG IRI triples — nodes hash equal
+    iff indistinguishable by any outgoing path of length ≤ 2; the structure
+    index that refines characteristic sets. Oracle: the identical md5 /
+    sorted-distinct-token fold unrolled as DuckDB CTEs."""
+    from sparkrdf.graphops import bisim_signatures
+
+    t = (
+        dockg.doc_triples(spark, _docs(spark, sf_dir))
+        .filter(F.col("o_kind") == "URIRef")
+        .select("s", "p", "o")
+    )
+    return bisim_signatures(t, k=2)
+
+
 def q_graph_khop(spark, sf_dir):
     """Bounded BFS (k=3, ANY direction) from the Operator class IRI over
     the IRI-object triples of the doc KG — the AQL `FOR v IN 1..3 ANY`
@@ -1067,6 +1083,23 @@ def q_graph_adamic_adar(spark, sf_dir):
     g = host_link_graph(extract_links(_links_input(spark)))
     return adamic_adar(g.select("src_host", "dst_host"),
                        src="src_host", dst="dst_host")
+
+
+def q_web_host_sssp(spark, sf_dir):
+    """Bounded weighted SSSP (sparkrdf/graphops.py sssp_bounded, 6
+    Bellman–Ford rounds) over the host graph with cost 1/n_links — heavily
+    linked hosts are "close"; the weighted companion to khop. Source = the
+    lexicographically smallest host (deterministic). Oracle: the identical
+    relax/min rounds unrolled as MATERIALIZED DuckDB CTEs."""
+    from sparkrdf.graphops import sssp_bounded
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    e = g.select(
+        "src_host", "dst_host", (F.lit(1.0) / F.col("n_links")).alias("w")
+    )
+    src = e.agg(F.min("src_host")).collect()[0][0]
+    return sssp_bounded(e, src, k=6, src="src_host", dst="dst_host", w_col="w")
 
 
 def q_web_host_hits(spark, sf_dir):
@@ -1545,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary_graph": q_kg_summary_graph,
         "graph_lpa": q_graph_lpa,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "kg_bisim_sigs": q_kg_bisim_sigs,
+        "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_entity_temporal": q_kg_entity_temporal,
         "kg_triple_negatives": q_kg_triple_negatives,
@@ -1793,6 +1828,28 @@ SELECT COALESCE(gs.g, '_ungrouped') AS src_group, et.p,
 FROM et LEFT JOIN grp gs ON gs.n = et.s LEFT JOIN grp go ON go.n = et.o
 GROUP BY 1, 2, 3
 """
+
+    # k-bisimulation signatures: the md5 / sorted-distinct-token fold
+    # unrolled for k=2 (graphops.bisim_signatures)
+    _bs = f"""
+WITH {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+n0 AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM trip UNION ALL SELECT o FROM trip)),
+s0 AS MATERIALIZED (SELECT n, md5('') AS sig FROM n0)"""
+    for i in range(2):
+        _bs += f""",
+m{i} AS (SELECT t.s AS n,
+  string_agg(DISTINCT t.p || '|' || s{i}.sig, ','
+             ORDER BY t.p || '|' || s{i}.sig) AS msg
+  FROM trip t JOIN s{i} ON s{i}.n = t.o GROUP BY t.s),
+s{i + 1} AS MATERIALIZED (
+  SELECT s{i}.n, md5(s{i}.sig || '#' || COALESCE(m{i}.msg, '')) AS sig
+  FROM s{i} LEFT JOIN m{i} USING (n))"""
+    sql["kg_bisim_sigs"] = _bs + "\nSELECT n, sig FROM s2\n"
 
     # schema induction: distinct triples → (p,s)-keyed fanout aggregate →
     # per-predicate rollup + distinct-object count (graphops.predicate_profile)
@@ -2799,6 +2856,22 @@ SELECT sc.u, sc.v, sc.common,
 FROM sc JOIN deg du ON du.n = sc.u JOIN deg dv ON dv.n = sc.v
 WHERE NOT EXISTS (SELECT 1 FROM pe WHERE pe.u = sc.u AND pe.v = sc.v)
 """
+
+    # bounded Bellman–Ford from the lexicographically smallest host, the 6
+    # relax/min rounds unrolled (graphops.sssp_bounded); cost 1/n_links is
+    # the same double division + sequential addition on both engines
+    _sssp = _links_base + """,
+we AS MATERIALIZED (SELECT src_host AS s, dst_host AS t,
+                    1.0 / n_links AS w FROM edges),
+d0 AS MATERIALIZED (SELECT MIN(s) AS n, 0.0 AS dist FROM we)"""
+    for i in range(6):
+        _sssp += f""",
+d{i + 1} AS MATERIALIZED (SELECT n, MIN(dist) AS dist FROM (
+  SELECT n, dist FROM d{i}
+  UNION ALL
+  SELECT we.t AS n, d{i}.dist + we.w AS dist
+  FROM we JOIN d{i} ON d{i}.n = we.s) GROUP BY n)"""
+    sql["web_host_sssp"] = _sssp + "\nSELECT n, dist FROM d6\n"
 
     # directed weighted PageRank with the dangling-node correction, the 10
     # iterations unrolled; every per-iteration CTE is MATERIALIZED (each is

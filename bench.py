@@ -58,6 +58,10 @@ OP_QUERIES = (
     "corpus_kmeans",
     "evt_error_attribution",
     "evt_nearby_pairs",
+    "kg_rdfs_entailed",
+    "kg_char_sets",
+    "graph_lpa",
+    "graph_adamic_adar",
 )
 
 

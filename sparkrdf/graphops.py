@@ -816,3 +816,107 @@ def quotient_graph(
             F.countDistinct("o").cast("long").alias("n_dst"),
         )
     )
+
+
+def bisim_signatures(
+    triples: DataFrame,
+    k: int = 3,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """k-bisimulation structural signatures (Kaushik et al. 2002's index
+    graphs; Schätzle et al. 2013 for the distributed formulation): every
+    node gets a hash that is equal iff the nodes are indistinguishable by
+    any outgoing path of length ≤ k — the structure-index / graph-
+    summarization refinement that characteristic sets only approximate at
+    depth 1. Returns ``(n, sig)``; grouping by ``sig`` yields the quotient
+    blocks.
+
+    Round r+1 hashes the node's own round-r signature together with the
+    SORTED DISTINCT multiset of ``(predicate, neighbor round-r signature)``
+    tokens — sorting makes the fold order-independent, hashing keeps the
+    signature fixed-width however wide the node's neighborhood grows
+    (the naive string concatenation explodes exponentially in k).
+
+    Scale shape: per round, one object-keyed join (neighbor signatures),
+    one subject-keyed map-side-combinable ``collect_set`` aggregate, one
+    node-sized left join — all hash-partitioned on uniform keys; signatures
+    are checkpointed per round so lineage stays O(1). Signature width is a
+    constant 32 bytes regardless of k.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).dropDuplicates()
+    nodes = (
+        t.select(F.col("s").alias("n"))
+        .unionAll(t.select(F.col("o").alias("n")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    sig = nodes.select("n", F.md5(F.lit("")).alias("sig"))
+    for _ in range(k):
+        nbr = t.join(
+            sig.select(F.col("n").alias("o"), F.col("sig").alias("_os")), "o"
+        ).select("s", F.concat_ws("|", "p", "_os").alias("tok"))
+        msg = nbr.groupBy(F.col("s").alias("n")).agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("tok"))).alias("_msg")
+        )
+        sig = (
+            sig.join(msg, "n", "left")
+            .select(
+                "n",
+                F.md5(
+                    F.concat_ws("#", F.col("sig"), F.coalesce(F.col("_msg"), F.lit("")))
+                ).alias("sig"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sig
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    source: str,
+    k: int = 6,
+    src: str = "u",
+    dst: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Bounded single-source shortest paths over a weighted directed graph:
+    ``k`` synchronous Bellman–Ford relaxation rounds from ``source``,
+    returning ``(n, dist)`` — the minimum total weight over any path of at
+    most ``k`` edges. The weighted companion to :func:`sparkrdf.query.khop`
+    (hop counts): link-cost routing, taxonomy distance, influence radius.
+    A fixed ``k`` keeps the job shape static and is exact whenever the
+    graph's weighted shortest paths use ≤ k edges (negative edges are
+    rejected — with them "bounded" and "shortest" diverge silently).
+
+    Scale shape: per round, one frontier-sized join against the static
+    edge table (repartitioned once on the source key and reused) and one
+    min-aggregate, map-side combinable; distances are checkpointed per
+    round so lineage stays O(1). No |V|² anything — work is Σ deg over the
+    reached set per round.
+    """
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("t"), F.col(w_col).cast("double").alias("w")
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("sssp_bounded requires non-negative edge weights")
+    e = e.repartition("s").persist()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame([(source, 0.0)], "n string, dist double").localCheckpoint(
+        eager=True
+    )
+    for _ in range(k):
+        relaxed = e.join(dist, e["s"] == dist["n"]).select(
+            F.col("t").alias("n"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("n")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

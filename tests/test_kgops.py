@@ -797,3 +797,72 @@ def test_quotient_graph_hand_computed(spark):
         ("Doc", "mentions", "Ent"): (3, 2, 2),
         ("Doc", "cites", "_ungrouped"): (1, 1, 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# bisim_signatures / sssp_bounded
+# ---------------------------------------------------------------------------
+
+
+def test_bisim_signatures_distinguishes_depth(spark):
+    from sparkrdf.graphops import bisim_signatures
+
+    # a -p-> b -p-> c   and   x -p-> y        (c, y are leaves)
+    # depth 1: a ~ x (both have one p-edge to SOME node), b ~ y? No:
+    #   b points at leaf c, y is pointed at... y -> nothing, so b ~ x?
+    # depth 2 separates a (path of length 2) from x (max path 1).
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("x", "p", "y")],
+        "s string, p string, o string",
+    )
+    s1 = {r.n: r.sig for r in bisim_signatures(t, k=1).collect()}
+    # after 1 round: leaves c, y share a signature; a, b, x share one
+    assert s1["c"] == s1["y"]
+    assert s1["a"] == s1["x"] == s1["b"]
+    assert s1["a"] != s1["c"]
+
+    s2 = {r.n: r.sig for r in bisim_signatures(t, k=2).collect()}
+    # after 2 rounds: b ~ x (edge to a leaf); a is separated (edge to a
+    # node that itself has an edge)
+    assert s2["b"] == s2["x"]
+    assert s2["a"] != s2["b"]
+    assert s2["c"] == s2["y"]
+
+
+def test_bisim_signatures_symmetric_nodes_stay_merged(spark):
+    from sparkrdf.graphops import bisim_signatures
+
+    # two disjoint isomorphic triangles: all nodes equivalent at any depth
+    rows = []
+    for pre in ("l", "r"):
+        rows += [(f"{pre}1", "p", f"{pre}2"), (f"{pre}2", "p", f"{pre}3"),
+                 (f"{pre}3", "p", f"{pre}1")]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    sigs = {r.sig for r in bisim_signatures(t, k=4).collect()}
+    assert len(sigs) == 1
+
+
+def test_sssp_bounded_hand_computed(spark):
+    from sparkrdf.graphops import sssp_bounded
+
+    # a->b (1), b->c (1), a->c (5): shortest a->c is 2 via b
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0)],
+        "u string, v string, w double",
+    )
+    got = {r.n: r.dist for r in sssp_bounded(e, "a", k=4).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+    # k=1 can only see the direct edge
+    got1 = {r.n: r.dist for r in sssp_bounded(e, "a", k=1).collect()}
+    assert got1 == {"a": 0.0, "b": 1.0, "c": 5.0}
+
+
+def test_sssp_bounded_rejects_negative(spark):
+    import pytest
+
+    from sparkrdf.graphops import sssp_bounded
+
+    e = spark.createDataFrame([("a", "b", -1.0)], "u string, v string, w double")
+    with pytest.raises(ValueError, match="non-negative"):
+        sssp_bounded(e, "a")
