@@ -1279,15 +1279,10 @@ def q_kg_canonical_triples(spark, sf_dir):
     return canonicalize_triples(triples, pairs)
 
 
-def q_kg_triple_negatives(spark, sf_dir):
-    """KG-embedding training negatives (sparkrdf/graphops.py
-    corrupt_triples): per positive co-mention triple, 2 deterministic
-    corruptions (even j replaces the subject, odd j the object) drawn
-    md5-uniform from the name-sorted entity vocabulary, then the standard
-    'filtered' anti-join removes corruptions that are true triples. Oracle:
-    the identical index/draw/CASE/anti-exists algebra in DuckDB."""
+def _relatedness_triples(spark, sf_dir):
+    """Distinct (entity, kg:relatedTo, entity) co-mention triples from the
+    JVM NER stage — the positive set for the embedding-training queries."""
     from sparkrdf.extract.ner import detect_mentions_jvm
-    from sparkrdf.graphops import corrupt_triples
 
     m = (
         detect_mentions_jvm(
@@ -1299,7 +1294,7 @@ def q_kg_triple_negatives(spark, sf_dir):
     )
     ent = lambda c: F.concat(F.lit(dockg.KG + "entity/"), c)  # noqa: E731
     a, b = m.alias("a"), m.alias("b")
-    t = a.join(
+    return a.join(
         b,
         (F.col("a.doc_id") == F.col("b.doc_id"))
         & (F.col("a.surface") < F.col("b.surface")),
@@ -1308,7 +1303,30 @@ def q_kg_triple_negatives(spark, sf_dir):
         F.lit(dockg.KG + "prop/relatedTo").alias("p"),
         ent(F.col("b.surface")).alias("o"),
     ).distinct()
-    return corrupt_triples(t, k=2, seed=11, filtered=True)
+
+
+def q_kg_triple_negatives(spark, sf_dir):
+    """KG-embedding training negatives (sparkrdf/graphops.py
+    corrupt_triples): per positive co-mention triple, 2 deterministic
+    corruptions (even j replaces the subject, odd j the object) drawn
+    md5-uniform from the name-sorted entity vocabulary, then the standard
+    'filtered' anti-join removes corruptions that are true triples. Oracle:
+    the identical index/draw/CASE/anti-exists algebra in DuckDB."""
+    from sparkrdf.graphops import corrupt_triples
+
+    return corrupt_triples(_relatedness_triples(spark, sf_dir), k=2, seed=11, filtered=True)
+
+
+def q_kg_lp_ranks(spark, sf_dir):
+    """Link-prediction ranking eval, filtered protocol (sparkrdf/graphops.py
+    lp_rank_eval): per positive co-mention triple, 4 deterministic
+    corruptions scored by the popularity baseline (subject-degree(head) +
+    object-degree(tail)), rank of the positive under the total order
+    (score DESC, head ASC, tail ASC). Oracle: the negatives algebra
+    extended with the identical degree/CASE/rank aggregation."""
+    from sparkrdf.graphops import lp_rank_eval
+
+    return lp_rank_eval(_relatedness_triples(spark, sf_dir), k=4, seed=11)
 
 
 def q_kg_rdfs_entailed(spark, sf_dir):
@@ -1583,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_entity_temporal": q_kg_entity_temporal,
         "kg_triple_negatives": q_kg_triple_negatives,
+        "kg_lp_ranks": q_kg_lp_ranks,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -3157,6 +3176,54 @@ cand AS (
 SELECT s, p, o, j, cs, co FROM cand
 WHERE NOT EXISTS (
   SELECT 1 FROM t WHERE t.s = cand.cs AND t.p = cand.p AND t.o = cand.co)
+"""
+
+    # link-prediction ranking eval: the negatives algebra (k=4) + degree
+    # popularity scoring + the (score DESC, head, tail) rank aggregation
+    # (graphops.lp_rank_eval)
+    sql["kg_lp_ranks"] = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{ner_pat}', 1)) AS e
+    FROM documents)),
+t AS (
+  SELECT DISTINCT '{dockg.KG}entity/' || x.e AS s,
+         '{dockg.KG}prop/relatedTo' AS p,
+         '{dockg.KG}entity/' || y.e AS o
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.e < y.e),
+vocab AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM t UNION ALL SELECT o AS n FROM t)),
+iv AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY n) - 1 AS _idx, n AS draw FROM vocab),
+nv AS MATERIALIZED (SELECT COUNT(*) AS c FROM vocab),
+smp AS (SELECT s, p, o, j FROM t, (SELECT unnest(range(4))::INT AS j)),
+cand AS (
+  SELECT smp.s, smp.p, smp.o, smp.j,
+    CASE WHEN smp.j % 2 = 0 THEN iv.draw ELSE smp.s END AS cs,
+    CASE WHEN smp.j % 2 = 1 THEN iv.draw ELSE smp.o END AS co
+  FROM smp JOIN iv ON iv._idx =
+    CAST(('0x' || substr(md5('11' || '|' || smp.s || '|' || smp.p || '|'
+                             || smp.o || '|' || smp.j), 1, 8)) AS BIGINT)
+    % (SELECT c FROM nv)),
+neg AS (SELECT s, p, o, cs, co FROM cand WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.s = cand.cs AND t.p = cand.p AND t.o = cand.co)),
+sdeg AS (SELECT s AS e, COUNT(*)::BIGINT AS d FROM t GROUP BY s),
+odeg AS (SELECT o AS e, COUNT(*)::BIGINT AS d FROM t GROUP BY o),
+ps AS (SELECT t.s, t.p, t.o,
+       (COALESCE(sd.d, 0) + COALESCE(od.d, 0))::BIGINT AS score
+       FROM t LEFT JOIN sdeg sd ON sd.e = t.s LEFT JOIN odeg od ON od.e = t.o),
+cnd AS (SELECT n.s, n.p, n.o, n.cs, n.co,
+        (COALESCE(sd.d, 0) + COALESCE(od.d, 0))::BIGINT AS cscore
+        FROM neg n LEFT JOIN sdeg sd ON sd.e = n.cs
+        LEFT JOIN odeg od ON od.e = n.co)
+SELECT ps.s, ps.p, ps.o, ps.score,
+  (1 + COALESCE(SUM(CASE WHEN cnd.cscore > ps.score
+        OR (cnd.cscore = ps.score AND (cnd.cs < ps.s
+            OR (cnd.cs = ps.s AND cnd.co < ps.o))) THEN 1 ELSE 0 END), 0)
+  )::BIGINT AS "rank",
+  (1 + COUNT(cnd.cs))::BIGINT AS n_cand
+FROM ps LEFT JOIN cnd ON cnd.s = ps.s AND cnd.p = ps.p AND cnd.o = ps.o
+GROUP BY ps.s, ps.p, ps.o, ps.score
 """
 
     # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)

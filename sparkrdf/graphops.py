@@ -920,3 +920,72 @@ def sssp_bounded(
         )
     e.unpersist()
     return dist
+
+
+def lp_rank_eval(
+    triples: DataFrame,
+    k: int = 10,
+    seed: int = 11,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Link-prediction ranking evaluation under the filtered protocol
+    (Bordes et al. 2013): per positive triple, generate ``k`` deterministic
+    corruptions (:func:`corrupt_triples`), score every candidate with the
+    popularity baseline — subject-degree(head) + object-degree(tail), the
+    standard sanity floor any learned KG-embedding model must beat — and
+    return the positive's rank among its own candidate set. MRR / Hits@N
+    are one aggregation away; emitting per-triple ranks keeps the output
+    deterministic and auditable (which positives are "easy" for a
+    popularity model = which facts carry no structural signal).
+
+    Rank uses a total order — (score DESC, head ASC, tail ASC) — so ties
+    cannot make the result run-dependent. Returns ``(s, p, o, score, rank,
+    n_cand)``; ``n_cand`` counts the surviving (filtered) corruptions + 1.
+
+    Scale shape: degree tables are entity-sized aggregates joined twice
+    into the ×k candidate stream (the only triple-stream-sized work); the
+    rank is a map-side-combinable conditional count grouped back on the
+    positive key. Nothing quadratic; cost is O(k·|T|).
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).dropDuplicates()
+    neg = corrupt_triples(t, k=k, seed=seed, filtered=True)
+    sdeg = t.groupBy(F.col("s").alias("e")).agg(F.count("*").cast("long").alias("_sd"))
+    odeg = t.groupBy(F.col("o").alias("e")).agg(F.count("*").cast("long").alias("_od"))
+
+    def scored(df, head, tail, out):
+        return (
+            df.join(sdeg.withColumnRenamed("e", head), head, "left")
+            .join(odeg.withColumnRenamed("e", tail), tail, "left")
+            .withColumn(
+                out,
+                F.coalesce(F.col("_sd"), F.lit(0)) + F.coalesce(F.col("_od"), F.lit(0)),
+            )
+            .drop("_sd", "_od")
+        )
+
+    pos = scored(t, "s", "o", "score")
+    cand = scored(neg, "cs", "co", "_cscore").select("s", "p", "o", "cs", "co", "_cscore")
+    better = (
+        (F.col("_cscore") > F.col("score"))
+        | (
+            (F.col("_cscore") == F.col("score"))
+            & (
+                (F.col("cs") < F.col("s"))
+                | ((F.col("cs") == F.col("s")) & (F.col("co") < F.col("o")))
+            )
+        )
+    )
+    return (
+        pos.join(cand, ["s", "p", "o"], "left")
+        .groupBy("s", "p", "o", "score")
+        .agg(
+            (F.lit(1) + F.coalesce(F.sum(F.when(better, 1).otherwise(0)), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+            (F.lit(1) + F.count("cs")).cast("long").alias("n_cand"),
+        )
+    )

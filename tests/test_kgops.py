@@ -866,3 +866,34 @@ def test_sssp_bounded_rejects_negative(spark):
     e = spark.createDataFrame([("a", "b", -1.0)], "u string, v string, w double")
     with pytest.raises(ValueError, match="non-negative"):
         sssp_bounded(e, "a")
+
+
+def test_lp_rank_eval_matches_reference(spark):
+    from sparkrdf.graphops import lp_rank_eval
+
+    rows = [("A", "r", "B"), ("B", "r", "C"), ("A", "r", "C")]
+    t = spark.createDataFrame(rows, "s string, p string, o string")
+    got = {(r.s, r.p, r.o): (r.score, r.rank, r.n_cand)
+           for r in lp_rank_eval(t, k=2, seed=11).collect()}
+
+    # driver-side reference: same draws, same popularity score, same order
+    vocab = sorted({"A", "B", "C"})
+    true = set(rows)
+    sdeg = {"A": 2, "B": 1}
+    odeg = {"B": 1, "C": 2}
+    score = lambda h, tl: sdeg.get(h, 0) + odeg.get(tl, 0)  # noqa: E731
+    expect = {}
+    for s, p, o in rows:
+        cands = []
+        for j in range(2):
+            draw = vocab[_md5_idx(11, s, p, o, j, 3)]
+            cs, co = (draw, o) if j % 2 == 0 else (s, draw)
+            if (cs, p, co) not in true:
+                cands.append((cs, co))
+        ps = score(s, o)
+        better = sum(
+            1 for cs, co in cands
+            if score(cs, co) > ps or (score(cs, co) == ps and (cs, co) < (s, o))
+        )
+        expect[(s, p, o)] = (ps, 1 + better, 1 + len(cands))
+    assert got == expect
