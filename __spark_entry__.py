@@ -820,6 +820,39 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(e, gap_minutes=30)
 
 
+def q_evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel, ClickHouse-windowFunnel semantics
+    (sparkrdf/eventops.py funnel): view → click → purchase per user,
+    greedy-earliest chain, later steps within 24h of the first view.
+    len(steps) user-keyed min-aggregates + joins, one shared partitioning.
+    Oracle: the same per-step MIN chain as DuckDB CTEs."""
+    from sparkrdf.eventops import funnel
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(e, ["view", "click", "purchase"], within_minutes=1440)
+
+
+def q_evt_interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval coalescing (sparkrdf/eventops.py
+    coalesce_intervals): per-user validity intervals [ts, ts + value
+    minutes] (exact decimal arithmetic) merged where overlapping/touching —
+    the temporal-KG normalization pass. One user-key shuffle shared by the
+    running-max window, island sum and aggregate. Oracle: identical window
+    algebra in DuckDB."""
+    from sparkrdf.eventops import coalesce_intervals, epoch_us
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = e.select(
+        "user_id",
+        epoch_us("ts").alias("start_us"),
+        (
+            epoch_us("ts")
+            + (F.col("value").cast("decimal(18,2)") * 60_000_000).cast("long")
+        ).alias("end_us"),
+    )
+    return coalesce_intervals(iv)
+
+
 def _comention(spark, sf_dir):
     """Distinct co-mention edges (u < v) from the JVM NER stage."""
     from sparkrdf.extract.ner import detect_mentions_jvm
@@ -1602,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_temporal": q_kg_entity_temporal,
         "kg_triple_negatives": q_kg_triple_negatives,
         "kg_lp_ranks": q_kg_lp_ranks,
+        "evt_funnel": q_evt_funnel,
+        "evt_interval_merge": q_evt_interval_merge,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -2759,6 +2794,45 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
   MIN(us) AS start_us, MAX(us) AS end_us,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS value_cents
 FROM s GROUP BY user_id, session_idx
+"""
+
+    # ordered funnel: per-step MIN chained through strict-after + deadline
+    # filters (eventops.funnel); 1440 min window
+    _fw = 1440 * 60 * 1_000_000
+    sql["evt_funnel"] = f"""
+WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+s2 AS (SELECT e.u, MIN(us) AS t2 FROM e JOIN s1 ON s1.u = e.u
+       WHERE et = 'click' AND us > t1 AND us <= t1 + {_fw} GROUP BY e.u),
+s3 AS (SELECT e.u, MIN(us) AS t3 FROM e JOIN s1 ON s1.u = e.u
+       JOIN s2 ON s2.u = e.u
+       WHERE et = 'purchase' AND us > t2 AND us <= t1 + {_fw} GROUP BY e.u)
+SELECT s1.u AS user_id,
+  (1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)::INT AS steps_completed,
+  t1 AS t1_us, COALESCE(t3, t2, t1) AS t_end_us
+FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
+"""
+
+    # gaps-and-islands interval coalescing: running max of prior ends,
+    # island = cumsum of the strict-gap flag (eventops.coalesce_intervals)
+    sql["evt_interval_merge"] = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+       epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT)
+         AS e_us FROM events),
+t AS (SELECT user_id, s_us, e_us,
+    MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM iv),
+s AS (SELECT user_id, s_us, e_us,
+    SUM(CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s_us, e_us
+            ROWS UNBOUNDED PRECEDING) AS island
+    FROM t)
+SELECT user_id, CAST(island AS BIGINT) AS island_idx,
+       MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+       COUNT(*)::BIGINT AS n_intervals
+FROM s GROUP BY user_id, island
 """
 
     # shared CTE prefix for the co-mention graph family: distinct per-doc

@@ -135,3 +135,108 @@ def observation_ranges(
         F.max(ts_col).alias("last_seen"),
         F.countDistinct(prov_col).cast("long").alias("n_prov"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_minutes: int = 10_080,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel (ClickHouse ``windowFunnel`` semantics,
+    greedy-earliest matching): per user, match ``steps`` in order — the
+    first step at its earliest occurrence, each later step at its earliest
+    occurrence STRICTLY after the previous matched step and within
+    ``within_minutes`` of the first step. Returns one row per user who
+    performed step 1: ``(user_col, steps_completed, t1_us, t_end_us)`` with
+    epoch-microsecond bigints (exact on every engine). Greedy-earliest is
+    deterministic and, for "did the user convert" semantics, equivalent to
+    any-chain existence: if any chain completes inside the window, the
+    earliest-match chain does too.
+
+    Scale shape: one user-keyed min-aggregate per step plus a user-keyed
+    join per step — len(steps) narrow shuffles on the SAME key, which
+    Catalyst collapses onto one exchange-reuse partitioning; no windows, no
+    per-user sort, no event-stream blowup. A dropped step k leaves NULLs
+    from k on (the chain filter compares against a NULL and rejects), so
+    ``steps_completed`` is always the length of the matched prefix.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel requires at least two steps")
+    us = epoch_us(ts_col)
+    e = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_et"), us.alias("_us")
+    )
+    w_us = within_minutes * 60 * 1_000_000
+    cur = (
+        e.filter(F.col("_et") == steps[0])
+        .groupBy("_u")
+        .agg(F.min("_us").alias("t1"))
+        .withColumn("_deadline", F.col("t1") + F.lit(w_us))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            e.filter(F.col("_et") == step)
+            .join(cur.select("_u", F.col(prev).alias("_prev"), "_deadline"), "_u")
+            .filter((F.col("_us") > F.col("_prev")) & (F.col("_us") <= F.col("_deadline")))
+            .groupBy("_u")
+            .agg(F.min("_us").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "_u", "left")
+    ts_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    completed = F.lit(1)
+    for c in ts_cols[1:]:
+        completed = completed + F.when(F.col(c).isNotNull(), 1).otherwise(0)
+    return cur.select(
+        F.col("_u").alias(user_col),
+        completed.cast("int").alias("steps_completed"),
+        F.col("t1").alias("t1_us"),
+        F.coalesce(*[F.col(c) for c in reversed(ts_cols)]).alias("t_end_us"),
+    )
+
+
+def coalesce_intervals(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Merge overlapping or touching intervals per key (gaps-and-islands):
+    the temporal-KG normalization that collapses redundant validity
+    assertions — ``[1,5]`` and ``[3,8]`` become ``[1,8]`` — before interval
+    joins or storage. Returns ``(key_col, island_idx, start_us, end_us,
+    n_intervals)``.
+
+    Algorithm: order intervals per key by (start, end); an interval starts
+    a new island iff its start exceeds the running max of all previous
+    ends (strictly — touching intervals merge); island id = running sum of
+    the flag. Tie order cannot change the result: a tied row's running max
+    already includes its twin's end ≥ the shared start.
+
+    Scale shape: ONE shuffle on the key; the running-max window, the
+    island running sum and the final aggregate all share that
+    partitioning (the sessionize pattern — a single exchange end to end).
+    """
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        intervals.select(
+            F.col(key_col),
+            F.col(start_col),
+            F.col(end_col),
+            island.cast("long").alias("island_idx"),
+        )
+        .groupBy(key_col, "island_idx")
+        .agg(
+            F.min(start_col).alias("start_us"),
+            F.max(end_col).alias("end_us"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+    )

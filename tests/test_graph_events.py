@@ -227,3 +227,83 @@ def test_triangle_count_matches_bruteforce(spark):
         if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= eset
     )
     assert _tris(spark, pairs) == expect
+
+
+# ---------------------------------------------------------------------------
+# funnel / coalesce_intervals
+# ---------------------------------------------------------------------------
+
+
+def _evts(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_hand_computed(spark):
+    from sparkrdf.eventops import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    us = lambda m: int((base + dt.timedelta(minutes=m)).timestamp() * 1e6)  # noqa: E731
+    rows = [
+        # u1 completes all three in order
+        (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+        # u2: click BEFORE the first view -> chain can't use it
+        (2, 0, "click"), (2, 3, "view"), (2, 7, "purchase"),
+        # u3: completes but the purchase is outside the window
+        (3, 0, "view"), (3, 5, "click"), (3, 200, "purchase"),
+        # u4 never views -> absent from the output
+        (4, 1, "click"), (4, 2, "purchase"),
+    ]
+    got = {
+        r.user_id: (r.steps_completed, r.t1_us, r.t_end_us)
+        for r in funnel(
+            _evts(spark, rows), ["view", "click", "purchase"], within_minutes=60
+        ).collect()
+    }
+    # NOTE: timestamps are NTZ; epoch_us treats them as UTC wall-clock
+    assert set(got) == {1, 2, 3}
+    assert got[1][0] == 3 and got[1][2] == got[1][1] + 9 * 60_000_000
+    assert got[2] == (1, got[2][1], got[2][1])  # click precedes view: only step 1
+    assert got[3][0] == 2  # purchase past the 60-min window
+
+
+def test_funnel_requires_two_steps(spark):
+    from sparkrdf.eventops import funnel
+
+    with pytest.raises(ValueError, match="two steps"):
+        funnel(_evts(spark, [(1, 0, "view")]), ["view"])
+
+
+def test_coalesce_intervals_hand_computed(spark):
+    from sparkrdf.eventops import coalesce_intervals
+
+    rows = [
+        ("a", 1, 5), ("a", 3, 8), ("a", 8, 9),   # one island [1, 9] (touching merges)
+        ("a", 20, 25),                            # second island
+        ("b", 0, 1), ("b", 2, 3),                 # strict gap: two islands
+    ]
+    df = spark.createDataFrame(rows, "user_id string, start_us long, end_us long")
+    got = {
+        (r.user_id, r.island_idx): (r.start_us, r.end_us, r.n_intervals)
+        for r in coalesce_intervals(df).collect()
+    }
+    assert got == {
+        ("a", 1): (1, 9, 3),
+        ("a", 2): (20, 25, 1),
+        ("b", 1): (0, 1, 1),
+        ("b", 2): (2, 3, 1),
+    }
+
+
+def test_coalesce_intervals_contained_interval(spark):
+    from sparkrdf.eventops import coalesce_intervals
+
+    # second interval entirely inside the first: running max keeps 10
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 2, 3), ("a", 4, 12)],
+        "user_id string, start_us long, end_us long",
+    )
+    out = coalesce_intervals(df).collect()
+    assert len(out) == 1 and (out[0].start_us, out[0].end_us) == (0, 12)
