@@ -1526,6 +1526,22 @@ def q_er_fuzzy_pairs(spark, sf_dir):
     return fuzzy_pairs(forms, threshold=0.5)
 
 
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (sparkrdf/er.py sorted_neighborhood,
+    Hernández-Stolfo merge/purge): documents ranked by their lowercased
+    32-char text prefix (distributed rank: range partition + per-partition
+    row_number + offset broadcast — no single-partition sort), candidate
+    pairs within 3 rank positions via the band-bucket range join. Oracle:
+    global ROW_NUMBER + rank-distance self-join in DuckDB."""
+    from sparkrdf.er import sorted_neighborhood
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.lower(F.col("text")), 1, 32).alias("pfx"),
+    )
+    return sorted_neighborhood(docs, ["pfx"], window=3)
+
+
 def q_corpus_kmeans(spark, sf_dir):
     """Lloyd's k-means over the embedding table (2 assignment steps, 1
     centroid update, init = per-label means — the IVF coarse quantizer as
@@ -1637,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lp_ranks": q_kg_lp_ranks,
         "evt_funnel": q_evt_funnel,
         "evt_interval_merge": q_evt_interval_merge,
+        "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
@@ -3298,6 +3315,17 @@ SELECT ps.s, ps.p, ps.o, ps.score,
   (1 + COUNT(cnd.cs))::BIGINT AS n_cand
 FROM ps LEFT JOIN cnd ON cnd.s = ps.s AND cnd.p = ps.p AND cnd.o = ps.o
 GROUP BY ps.s, ps.p, ps.o, ps.score
+"""
+
+    # sorted-neighborhood blocking: global rank by (prefix, id), pairs
+    # within 3 rank positions (er.sorted_neighborhood)
+    sql["er_sorted_neighborhood"] = """
+WITH r AS (SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY substr(lower(text), 1, 32), doc_id) - 1
+         AS rk
+     FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.rk - a.rk)::BIGINT AS rank_gap
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 3
 """
 
     # entity matching: rarest-token blocking (ROW_NUMBER over (freq, token)

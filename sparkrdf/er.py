@@ -27,7 +27,7 @@ pure whole-stage codegen array math — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bigram_set", "fuzzy_pairs"]
@@ -88,4 +88,61 @@ def fuzzy_pairs(
             sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def sorted_neighborhood(
+    records: DataFrame,
+    sort_cols: list[str],
+    window: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995 merge/purge):
+    order all records by a similarity-preserving key and emit every pair
+    within ``window`` positions — the third classic blocking family next to
+    token blocking (:func:`fuzzy_pairs`) and LSH (:mod:`sparkrdf.dedupe`),
+    and the right one when similarity is ORDERED (names, normalized
+    prefixes) rather than set-shaped: candidates per record are a constant
+    ``window``, never block-size-squared. Returns ``(id_a, id_b,
+    rank_gap)`` with ``id_a`` preceding ``id_b`` in sort order.
+
+    Distributed global rank without a single-partition sort: range-
+    partition on the (sort key, id) tuple, per-partition ``row_number``
+    (the window partitions on the physical partition id, so no second
+    exchange), then add each partition's driver-side-cumulated row-count
+    offset (a #partitions-sized broadcast). ``id_col`` is the final sort
+    tiebreak, making the ranking — and therefore the pair set — fully
+    deterministic under duplicate keys. Pairing is the band-bucket
+    equi-join of :func:`sparkrdf.joins.range_join` on rank distance, so
+    the neighborhood match is one shuffle, never |R|² .
+    """
+    keys = [*sort_cols, id_col]
+    d = (
+        records.select(*keys)
+        .repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    d = d.withColumn("_r", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    omap = records.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    ranked = (
+        d.join(F.broadcast(omap), "_pid")
+        .select(F.col(id_col), (F.col("_off") + F.col("_r") - 1).alias("_rank"))
+    )
+    from sparkrdf.joins import range_join
+
+    a = ranked.select(F.col(id_col).alias("id_a"), F.col("_rank").alias("_ra"))
+    b = ranked.select(F.col(id_col).alias("id_b"), F.col("_rank").alias("_rb"))
+    return (
+        range_join(a, b, "_ra", "_rb", window)
+        .filter(F.col("_rb") > F.col("_ra"))
+        .select("id_a", "id_b", (F.col("_rb") - F.col("_ra")).cast("long").alias("rank_gap"))
     )

@@ -897,3 +897,39 @@ def test_lp_rank_eval_matches_reference(spark):
         )
         expect[(s, p, o)] = (ps, 1 + better, 1 + len(cands))
     assert got == expect
+
+
+def test_sorted_neighborhood_hand_computed(spark):
+    from sparkrdf.er import sorted_neighborhood
+
+    # sort by name: anna(1), anne(2), bob(3), carl(4), carla(5), dora(6)
+    rows = [(3, "bob"), (1, "anna"), (5, "carla"), (2, "anne"),
+            (6, "dora"), (4, "carl")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r.id_a, r.id_b): r.rank_gap
+           for r in sorted_neighborhood(df, ["name"], window=2).collect()}
+    expect = {}
+    order = [1, 2, 3, 4, 5, 6]  # ids in name order
+    for i in range(6):
+        for j in range(i + 1, min(i + 3, 6)):
+            expect[(order[i], order[j])] = j - i
+    assert got == expect
+
+
+def test_sorted_neighborhood_duplicate_keys_deterministic(spark):
+    from sparkrdf.er import sorted_neighborhood
+
+    # identical sort keys: id is the tiebreak, so the pair set is stable
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(5)], "id long, name string"
+    )
+    out1 = sorted(
+        (r.id_a, r.id_b) for r in sorted_neighborhood(df, ["name"], window=1).collect()
+    )
+    out2 = sorted(
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood(
+            df.repartition(7), ["name"], window=1
+        ).collect()
+    )
+    assert out1 == out2 == [(0, 1), (1, 2), (2, 3), (3, 4)]
