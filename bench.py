@@ -62,6 +62,10 @@ OP_QUERIES = (
     "kg_char_sets",
     "graph_lpa",
     "graph_adamic_adar",
+    "kg_lp_ranks",
+    "evt_funnel",
+    "evt_interval_merge",
+    "er_sorted_neighborhood",
 )
 
 
