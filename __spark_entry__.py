@@ -964,6 +964,84 @@ def q_kg_bgp_optional(spark, sf_dir):
     )
 
 
+def q_kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION (sparkrdf/query.py bgp_union): documents mentioning an
+    Operator entity (binding ?d, ?e) unioned with ALL documents (binding
+    only ?d — ?e NULL-padded), bag semantics. Oracle: the same two branch
+    queries UNION ALLed in DuckDB with an explicit NULL column."""
+    from sparkrdf.query import bgp_union
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_union(
+        stmts,
+        [
+            [
+                ("?d", dockg.P_MENTIONS, "?e"),
+                ("?e", _RDF_TYPE, dockg.class_iri("Operator")),
+            ],
+            [("?d", _RDF_TYPE, dockg.CLS_DOCUMENT)],
+        ],
+    )
+
+
+def q_kg_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (sparkrdf/query.py bgp_minus): documents with NO
+    Operator-class mention — left-anti join on the shared variable ?d.
+    Oracle: NOT EXISTS over the same mention subquery."""
+    from sparkrdf.query import bgp_minus
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_minus(
+        stmts,
+        [("?d", _RDF_TYPE, dockg.CLS_DOCUMENT)],
+        [
+            ("?d", dockg.P_MENTIONS, "?e"),
+            ("?e", _RDF_TYPE, dockg.class_iri("Operator")),
+        ],
+    )
+
+
+def q_kg_bgp_values(spark, sf_dir):
+    """SPARQL VALUES (sparkrdf/query.py bgp_values): mention solutions
+    (?d, ?e, ?cls, ?lang) restricted by an inline table — (Operator, 'en')
+    plus (Structure, UNDEF); UNDEF matches any language. Oracle: the same
+    disjunction as a WHERE clause over the joined CTEs."""
+    from sparkrdf.query import bgp_values
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_values(
+        stmts,
+        [
+            ("?d", dockg.P_MENTIONS, "?e"),
+            ("?e", _RDF_TYPE, "?cls"),
+            ("?d", dockg.P_LANG, "?lang"),
+        ],
+        [
+            {"cls": dockg.class_iri("Operator"), "lang": "en"},
+            {"cls": dockg.class_iri("Structure"), "lang": None},
+        ],
+    )
+
+
+def q_kg_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (sparkrdf/query.py construct_triples): invert every
+    mention edge into (?e kg:mentionedIn ?d) and type each mentioned entity
+    kgc:Entity — template instantiation per solution, then the output-graph
+    set collapse. Oracle: UNION ALL of the two template projections wrapped
+    in SELECT DISTINCT."""
+    from sparkrdf.query import construct_triples
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return construct_triples(
+        stmts,
+        [("?d", dockg.P_MENTIONS, "?e"), ("?d", _RDF_TYPE, dockg.CLS_DOCUMENT)],
+        [
+            ("?e", dockg.KG + "prop/mentionedIn", "?d"),
+            ("?e", _RDF_TYPE, dockg.CLS_ENTITY),
+        ],
+    )
+
+
 def q_kg_summary_graph(spark, sf_dir):
     """Graph summarization (sparkrdf/graphops.py quotient_graph): the doc
     KG's mention edges rolled up to (source class, predicate, object class)
@@ -1642,6 +1720,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": q_kg_char_sets,
         "kg_shape_violations": q_kg_shape_violations,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_values": q_kg_bgp_values,
+        "kg_construct": q_kg_construct,
         "kg_summary_graph": q_kg_summary_graph,
         "graph_lpa": q_graph_lpa,
         "graph_adamic_adar": q_graph_adamic_adar,
@@ -1879,6 +1961,49 @@ WHERE n_values < min_count
 WITH {_DOC_CTES}
 SELECT d.s AS d, m.ent AS e
 FROM docs d LEFT JOIN mentions m ON m.s = d.s
+"""
+
+    # SPARQL UNION: Operator-mention solutions (d, e) bag-unioned with all
+    # documents (d, NULL) — query.bgp_union NULL-pads the unshared variable
+    sql["kg_bgp_union"] = f"""
+WITH {_DOC_CTES}
+SELECT m.s AS d, m.ent AS e
+FROM mentions m
+JOIN (SELECT DISTINCT ent FROM mentions
+      WHERE cls = '{dockg.class_iri("Operator")}') t ON t.ent = m.ent
+UNION ALL
+SELECT s AS d, CAST(NULL AS VARCHAR) AS e FROM docs
+"""
+
+    # SPARQL MINUS: documents with no Operator-class mention (left-anti on
+    # the shared variable d — query.bgp_minus)
+    sql["kg_bgp_minus"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d
+FROM docs d
+WHERE NOT EXISTS (SELECT 1 FROM mentions m
+                  WHERE m.s = d.s
+                    AND m.cls = '{dockg.class_iri("Operator")}')
+"""
+
+    # SPARQL VALUES: inline rows (Operator, 'en') and (Structure, UNDEF);
+    # UNDEF matches any lang binding (query.bgp_values)
+    sql["kg_bgp_values"] = f"""
+WITH {_DOC_CTES}
+SELECT m.s AS d, m.ent AS e, m.cls AS cls, d.lang AS lang
+FROM mentions m JOIN docs d ON d.s = m.s
+WHERE (m.cls = '{dockg.class_iri("Operator")}' AND d.lang = 'en')
+   OR (m.cls = '{dockg.class_iri("Structure")}')
+"""
+
+    # SPARQL CONSTRUCT: two template projections per mention solution,
+    # collapsed to a triple SET (query.construct_triples)
+    sql["kg_construct"] = f"""
+WITH {_DOC_CTES}
+SELECT DISTINCT s, p, o FROM (
+  SELECT ent AS s, '{dockg.KG}prop/mentionedIn' AS p, m.s AS o FROM mentions m
+  UNION ALL
+  SELECT ent AS s, '{_RDF_TYPE}' AS p, '{dockg.CLS_ENTITY}' AS o FROM mentions m)
 """
 
     # graph summarization: min-class node grouping + the quotient rollup

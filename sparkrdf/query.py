@@ -220,3 +220,153 @@ def bgp_optional(
             "(not well-designed; the result would be a cartesian pad)"
         )
     return req.join(opt, shared, "left")
+
+
+def bgp_union(
+    stmts: DataFrame,
+    groups: list[list[tuple[str, str, str]]],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL ``UNION`` over basic graph patterns: the bag union of the
+    solution multisets of each group (SPARQL 1.1 §18.5 — UNION is
+    multiset-additive, so duplicates across branches are KEPT). Groups may
+    bind different variable sets; variables absent from a branch are
+    NULL-padded, exactly the spec's unbound-variable semantics.
+
+    Scale shape: each branch compiles through :func:`bgp_match` (its own
+    pushed-down scans and join tree); the union itself is a zero-shuffle
+    ``unionByName`` — branches stay partition-parallel and nothing
+    re-exchanges until a downstream operator asks for a key.
+    """
+    if not groups:
+        raise ValueError("bgp_union requires at least one group")
+    sols = [bgp_match(stmts, g, s_col=s_col, p_col=p_col, o_col=o_col) for g in groups]
+    acc = sols[0]
+    for nxt in sols[1:]:
+        acc = acc.unionByName(nxt, allowMissingColumns=True)
+    return acc
+
+
+def bgp_minus(
+    stmts: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    minus: list[tuple[str, str, str]],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL ``MINUS`` (SPARQL 1.1 §18.5 Minus): keep the left solutions
+    that are NOT compatible with any right solution on a shared variable.
+    Inside pure BGPs every pattern variable is bound, so compatibility on
+    the shared variables is plain equality and MINUS compiles to a
+    left-anti equi-join. The spec's edge case is honored: with NO shared
+    variables, ``dom(mu1) ∩ dom(mu2) = ∅`` means nothing is removed (unlike
+    ``FILTER NOT EXISTS``), so the left side is returned unchanged.
+
+    Scale shape: two independent BGP join trees, then ONE left-anti
+    shuffle on the shared variables — the anti side is only as wide as the
+    shared-variable key, and AQE broadcast-converts it when small.
+    """
+    left = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    right = bgp_match(stmts, minus, s_col=s_col, p_col=p_col, o_col=o_col)
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        return left  # disjoint domains: SPARQL MINUS removes nothing
+    return left.join(right.select(*shared).dropDuplicates(shared), shared, "left_anti")
+
+
+def bgp_values(
+    stmts: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    values: list[dict],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL ``VALUES`` (inline data, SPARQL 1.1 §10.2): join the BGP
+    solutions with an explicit solution sequence. Each element of
+    ``values`` maps variable name → constant, with ``None`` standing for
+    ``UNDEF`` (compatible with ANY binding of that variable, per the
+    spec's compatibility relation). Rows contribute multiplicity: a
+    constant row matching k solutions yields k rows, and duplicate VALUES
+    rows duplicate solutions (bag semantics).
+
+    Scale shape: the inline table is driver-literal and broadcast by
+    construction. Without UNDEF it is a broadcast hash equi-join on the
+    bound variables; with UNDEF the per-variable predicate becomes
+    ``value IS NULL OR value = var`` — a broadcast nested-loop over a
+    table of len(values) rows, which is bounded by the query text itself,
+    never by the data.
+    """
+    if not values:
+        raise ValueError("bgp_values requires at least one VALUES row")
+    vars_ = sorted({k for row in values for k in row})
+    sol = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    missing = [v for v in vars_ if v not in sol.columns]
+    if missing:
+        raise ValueError(f"VALUES variables {missing} not bound by the pattern group")
+    spark = stmts.sparkSession
+    rows = [tuple(row.get(v) for v in vars_) for row in values]
+    inline = spark.createDataFrame(
+        rows, ", ".join(f"`__v_{v}` string" for v in vars_)
+    )
+    has_undef = any(v is None for r in rows for v in r)
+    if not has_undef:
+        cond = [F.col(f"__v_{v}") == F.col(v) for v in vars_]
+    else:
+        cond = [
+            F.col(f"__v_{v}").isNull() | (F.col(f"__v_{v}") == F.col(v))
+            for v in vars_
+        ]
+    pred = cond[0]
+    for c in cond[1:]:
+        pred = pred & c
+    joined = sol.join(F.broadcast(inline), pred)
+    return joined.drop(*[f"__v_{v}" for v in vars_])
+
+
+def construct_triples(
+    stmts: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    template: list[tuple[str, str, str]],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: instantiate a triple template once per BGP
+    solution and return the resulting GRAPH — a set of (s, p, o) rows
+    (CONSTRUCT output is an RDF graph, so duplicates collapse; SPARQL 1.1
+    §16.2). Template terms are constants or ``?var`` bound by the
+    pattern group; per the spec, an instantiation with an unbound (NULL)
+    term emits no triple rather than a partial one.
+
+    Scale shape: the solution relation is computed once (one BGP join
+    tree); each template row is a pure projection of it, combined with a
+    zero-shuffle union; the single shuffle is the final distinct on
+    (s, p, o) — the same dedup exchange every statement producer in this
+    engine ends with, so a downstream rpt/pgt_transform can reuse it.
+    """
+    if not template:
+        raise ValueError("construct_triples requires a non-empty template")
+    sol = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col)
+    outs = []
+    for s, p, o in template:
+        cols = []
+        for name, term in zip(("s", "p", "o"), (s, p, o)):
+            if _is_var(term):
+                var = term[1:]
+                if var not in sol.columns:
+                    raise ValueError(f"template variable ?{var} not bound by patterns")
+                cols.append(F.col(var).alias(name))
+            else:
+                cols.append(F.lit(term).alias(name))
+        proj = sol.select(*cols)
+        outs.append(proj.filter(
+            F.col("s").isNotNull() & F.col("p").isNotNull() & F.col("o").isNotNull()
+        ))
+    acc = outs[0]
+    for nxt in outs[1:]:
+        acc = acc.unionByName(nxt)
+    return acc.dropDuplicates(["s", "p", "o"])

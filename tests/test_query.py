@@ -168,3 +168,130 @@ def test_bgp_optional_disconnected_raises(spark):
     stmts = _stmts3(spark, [("a", "p", "b")])
     with pytest.raises(ValueError, match="well-designed"):
         bgp_optional(stmts, [("?x", "p", "b")], [("?y", "q", "c")])
+
+
+# --- UNION / MINUS / VALUES / CONSTRUCT (SPARQL 1.1 algebra) ---
+
+
+def test_bgp_union_bag_and_null_padding(spark, stmts):
+    from sparkrdf.query import bgp_union
+
+    # branch 1 binds (x), branch 2 binds (x, y): y NULL-padded in branch 1;
+    # alice matches BOTH branches (bag union keeps both rows)
+    got = sorted(
+        (
+            (r.x, r.y)
+            for r in bgp_union(
+                stmts,
+                [[("?x", "type", "Person")], [("?x", "knows", "?y")]],
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == [
+        ("alice", "bob"),
+        ("alice", None),
+        ("bob", "carol"),
+        ("bob", None),
+    ]
+
+
+def test_bgp_union_duplicates_kept(spark, stmts):
+    from sparkrdf.query import bgp_union
+
+    # identical branches double every solution (multiset-additive)
+    got = [r.x for r in bgp_union(
+        stmts, [[("?x", "type", "Person")], [("?x", "type", "Person")]]
+    ).collect()]
+    assert sorted(got) == ["alice", "alice", "bob", "bob"]
+
+
+def test_bgp_minus_shared_var(spark, stmts):
+    from sparkrdf.query import bgp_minus
+
+    # persons MINUS {?x likes ?z} — alice likes alice, bob likes carol →
+    # both removed; nothing survives
+    got = bgp_minus(stmts, [("?x", "type", "Person")], [("?x", "likes", "?z")])
+    assert got.count() == 0
+    # persons MINUS {?x knows carol} removes only bob
+    got = sorted(
+        r.x for r in bgp_minus(
+            stmts, [("?x", "type", "Person")], [("?x", "knows", "carol")]
+        ).collect()
+    )
+    assert got == ["alice"]
+
+
+def test_bgp_minus_disjoint_domains_removes_nothing(spark, stmts):
+    from sparkrdf.query import bgp_minus
+
+    # SPARQL spec: MINUS with no shared variable is a no-op (compatibility
+    # requires a non-empty shared domain) — unlike NOT EXISTS
+    got = sorted(
+        r.x for r in bgp_minus(
+            stmts, [("?x", "type", "Person")], [("?a", "type", "Robot")]
+        ).collect()
+    )
+    assert got == ["alice", "bob"]
+
+
+def test_bgp_values_equi_and_undef(spark, stmts):
+    from sparkrdf.query import bgp_values
+
+    pats = [("?x", "type", "?t"), ("?x", "likes", "?y")]
+    # plain constants: only the (Person, carol) row survives
+    got = sorted(
+        (r.x, r.t, r.y)
+        for r in bgp_values(
+            stmts, pats, [{"t": "Person", "y": "carol"}]
+        ).collect()
+    )
+    assert got == [("bob", "Person", "carol")]
+    # UNDEF on y: matches any liked object
+    got = sorted(
+        (r.x, r.y)
+        for r in bgp_values(stmts, pats, [{"t": "Person", "y": None}]).collect()
+    )
+    assert got == [("alice", "alice"), ("bob", "carol")]
+    # duplicate VALUES rows duplicate solutions (bag semantics)
+    got = [r.x for r in bgp_values(
+        stmts, pats, [{"t": "Person", "y": "carol"}, {"t": "Person", "y": "carol"}]
+    ).collect()]
+    assert got == ["bob", "bob"]
+
+
+def test_bgp_values_unbound_var_raises(spark, stmts):
+    from sparkrdf.query import bgp_values
+
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_values(stmts, [("?x", "type", "Person")], [{"zzz": "1"}])
+
+
+def test_construct_triples(spark, stmts):
+    from sparkrdf.query import construct_triples
+
+    # CONSTRUCT {?x a Agent . ?x knownBy ?y} WHERE {?x type Person . ?x knows ?y}
+    got = sorted(
+        (r.s, r.p, r.o)
+        for r in construct_triples(
+            stmts,
+            [("?x", "type", "Person"), ("?x", "knows", "?y")],
+            [("?x", "a", "Agent"), ("?y", "knownBy", "?x")],
+        ).collect()
+    )
+    assert got == [
+        ("alice", "a", "Agent"),
+        ("bob", "a", "Agent"),
+        ("bob", "knownBy", "alice"),
+        ("carol", "knownBy", "bob"),
+    ]
+
+
+def test_construct_is_set_semantics(spark, stmts):
+    from sparkrdf.query import construct_triples
+
+    # two solutions instantiate the SAME constant triple once (graph = set)
+    out = construct_triples(
+        stmts, [("?x", "type", "Person")], [("flag", "seen", "Person")]
+    )
+    assert out.count() == 1
