@@ -1196,6 +1196,30 @@ def q_graph_adamic_adar(spark, sf_dir):
                        src="src_host", dst="dst_host")
 
 
+def q_graph_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient over the co-mention graph
+    (sparkrdf/graphops.py clustering_coefficient): triangle counts from the
+    degree-oriented enumerator, joined to degrees. Oracle: the naive
+    wedge-close count per node in DuckDB (adjacency self-join + closing
+    edge), identical rounding."""
+    from sparkrdf.graphops import clustering_coefficient
+
+    return clustering_coefficient(_comention(spark, sf_dir))
+
+
+def q_web_host_reciprocity(spark, sf_dir):
+    """Per-host reciprocity over the directed host link graph
+    (sparkrdf/graphops.py reciprocity): fraction of each host's out-links
+    whose reverse link exists — the mutual-citation / link-farm signal.
+    Oracle: the same reversed self-join + per-source rollup in DuckDB."""
+    from sparkrdf.graphops import reciprocity
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return reciprocity(g.select("src_host", "dst_host"),
+                       src="src_host", dst="dst_host")
+
+
 def q_web_host_sssp(spark, sf_dir):
     """Bounded weighted SSSP (sparkrdf/graphops.py sssp_bounded, 6
     Bellman–Ford rounds) over the host graph with cost 1/n_links — heavily
@@ -1727,6 +1751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary_graph": q_kg_summary_graph,
         "graph_lpa": q_graph_lpa,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_clustering": q_graph_clustering,
+        "web_host_reciprocity": q_web_host_reciprocity,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3054,6 +3080,41 @@ edges AS MATERIALIZED (
 
     sql["web_link_hosts"] = _links_base + """
 SELECT src_host, dst_host, n_links FROM edges
+"""
+
+    # per-node local clustering coefficient: naive wedge-close count per
+    # center (the independent formulation of graphops.clustering_coefficient,
+    # which counts via the degree-oriented triangle enumerator)
+    sql["graph_clustering"] = graph_edges_cte + """,
+deg AS (
+  SELECT n, COUNT(*)::BIGINT AS deg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) GROUP BY n),
+adj AS (
+  SELECT u AS n, v AS nb FROM edges
+  UNION ALL SELECT v AS n, u AS nb FROM edges),
+tri AS (
+  SELECT a.n, COUNT(*)::BIGINT AS tri
+  FROM adj a
+  JOIN adj b ON b.n = a.n AND a.nb < b.nb
+  JOIN edges e ON e.u = a.nb AND e.v = b.nb
+  GROUP BY a.n)
+SELECT d.n, d.deg, COALESCE(t.tri, 0)::BIGINT AS tri,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1)), 9)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tri t ON t.n = d.n
+"""
+
+    # per-host reciprocity on the directed host link graph: reversed
+    # self-join + per-source rollup (graphops.reciprocity)
+    sql["web_host_reciprocity"] = _links_base + """,
+e AS (SELECT DISTINCT src_host AS u, dst_host AS v FROM edges),
+m AS (SELECT e.u, e.v FROM e JOIN e r ON r.u = e.v AND r.v = e.u),
+o AS (SELECT u AS n, COUNT(*)::BIGINT AS n_out FROM e GROUP BY u),
+rc AS (SELECT u AS n, COUNT(*)::BIGINT AS n_recip FROM m GROUP BY u)
+SELECT o.n, o.n_out, COALESCE(rc.n_recip, 0)::BIGINT AS n_recip,
+       ROUND(COALESCE(rc.n_recip, 0) / o.n_out, 9) AS reciprocity
+FROM o LEFT JOIN rc ON rc.n = o.n
 """
 
     # deterministic sync label propagation, the 4 rounds unrolled: per

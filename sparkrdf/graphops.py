@@ -989,3 +989,95 @@ def lp_rank_eval(
             (F.lit(1) + F.count("cs")).cast("long").alias("n_cand"),
         )
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph:
+    ``lcc(n) = 2·tri(n) / (deg(n)·(deg(n)−1))`` — the fraction of a node's
+    neighbor pairs that are themselves connected (Watts & Strogatz), the
+    standard "is this entity's neighborhood a clique or a star" profile
+    for a constructed KG. Returns ``(n, deg, tri, lcc)`` for EVERY node,
+    ``lcc = 0.0`` where ``deg < 2``.
+
+    Scale shape: triangle counts come from :func:`triangles` (degree-
+    oriented node-iterator++, per-vertex wedge work ≤ oriented out-degree
+    ≤ √m — hub-proof), exploded to their three corners and counted; one
+    narrow groupBy plus a left join against the degree table. No step
+    touches a neighbor-pair blowup at an unoriented hub.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = (
+        triangles(e)
+        .select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("tri"))
+    )
+    return (
+        deg.join(tri, "n", "left")
+        .select(
+            "n",
+            "deg",
+            F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0 * F.coalesce("tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def reciprocity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-source reciprocity over a DIRECTED graph: of node n's distinct
+    out-edges, the fraction whose reverse edge also exists — the classic
+    link-spam / mutual-citation signal on a host link graph (a farm that
+    links everywhere but is never linked back scores 0). Returns
+    ``(n, n_out, n_recip, reciprocity)``.
+
+    Scale shape: one dropDuplicates exchange on the edge key, one
+    self-equi-join on the reversed key (left_semi, so the probe output
+    carries no payload), one groupBy on the source — every shuffle is on
+    narrow string keys and AQE handles the Zipf-hot hosts.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = e.join(rev, ["u", "v"], "left_semi")
+    n_out = e.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("n_out")
+    )
+    n_rec = mutual.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("n_recip")
+    )
+    return (
+        n_out.join(n_rec, "n", "left")
+        .select(
+            "n",
+            "n_out",
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0)) / F.col("n_out"), 9
+            ).alias("reciprocity"),
+        )
+    )

@@ -933,3 +933,55 @@ def test_sorted_neighborhood_duplicate_keys_deterministic(spark):
         ).collect()
     )
     assert out1 == out2 == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Kite graph: a triangle (a,b,c) plus a pendant d-a. lcc(a)=1/3 choose?
+    deg(a)=3 (b,c,d) with 1 connected neighbor pair (b,c) of 3 → 1/3;
+    b,c: deg 2, pair (a,c)/(a,b) connected → 1.0; d: deg 1 → 0."""
+    from sparkrdf.graphops import clustering_coefficient
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "u string, v string"
+    )
+    got = {r.n: (r.deg, r.tri, r.lcc) for r in clustering_coefficient(e).collect()}
+    assert got == {
+        "a": (3, 1, round(1 / 3, 9)),
+        "b": (2, 1, 1.0),
+        "c": (2, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
+
+
+def test_clustering_coefficient_dedupes_and_orients(spark):
+    """Duplicate and reversed edge rows must not inflate degrees."""
+    from sparkrdf.graphops import clustering_coefficient
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a")],
+        "u string, v string",
+    )
+    got = {r.n: (r.deg, r.tri, r.lcc) for r in clustering_coefficient(e).collect()}
+    assert got == {"a": (2, 1, 1.0), "b": (2, 1, 1.0), "c": (2, 1, 1.0)}
+
+
+def test_reciprocity_directed(spark):
+    from sparkrdf.graphops import reciprocity
+
+    e = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual
+            ("a", "c"),                        # one-way
+            ("c", "d"), ("d", "c"),          # mutual
+            ("c", "c"),                        # self-loop dropped
+            ("a", "b"),                        # duplicate dropped
+        ],
+        "u string, v string",
+    )
+    got = {r.n: (r.n_out, r.n_recip, r.reciprocity) for r in reciprocity(e).collect()}
+    assert got == {
+        "a": (2, 1, 0.5),
+        "b": (1, 1, 1.0),
+        "c": (1, 1, 1.0),
+        "d": (1, 1, 1.0),
+    }
