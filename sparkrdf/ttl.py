@@ -6,7 +6,10 @@ input of the engine is the Common-Crawl-style pages table, not RDF files
 (SURVEY.md §2.1 S1).  Scope: the subset of Turtle/TriG used by the reference's
 test corpus (prefixes, prefixed names, IRIs, literals with lang/datatype,
 numeric/boolean shorthand, ';'/',' lists, blank-node labels and anonymous
-property lists, RDF collections, TriG named graphs, comments, long strings).
+property lists, RDF collections, TriG named graphs, comments, long strings),
+plus RDF-star quoted triples ``<< s p o >>`` and annotation blocks
+``{| p o |}``, mapped to the reference's reified-statement model (the
+RDF-star CG "unstar" mapping) so they flow through reify.flatten_reified.
 
 Output row schema (one row per statement — SURVEY.md §1.5):
     (s_kind, s, p, o_kind, o, o_lang, o_datatype, sub_graph)
@@ -37,6 +40,8 @@ _TOKEN_RE = re.compile(
     | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
     | (?P<dtsep>\^\^)
     | (?P<blank>_:[\w\-.]*[\w\-])
+    | (?P<qt><<|>>)
+    | (?P<ann>\{\||\|\})
     | (?P<num>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
     | (?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[\w\-%](?:[\w\-.%]*[\w\-%])?)?)
     | (?P<kw>@?[A-Za-z]+)
@@ -118,6 +123,10 @@ class TurtleParser:
         self.bnode_prefix = bnode_prefix
         self.rows: list[tuple] = []
         self.graph: str | None = None  # current named graph (TriG)
+        # RDF-star: quoted triple (s, p, o) -> its reification node. Quoted
+        # triples are TERMS (referentially transparent), so every occurrence
+        # of the same triple maps to ONE node and one reification quad.
+        self.qt_nodes: dict[tuple, tuple] = {}
 
     # -- token helpers ------------------------------------------------------
     def _peek(self) -> _Tok | None:
@@ -214,14 +223,22 @@ class TurtleParser:
             while True:
                 o = self._parse_object()
                 self._emit(subj, p, o)
+                # RDF-star annotation syntax: `s p o {| p2 o2 ; ... |}` —
+                # the triple is ASSERTED (emitted above) and the annotation
+                # block's statements hang off its quoted-triple node.
+                if self._peek() and self._peek().val == "{|":
+                    self._next()
+                    qnode = self._quoted_node(subj, p, o)
+                    self._parse_predicate_object_list(qnode)
+                    self._expect("|}")
                 if self._peek() and self._peek().val == ",":
                     self._next()
                     continue
                 break
             if self._peek() and self._peek().val == ";":
                 self._next()
-                # tolerate trailing ';' before '.' or '}' or ']'
-                if self._peek() and self._peek().val in (".", "]", "}"):
+                # tolerate trailing ';' before '.' or '}' or ']' or '|}'
+                if self._peek() and self._peek().val in (".", "]", "}", "|}"):
                     break
                 continue
             break
@@ -284,8 +301,40 @@ class TurtleParser:
             raise ValueError(f"unknown prefix {pfx!r} in {pname!r}")
         return self.prefixes[pfx] + local.replace("\\", "")
 
+    def _parse_quoted_triple_body(self) -> tuple:
+        """RDF-star quoted triple ``<< s p o >>`` (the ``<<`` token is
+        already consumed). Maps to the reference's reified-statement model
+        (the CG spec's unstar mapping): one deterministic node carrying
+        ``rdf:type rdf:Statement`` + ``rdf:subject/predicate/object``, which
+        sparkrdf.reify.flatten_reified later collapses to an edge — quoted
+        triples ride the SAME pipeline the reference's reification tests
+        exercise (arango_rdf/main.py:3426-3529 semantics)."""
+        s = self._parse_object()
+        if s[0] == "Literal":
+            raise ValueError(f"quoted-triple subject cannot be a literal @tok{self.i}")
+        p = self._parse_predicate()
+        o = self._parse_object()
+        t = self._next()
+        if not (t.kind == "qt" and t.val == ">>"):
+            raise ValueError(f"expected '>>', got {t!r} @tok{self.i}")
+        return self._quoted_node(s, p, o)
+
+    def _quoted_node(self, s, p, o) -> tuple:
+        key = (s, p, o)
+        node = self.qt_nodes.get(key)
+        if node is None:
+            node = self._new_bnode()
+            self.qt_nodes[key] = node
+            self._emit(node, ("URIRef", RDF_TYPE), ("URIRef", RDF_NS + "Statement"))
+            self._emit(node, ("URIRef", RDF_NS + "subject"), s)
+            self._emit(node, ("URIRef", RDF_NS + "predicate"), p)
+            self._emit(node, ("URIRef", RDF_NS + "object"), o)
+        return node
+
     def _parse_term(self) -> tuple:
         t = self._next()
+        if t.kind == "qt" and t.val == "<<":
+            return self._parse_quoted_triple_body()
         if t.kind == "iri":
             return ("URIRef", self._resolve_iri_token(t.val))
         if t.kind == "pname":

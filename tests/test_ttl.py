@@ -155,3 +155,91 @@ ex:g { ex:a ex:knows ex:b . }
         '<http://example.com/b> <http://example.com/g> .',
         '<http://example.com/a> <http://example.com/name> "line1\\nline2" .',
     ]
+
+
+# --- RDF-star (quoted triples + annotation syntax) ---
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def test_rdf_star_quoted_subject():
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        "<< ex:alice ex:knows ex:bob >> ex:certainty 0.9 .\n"
+    )
+    spo = {(r[1], r[2], r[4]) for r in rows}
+    # unstar mapping: one reification node + the annotating statement
+    node = next(r[1] for r in rows if r[2] == _RDF + "subject")
+    assert (node, _RDF + "type", _RDF + "Statement") in spo
+    assert (node, _RDF + "subject", "http://ex.org/alice") in spo
+    assert (node, _RDF + "predicate", "http://ex.org/knows") in spo
+    assert (node, _RDF + "object", "http://ex.org/bob") in spo
+    assert (node, "http://ex.org/certainty", "0.9") in spo
+    assert len(rows) == 5  # quoted triple itself is NOT asserted
+
+
+def test_rdf_star_same_quoted_triple_is_one_term():
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        "<< ex:a ex:p ex:b >> ex:src ex:doc1 .\n"
+        "<< ex:a ex:p ex:b >> ex:src ex:doc2 .\n"
+        "ex:claim ex:about << ex:a ex:p ex:b >> .\n"
+    )
+    subj_nodes = {r[1] for r in rows if r[2] == _RDF + "subject"}
+    assert len(subj_nodes) == 1  # referential transparency: one node
+    # 4 reification rows + 2 src rows + 1 about row
+    assert len(rows) == 7
+
+
+def test_rdf_star_annotation_block_asserts_base_triple():
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:alice ex:age 30 {| ex:src ex:census ; ex:conf "high" |} .\n'
+    )
+    spo = {(r[1], r[2], r[4]) for r in rows}
+    assert ("http://ex.org/alice", "http://ex.org/age", "30") in spo  # asserted
+    node = next(r[1] for r in rows if r[2] == _RDF + "subject")
+    assert (node, "http://ex.org/src", "http://ex.org/census") in spo
+    assert (node, "http://ex.org/conf", "high") in spo
+    assert len(rows) == 1 + 4 + 2
+
+
+def test_rdf_star_nested_quoted_triple():
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        "<< << ex:a ex:p ex:b >> ex:saidBy ex:carol >> ex:conf 0.5 .\n"
+    )
+    # inner + outer reification (4 rows each) + 1 annotation row
+    assert len(rows) == 9
+    subj_of = {r[1]: r[4] for r in rows if r[2] == _RDF + "subject"}
+    inner = [n for n, s in subj_of.items() if s == "http://ex.org/a"]
+    outer = [n for n, s in subj_of.items() if s in subj_of and s != "http://ex.org/a"]
+    assert len(inner) == 1 and len(outer) == 1
+    assert subj_of[outer[0]] == inner[0]  # outer's subject IS the inner node
+
+
+def test_rdf_star_literal_subject_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="subject cannot be a literal"):
+        parse_ttl('<< "lit" <http://p> <http://o> >> <http://q> <http://r> .')
+
+
+def test_rdf_star_flows_through_reify(spark):
+    """Quoted triple → reification rows → flatten_reified collapses to the
+    base edge with the annotation attached to the edge doc (the same
+    pipeline the reference's reified-statement cases exercise)."""
+    from sparkrdf.reify import flatten_reified
+    from sparkrdf.ttl import statements_df
+
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        "<< ex:alice ex:knows ex:bob >> ex:certainty 0.9 .\n"
+    )
+    stmts = statements_df(spark, rows)
+    flat, rmap = flatten_reified(stmts)
+    assert rmap is not None
+    got = {(r.s, r.p, r.o) for r in flat.collect()}
+    assert ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob") in got
+    # no reification plumbing rows survive
+    assert not any(p.startswith(_RDF) and p != _RDF + "type" for _, p, _ in got)
