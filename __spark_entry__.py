@@ -1109,6 +1109,25 @@ def q_kg_path_closure(spark, sf_dir):
     return path_closure(iri_edges)
 
 
+def q_kg_path_expr(spark, sf_dir):
+    """Full SPARQL 1.1 property-path algebra (sparkrdf/query.py path_expr):
+    ``^mentions/mentions/(rdf:type|lang)?`` over the doc KG — inverse,
+    sequence, alternative, and the set-valued ZeroOrOnePath whose
+    zero-length arm connects every graph node to itself. Sequence is an
+    AQE-sized equi-join (bag semantics, mirroring SQL joins); the ``?``
+    node is a distinct union with the node table. Oracle: the same algebra
+    spelled as explicit DuckDB joins/UNIONs over an inline triple bag."""
+    from sparkrdf.query import path_expr
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    expr = (
+        f"^<{dockg.P_MENTIONS}>/<{dockg.P_MENTIONS}>"
+        f"/(<{T.RDF_TYPE}>|<{dockg.P_LANG}>)?"
+    )
+    out = path_expr(stmts, expr)
+    return out.select(F.col("s").alias("src"), F.col("o").alias("dst"))
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (10 power iterations, d=0.85) over the co-mention graph —
     edges+degrees built once and kept partitioned on the source key; each
@@ -1767,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": q_kg_bgp_match,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
+        "kg_path_expr": q_kg_path_expr,
         "evt_error_attribution": q_evt_error_attribution,
         "evt_nearby_pairs": q_evt_nearby_pairs,
     }
@@ -3609,6 +3629,29 @@ closure(s, o) AS (
   UNION
   SELECT c.s, eg.b FROM closure c JOIN eg ON eg.a = c.o)
 SELECT s, o FROM closure
+"""
+
+    # property-path expression ^mentions/mentions/(type|lang)? — the
+    # sequence hops are bag-semantics joins (multiplicity = shared docs),
+    # the trailing `?` is a SET (distinct union with the all-nodes identity
+    # relation), exactly path_expr's evaluation
+    sql["kg_path_expr"] = f"""
+WITH {_DOC_CTES},
+trip(s, p, o) AS (
+  SELECT s, '{dockg.P_MENTIONS}', ent FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
+  UNION ALL SELECT DISTINCT ent, '{_RDF_TYPE}', cls FROM mentions),
+nodes AS (SELECT s AS n FROM trip UNION SELECT o FROM trip),
+co AS (
+  SELECT m1.ent AS a, m2.ent AS b
+  FROM mentions m1 JOIN mentions m2 ON m1.s = m2.s),
+optn AS (
+  SELECT s, o FROM trip WHERE p IN ('{_RDF_TYPE}', '{dockg.P_LANG}')
+  UNION
+  SELECT n, n FROM nodes)
+SELECT co.a AS src, q.o AS dst FROM co JOIN optn q ON q.s = co.b
 """
 
     khop_src = dockg.class_iri("Operator")

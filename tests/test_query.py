@@ -295,3 +295,73 @@ def test_construct_is_set_semantics(spark, stmts):
         stmts, [("?x", "type", "Person")], [("flag", "seen", "Person")]
     )
     assert out.count() == 1
+
+
+# --- property-path expressions (parse_path / path_expr) ---
+
+
+def test_parse_path_precedence():
+    from sparkrdf.query import parse_path
+
+    # | binds loosest, / next, ^ then postfix mods tightest
+    assert parse_path("a/b|c") == ("alt", ("seq", ("pred", "a"), ("pred", "b")), ("pred", "c"))
+    assert parse_path("^a/b") == ("seq", ("inv", ("pred", "a")), ("pred", "b"))
+    assert parse_path("a/b+") == ("seq", ("pred", "a"), ("plus", ("pred", "b")))
+    assert parse_path("(a|b)*") == ("star", ("alt", ("pred", "a"), ("pred", "b")))
+    assert parse_path("!(a|b)") == ("neg", ["a", "b"])
+    assert parse_path("<http://x/p q>") == ("pred", "http://x/p q")
+
+
+def test_parse_path_errors():
+    from sparkrdf.query import parse_path
+
+    for bad in ["a/", "(a", "a)b", "!", "!()", "<unterminated", "a||b", ""]:
+        with pytest.raises(ValueError):
+            parse_path(bad)
+
+
+def test_path_expr_pred_inverse_seq(spark, stmts):
+    from sparkrdf.query import path_expr
+
+    # ^knows/likes : o knows<- x -likes-> y
+    got = sorted((r.s, r.o) for r in path_expr(stmts, "^knows/likes").collect())
+    assert got == [("bob", "alice"), ("carol", "carol")]
+
+
+def test_path_expr_alt_is_bag(spark, stmts):
+    from sparkrdf.query import path_expr
+
+    rows = [(r.s, r.o) for r in path_expr(stmts, "knows|likes").collect()]
+    assert sorted(rows) == sorted(
+        [("alice", "bob"), ("bob", "carol"), ("alice", "alice"), ("bob", "carol")]
+    )  # bob->carol twice: once per branch (multiset union)
+
+
+def test_path_expr_plus_and_star(spark, stmts):
+    from sparkrdf.query import path_expr
+
+    plus = {(r.s, r.o) for r in path_expr(stmts, "knows+").collect()}
+    assert plus == {("alice", "bob"), ("bob", "carol"), ("alice", "carol")}
+    star = {(r.s, r.o) for r in path_expr(stmts, "knows*").collect()}
+    # star adds zero-length self-loops for EVERY graph node (subjects+objects)
+    all_nodes = {"alice", "bob", "carol", "Person", "Robot"}
+    assert star == plus | {(n, n) for n in all_nodes}
+
+
+def test_path_expr_opt_and_neg(spark, stmts):
+    from sparkrdf.query import path_expr
+
+    opt = {(r.s, r.o) for r in path_expr(stmts, "knows?").collect()}
+    assert ("alice", "bob") in opt and ("alice", "alice") in opt
+    assert ("Person", "Person") in opt  # zero-length over graph nodes
+    neg = {(r.s, r.o) for r in path_expr(stmts, "!(type|likes)").collect()}
+    assert neg == {("alice", "bob"), ("bob", "carol")}
+
+
+def test_path_expr_composed(spark, stmts):
+    from sparkrdf.query import path_expr
+
+    # who does alice transitively know, and what are their types:
+    # knows+/type
+    got = {(r.s, r.o) for r in path_expr(stmts, "knows+/type").collect()}
+    assert got == {("alice", "Person"), ("alice", "Robot"), ("bob", "Robot")}
