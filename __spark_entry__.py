@@ -1239,6 +1239,35 @@ def q_web_host_reciprocity(spark, sf_dir):
                        src="src_host", dst="dst_host")
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """3-truss of the undirected host link graph (sparkrdf/graphops.py
+    ktruss): iterative triangle-support peel to a fixpoint — every
+    surviving edge sits in ≥1 triangle of the SURVIVING subgraph, the
+    cohesive-core extractor stricter than k-core. Converges in 2 rounds on
+    this input; the operator raises (never truncates) past max_rounds.
+    Oracle: the peel unrolled 4 rounds in DuckDB (rounds past the fixpoint
+    are no-ops, so any unroll ≥ the convergence round is exact)."""
+    from sparkrdf.graphops import ktruss
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return ktruss(g, 3, src="src_host", dst="dst_host")
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the undirected host link
+    graph (sparkrdf/graphops.py assortativity): Pearson correlation of
+    endpoint degrees over the symmetrized edge list — negative on
+    hub-and-spoke web topologies. One degree aggregation, two AQE-sized
+    joins, one codegen corr aggregate. Oracle: identical formulation via
+    DuckDB's corr."""
+    from sparkrdf.graphops import assortativity
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return assortativity(g, src="src_host", dst="dst_host")
+
+
 def q_web_host_sssp(spark, sf_dir):
     """Bounded weighted SSSP (sparkrdf/graphops.py sssp_bounded, 6
     Bellman–Ford rounds) over the host graph with cost 1/n_links — heavily
@@ -1772,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_clustering": q_graph_clustering,
         "web_host_reciprocity": q_web_host_reciprocity,
+        "graph_ktruss": q_graph_ktruss,
+        "graph_assortativity": q_graph_assortativity,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3135,6 +3166,38 @@ rc AS (SELECT u AS n, COUNT(*)::BIGINT AS n_recip FROM m GROUP BY u)
 SELECT o.n, o.n_out, COALESCE(rc.n_recip, 0)::BIGINT AS n_recip,
        ROUND(COALESCE(rc.n_recip, 0) / o.n_out, 9) AS reciprocity
 FROM o LEFT JOIN rc ON rc.n = o.n
+"""
+
+    # 3-truss support peel, 4 rounds unrolled (fixpoint on this input is
+    # round 2; peeling a truss is a no-op, so extra rounds cannot drift).
+    # Per round: a<b<c triangle enumeration over the surviving edge set,
+    # per-edge support rollup, filter sup >= k-2 = 1.
+    _truss = _links_base + """,
+e0 AS MATERIALIZED (SELECT DISTINCT least(src_host, dst_host) AS u,
+  greatest(src_host, dst_host) AS v FROM edges)"""
+    for i in range(4):
+        _truss += f""",
+t{i} AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{i} e1 JOIN e{i} e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e{i} e3 ON e3.u = e1.v AND e3.v = e2.v),
+s{i} AS (SELECT u, v, COUNT(*) AS sup FROM (
+  SELECT a AS u, b AS v FROM t{i}
+  UNION ALL SELECT a, c FROM t{i}
+  UNION ALL SELECT b, c FROM t{i}) GROUP BY u, v),
+e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
+  JOIN s{i} s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 1)"""
+    sql["graph_ktruss"] = _truss + "\nSELECT u, v FROM e4\n"
+
+    # degree assortativity: Pearson corr of endpoint degrees over the
+    # symmetrized (both-orientations) undirected edge list
+    sql["graph_assortativity"] = _links_base + """,
+ue AS (SELECT DISTINCT least(src_host, dst_host) AS u,
+  greatest(src_host, dst_host) AS v FROM edges),
+b AS (SELECT u AS x, v AS y FROM ue UNION ALL SELECT v, u FROM ue),
+deg AS (SELECT x AS n, COUNT(*)::BIGINT AS d FROM b GROUP BY x)
+SELECT (COUNT(*) / 2)::BIGINT AS n_edges,
+       ROUND(corr(d1.d, d2.d), 9) AS assortativity
+FROM b JOIN deg d1 ON d1.n = b.x JOIN deg d2 ON d2.n = b.y
 """
 
     # deterministic sync label propagation, the 4 rounds unrolled: per

@@ -1081,3 +1081,116 @@ def reciprocity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
             ).alias("reciprocity"),
         )
     )
+
+
+def ktruss(
+    edges: DataFrame, k: int, src: str = "u", dst: str = "v", max_rounds: int = 30
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph in which
+    every edge participates in at least ``k - 2`` triangles — the standard
+    "cohesive core" extractor, stricter than k-core because it demands
+    mutual neighbors, not just degree. Input is an arbitrary directed/
+    duplicated edge list; it is undirected and deduped first. Returns the
+    surviving ``(u, v)`` pairs with ``u < v``.
+
+    Algorithm: iterative support peel. Each round enumerates triangles with
+    the degree-oriented node-iterator (:func:`triangles` — per-vertex wedge
+    work bounded by oriented out-degree ≤ √m, Zipf-hub-proof), counts each
+    edge's triangle support with one map-side-combinable aggregation, and
+    drops edges below ``k - 2``. Dropping edges can break other edges'
+    triangles, so the peel repeats until a fixpoint; the peeled set shrinks
+    monotonically, so the loop terminates in ≤ |E| rounds (in practice a
+    handful). Lineage is truncated per round (eager localCheckpoint) and
+    convergence is an explicit count — if ``max_rounds`` is exhausted while
+    still shrinking it RAISES rather than returning a non-truss.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    n = e.count()
+    for _ in range(max_rounds):
+        tri = triangles(e)
+        sup = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("sup"))
+        )
+        kept = (
+            e.join(sup, ["u", "v"])
+            .filter(F.col("sup") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        m = kept.count()
+        if m == n:
+            return kept
+        e, n = kept, m
+    raise RuntimeError(
+        f"ktruss still peeling after {max_rounds} rounds (graph adversarially "
+        "deep); raise max_rounds"
+    )
+
+
+def assortativity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list, each
+    edge counted in both orientations (the standard symmetrization — the
+    correlation is then over the "stub" joint degree distribution).
+    Positive = hubs link hubs (social graphs), negative = hubs link leaves
+    (the typical web/host topology). Returns one row
+    ``(n_edges, assortativity)``; NULL when degrees have zero variance.
+
+    Scale shape: degrees are one map-side-combinable aggregation over the
+    doubled edge list; attaching them is two equi-joins on single node
+    keys (AQE broadcast-converts the degree table when small — it is
+    |V| rows); the correlation itself is a single whole-stage-codegen
+    ``corr`` aggregate, no driver collect.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    both = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy(F.col("u").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    j = (
+        both.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # Pearson from explicit moment sums instead of F.corr: ANSI mode makes
+    # corr() raise divide-by-zero on a regular graph (zero degree
+    # variance), where the spec'd answer is NULL. Moments in double — at
+    # web scale Σ(du·dv) overflows BIGINT long before it loses precision
+    # that survives the final 9-digit round.
+    x, y = F.col("du").cast("double"), F.col("dv").cast("double")
+    stats = j.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return stats.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(F.when(den != 0, num / den), 9).alias("assortativity"),
+    )

@@ -985,3 +985,68 @@ def test_reciprocity_directed(spark):
         "c": (1, 1, 1.0),
         "d": (1, 1, 1.0),
     }
+
+
+def test_ktruss_peels_cascade_to_k4(spark):
+    # K4 on a,b,c,d (every edge in 2 triangles) + a triangle strip d-e-f,
+    # e-f-g hanging off it. Round 1 drops all strip edges except (e,f)
+    # (support 1 < 2); round 2 drops (e,f) whose triangles are now gone —
+    # the cascade that makes truss an ITERATIVE peel, not one filter.
+    from sparkrdf.graphops import ktruss
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    strip = [("d", "e"), ("d", "f"), ("e", "f"), ("e", "g"), ("f", "g")]
+    e = spark.createDataFrame(k4 + strip, "u string, v string")
+    got = {(r.u, r.v) for r in ktruss(e, 4).collect()}
+    assert got == set(k4)
+
+
+def test_ktruss_undirects_and_dedupes_input(spark):
+    from sparkrdf.graphops import ktruss
+
+    # triangle given as directed duplicates both ways + a self loop
+    rows = [("b", "a"), ("a", "b"), ("c", "a"), ("b", "c"), ("c", "c")]
+    e = spark.createDataFrame(rows, "u string, v string")
+    got = {(r.u, r.v) for r in ktruss(e, 3).collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+def test_ktruss_k_below_3_raises(spark):
+    import pytest
+    from sparkrdf.graphops import ktruss
+
+    e = spark.createDataFrame([("a", "b")], "u string, v string")
+    with pytest.raises(ValueError, match="k >= 3"):
+        ktruss(e, 2)
+
+
+def test_ktruss_max_rounds_raises_not_truncates(spark):
+    import pytest
+    from sparkrdf.graphops import ktruss
+
+    strip = [("d", "e"), ("d", "f"), ("e", "f"), ("e", "g"), ("f", "g")]
+    e = spark.createDataFrame(strip, "u string, v string")
+    with pytest.raises(RuntimeError, match="still peeling"):
+        ktruss(e, 4, max_rounds=1)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from sparkrdf.graphops import assortativity
+
+    star = spark.createDataFrame(
+        [("hub", "l1"), ("hub", "l2"), ("hub", "l3")], "u string, v string"
+    )
+    row = assortativity(star).collect()[0]
+    assert row.n_edges == 3
+    assert row.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from sparkrdf.graphops import assortativity
+
+    c4 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "u string, v string"
+    )
+    row = assortativity(c4).collect()[0]
+    assert row.n_edges == 4
+    assert row.assortativity is None  # zero degree variance
