@@ -1528,6 +1528,36 @@ def q_kg_rdfs_entailed(spark, sf_dir):
     return rdfs_materialize(inst, onto)
 
 
+def q_kg_owl_entailed(spark, sf_dir):
+    """OWL-lite property-axiom materialization (sparkrdf/reason.py
+    owl_materialize) over the doc-KG's IRI-object triples plus asserted
+    co-mention kg:relatedTo edges: relatedTo is declared symmetric AND
+    transitive (its entailment is the co-mention component relation,
+    self-loops included) and kg:mentions gets its inverse
+    kg:mentionedIn materialized. Axioms broadcast; the only closure runs
+    over the entity-graph edges, (p, node)-keyed iterative doubling.
+    Oracle: recursive-CTE closure over the symmetrized relation + the
+    inverse projection, unioned distinct."""
+    from sparkrdf.reason import owl_materialize
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    inst = stmts.filter(F.col("o_kind") == "URIRef").select("s", "p", "o")
+    men = inst.filter(F.col("p") == dockg.P_MENTIONS)
+    co = (
+        men.alias("a")
+        .join(men.alias("b"), F.col("a.s") == F.col("b.s"))
+        .filter(F.col("a.o") < F.col("b.o"))
+        .select(
+            F.col("a.o").alias("s"),
+            F.lit(dockg.P_RELATED).alias("p"),
+            F.col("b.o").alias("o"),
+        )
+        .dropDuplicates()
+    )
+    onto = spark.createDataFrame(dockg.DOC_OWL, "s string, p string, o string")
+    return owl_materialize(inst.unionByName(co), onto)
+
+
 def q_kg_char_sets(spark, sf_dir):
     """Characteristic sets (Neumann & Moerkotte 2011; sparkrdf/reason.py
     characteristic_sets): subjects grouped by their exact predicate set —
@@ -1789,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_trust": q_kg_source_trust,
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_rdfs_entailed": q_kg_rdfs_entailed,
+        "kg_owl_entailed": q_kg_owl_entailed,
         "kg_char_sets": q_kg_char_sets,
         "kg_shape_violations": q_kg_shape_violations,
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -1983,6 +2014,31 @@ inh AS (
   SELECT t.s AS s, '{_RDF_TYPE}' AS p, c.b AS o
   FROM t2 t JOIN scc c ON c.a = t.o WHERE t.p = '{_RDF_TYPE}')
 SELECT DISTINCT s, p, o FROM (SELECT * FROM t2 UNION ALL SELECT * FROM inh)
+"""
+
+    # OWL-lite axiom materialization: relatedTo (co-mention, asserted u<v)
+    # symmetric+transitive -> recursive closure over the symmetrized
+    # relation; mentions inverseOf mentionedIn -> one projection. The
+    # Spark side's third sym/inv pass derives nothing new (closure of a
+    # symmetric seed is symmetric), so the oracle unions exactly these.
+    sql["kg_owl_entailed"] = f"""
+WITH RECURSIVE {_DOC_CTES},
+trip AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions)),
+co AS (SELECT DISTINCT m1.ent AS u, m2.ent AS v
+  FROM mentions m1 JOIN mentions m2 ON m1.s = m2.s AND m1.ent < m2.ent),
+rel0 AS (SELECT u AS s, v AS o FROM co UNION SELECT v, u FROM co),
+relc(s, o) AS (
+  SELECT s, o FROM rel0
+  UNION
+  SELECT relc.s, rel0.o FROM relc JOIN rel0 ON rel0.s = relc.o)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM trip
+  UNION ALL SELECT ent, '{dockg.P_MENTIONED_IN}', s FROM mentions
+  UNION ALL SELECT u, '{dockg.P_RELATED}', v FROM co
+  UNION ALL SELECT s, '{dockg.P_RELATED}', o FROM relc)
 """
 
     # characteristic sets: per-subject sorted distinct predicate string,

@@ -70,6 +70,18 @@ DOC_ONTOLOGY: list[tuple[str, str, str]] = [
     (P_REFERENCES, _RDFS + "range", CLS_ENTITY),
 ]
 
+P_MENTIONED_IN = KG + "prop/mentionedIn"
+
+# OWL-lite property axioms over the doc-KG (sparkrdf/reason.py
+# owl_materialize): the co-mention relation is symmetric AND transitive
+# (its closure = the co-mention connected components as a relation), and
+# kg:mentions has a declared inverse.
+DOC_OWL: list[tuple[str, str, str]] = [
+    (P_RELATED, T.RDF_TYPE, T.OWL_SYMMETRIC),
+    (P_RELATED, T.RDF_TYPE, T.OWL_TRANSITIVE),
+    (P_MENTIONS, T.OWL_INVERSE_OF, P_MENTIONED_IN),
+]
+
 # SHACL-lite property shapes over the doc-KG (shape_id, target_class, path,
 # min_count, max_count; NULL max = unbounded)
 DOC_SHAPES: list[tuple[str, str, str, int, int | None]] = [

@@ -216,3 +216,96 @@ def shape_violations(
         .otherwise(F.lit("max"))
         .alias("kind"),
     )
+
+
+def owl_materialize(
+    triples: DataFrame,
+    ontology: DataFrame,
+    max_doubling: int = 6,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Materialize the OWL-lite property-axiom entailment of ``triples``:
+    ``owl:SymmetricProperty`` (``(s p o) ⊢ (o p s)``), ``owl:inverseOf``
+    (``(s p o) ⊢ (o q s)``, both directions — inverseOf is symmetric), and
+    ``owl:TransitiveProperty`` (per-property transitive closure). The OWL
+    companion to :func:`rdfs_materialize` — together they cover the axiom
+    vocabulary the reference's meta ontologies actually use
+    (sparkrdf/meta/*.trig declare symmetric/inverse pairs like
+    ``adb:collection`` relations).
+
+    Completeness schedule (one pass, no outer fixpoint): symmetric/inverse
+    expansion FIRST (so closures run over the full edge sets), per-property
+    transitive closure SECOND, symmetric/inverse re-applied THIRD to cover
+    closure-derived edges (``p(a,b), p(b,c) ⊢ p(a,c) ⊢ q(c,a)``). That
+    schedule is a fixpoint for these three axiom types: the closure of a
+    symmetric edge set is itself symmetric, and the inverse image of a
+    transitive closure IS the closure of the inverse image, so a fourth
+    pass derives nothing new.
+
+    Scale shape: axiom tables are human-authored (broadcast); symmetric and
+    inverse rules are map-only projections gated by a broadcast semi/equi
+    join. The transitive rule closes ONLY edges of declared-transitive
+    properties (a broadcast semi-join prunes the stream first) with
+    (p, node)-keyed iterative doubling — O(log path-length) self-joins,
+    early-converging, raising rather than truncating. One final
+    dropDuplicates is the only full-stream shuffle.
+    """
+    t = _spo(triples, s_col, p_col, o_col).dropDuplicates()
+    onto = _spo(ontology, "s", "p", "o")
+
+    sym = F.broadcast(
+        onto.filter(
+            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_SYMMETRIC)
+        ).select(F.col("s").alias("p"))
+    )
+    inv_pairs = onto.filter(F.col("p") == T.OWL_INVERSE_OF).select(
+        F.col("s").alias("p"), F.col("o").alias("_q")
+    )
+    inv = F.broadcast(
+        inv_pairs.unionByName(
+            inv_pairs.select(F.col("_q").alias("p"), F.col("p").alias("_q"))
+        ).dropDuplicates()
+    )
+    trans = F.broadcast(
+        onto.filter(
+            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_TRANSITIVE)
+        ).select(F.col("s").alias("p"))
+    )
+
+    def sym_inv(df: DataFrame) -> DataFrame:
+        flipped = df.join(sym, "p", "left_semi").select(
+            F.col("o").alias("s"), "p", F.col("s").alias("o")
+        )
+        inverted = df.join(inv, "p").select(
+            F.col("o").alias("s"), F.col("_q").alias("p"), F.col("s").alias("o")
+        )
+        return df.unionByName(flipped).unionByName(inverted).dropDuplicates()
+
+    t1 = sym_inv(t)
+
+    # per-property transitive closure, (p, endpoint)-keyed doubling
+    r = t1.join(trans, "p", "left_semi").dropDuplicates().localCheckpoint(eager=True)
+    n = r.count()
+    closed = r
+    if n:
+        for _ in range(max_doubling):
+            a, b = closed.alias("a"), closed.alias("b")
+            stepped = a.join(
+                b, (F.col("a.p") == F.col("b.p")) & (F.col("a.o") == F.col("b.s"))
+            ).select(F.col("a.s").alias("s"), F.col("a.p").alias("p"), F.col("b.o").alias("o"))
+            merged = (
+                closed.unionByName(stepped).dropDuplicates().localCheckpoint(eager=True)
+            )
+            m = merged.count()
+            if m == n:
+                break
+            closed, n = merged, m
+        else:
+            raise RuntimeError(
+                f"owl_materialize transitive closure still growing after "
+                f"{max_doubling} doubling rounds; raise max_doubling"
+            )
+    t2 = t1.unionByName(closed)
+    return sym_inv(t2)

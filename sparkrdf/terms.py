@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 XSD = "http://www.w3.org/2001/XMLSchema#"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL_NS = "http://www.w3.org/2002/07/owl#"
 ADB_NS = "http://www.arangodb.com/"
+
+OWL_SYMMETRIC = OWL_NS + "SymmetricProperty"
+OWL_TRANSITIVE = OWL_NS + "TransitiveProperty"
+OWL_INVERSE_OF = OWL_NS + "inverseOf"
 
 RDF_TYPE = RDF_NS + "type"
 RDF_STATEMENT = RDF_NS + "Statement"

@@ -113,3 +113,107 @@ def test_shape_violations_null_max_is_unbounded(spark):
         "min_count int, max_count int",
     )
     assert shape_violations(t, shapes).count() == 0
+
+
+# --- owl_materialize ---
+
+
+def _owl(spark, triples, axioms):
+    from sparkrdf.reason import owl_materialize
+
+    t = spark.createDataFrame(triples, "s string, p string, o string")
+    o = spark.createDataFrame(axioms, "s string, p string, o string")
+    return {(r.s, r.p, r.o) for r in owl_materialize(t, o).collect()}
+
+
+def test_owl_symmetric(spark):
+    from sparkrdf import terms as T
+
+    got = _owl(
+        spark,
+        [("a", "knows", "b")],
+        [("knows", T.RDF_TYPE, T.OWL_SYMMETRIC)],
+    )
+    assert got == {("a", "knows", "b"), ("b", "knows", "a")}
+
+
+def test_owl_inverse_both_directions(spark):
+    from sparkrdf import terms as T
+
+    got = _owl(
+        spark,
+        [("c", "hasParent", "p"), ("q", "hasChild", "d")],
+        [("hasParent", T.OWL_INVERSE_OF, "hasChild")],
+    )
+    assert got == {
+        ("c", "hasParent", "p"),
+        ("p", "hasChild", "c"),
+        ("q", "hasChild", "d"),
+        ("d", "hasParent", "q"),
+    }
+
+
+def test_owl_transitive_closure(spark):
+    from sparkrdf import terms as T
+
+    got = _owl(
+        spark,
+        [("a", "anc", "b"), ("b", "anc", "c"), ("c", "anc", "d"),
+         ("x", "other", "y")],
+        [("anc", T.RDF_TYPE, T.OWL_TRANSITIVE)],
+    )
+    anc = {(s, o) for s, p, o in got if p == "anc"}
+    assert anc == {("a", "b"), ("b", "c"), ("c", "d"),
+                   ("a", "c"), ("b", "d"), ("a", "d")}
+    assert ("x", "other", "y") in got and len(got) == 7
+
+
+def test_owl_transitive_then_inverse_of_derived_edge(spark):
+    from sparkrdf import terms as T
+
+    # p(a,b), p(b,c) |- p(a,c) |- q(c,a): the inverse must fire on the
+    # CLOSURE-derived edge, which a single sym/inv pass before the closure
+    # would miss — pins the 3-pass schedule.
+    got = _owl(
+        spark,
+        [("a", "p", "b"), ("b", "p", "c")],
+        [("p", T.RDF_TYPE, T.OWL_TRANSITIVE), ("p", T.OWL_INVERSE_OF, "q")],
+    )
+    assert ("q" and ("c", "q", "a")) and ("c", "q", "a") in got
+    assert ("a", "p", "c") in got and ("b", "q", "a") in got
+
+
+def test_owl_symmetric_transitive_makes_component_relation(spark):
+    from sparkrdf import terms as T
+
+    # symmetric + transitive chain: every ordered pair in the component,
+    # self-loops included (u~v, v~u compose to u~u)
+    got = _owl(
+        spark,
+        [("a", "rel", "b"), ("b", "rel", "c")],
+        [("rel", T.RDF_TYPE, T.OWL_SYMMETRIC), ("rel", T.RDF_TYPE, T.OWL_TRANSITIVE)],
+    )
+    nodes = {"a", "b", "c"}
+    assert got == {(u, "rel", v) for u in nodes for v in nodes}
+
+
+def test_owl_no_axioms_is_identity(spark):
+    from sparkrdf import terms as T
+
+    triples = [("a", "p", "b"), ("b", "q", "c")]
+    got = _owl(spark, triples, [("unused", T.RDF_TYPE, T.OWL_SYMMETRIC)])
+    assert got == set(triples)
+
+
+def test_owl_unconverged_closure_raises(spark):
+    import pytest
+    from sparkrdf import terms as T
+    from sparkrdf.reason import owl_materialize
+
+    chain = [(f"n{i}", "p", f"n{i+1}") for i in range(9)]
+    t = spark.createDataFrame(chain, "s string, p string, o string")
+    o = spark.createDataFrame(
+        [("p", T.RDF_TYPE, T.OWL_TRANSITIVE)], "s string, p string, o string"
+    )
+    with pytest.raises(RuntimeError, match="still growing"):
+        owl_materialize(t, o, max_doubling=2)
