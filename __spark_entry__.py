@@ -949,6 +949,35 @@ def q_kg_bgp_match(spark, sf_dir):
     )
 
 
+def q_kg_bgp_graph(spark, sf_dir):
+    """SPARQL GRAPH (named-graph quad patterns, sparkrdf/query.py
+    bgp_match 4-tuples): doc-subject statements are scoped into a
+    per-language graph ``graph://{lang}``, entity-class statements into
+    ``graph://meta``; the query binds the graph of each mention
+    (``GRAPH ?g {{ ?d mentions ?e }}``) and joins the entity's class from
+    the meta graph. One left join attaches graphs; the quad patterns are
+    the same pushed-down filtered scans as triples. Oracle: the identical
+    graph-tagged join in DuckDB."""
+    from sparkrdf.query import bgp_match
+
+    docs = _docs(spark, sf_dir)
+    stmts = dockg.doc_triples(spark, docs)
+    graphs = docs.select(
+        F.concat(F.lit(dockg.DOC_PREFIX), F.col("doc_id").cast("string")).alias("s"),
+        F.concat(F.lit("graph://"), F.col("lang")).alias("_g"),
+    )
+    quads = stmts.join(graphs, "s", "left").withColumn(
+        "sub_graph", F.coalesce(F.col("_g"), F.lit("graph://meta"))
+    ).drop("_g")
+    return bgp_match(
+        quads,
+        [
+            ("?d", dockg.P_MENTIONS, "?e", "?g"),
+            ("?e", _RDF_TYPE, "?c", "graph://meta"),
+        ],
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -1846,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fuzzy_pairs": q_er_fuzzy_pairs,
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
+        "kg_bgp_graph": q_kg_bgp_graph,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3729,6 +3759,18 @@ FROM docs t1
 JOIN mentions t2 ON t2.s = t1.s
 JOIN (SELECT DISTINCT ent FROM mentions
       WHERE cls = '{dockg.class_iri("Operator")}') t3 ON t3.ent = t2.ent
+"""
+
+    # named-graph quad patterns: mention rows live in the doc's per-lang
+    # graph (bound by ?g), entity-class rows in graph://meta — the quad
+    # join spelled directly over the graph-tagged CTEs
+    sql["kg_bgp_graph"] = f"""
+WITH {_DOC_CTES},
+et AS (SELECT DISTINCT ent, cls FROM mentions)
+SELECT m.s AS d, m.ent AS e, 'graph://' || dd.lang AS g, et.cls AS c
+FROM mentions m
+JOIN docs dd ON dd.s = m.s
+JOIN et ON et.ent = m.ent
 """
 
     # k-hop BFS over the IRI-object triple pairs, levels unrolled; the

@@ -20,15 +20,20 @@ def _is_var(term: str) -> bool:
 
 def bgp_match(
     stmts: DataFrame,
-    patterns: list[tuple[str, str, str]],
+    patterns: list[tuple],
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    g_col: str = "sub_graph",
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern (SPARQL BGP semantics, bag
     solutions) against a statements table. Each pattern term is either a
     constant string or a variable ``"?name"``; the result has one column
-    per distinct variable, named without the ``?``.
+    per distinct variable, named without the ``?``. A pattern may also be
+    a QUAD ``(s, p, o, g)`` — SPARQL's ``GRAPH g {{ ... }}`` — matching the
+    ``g_col`` named-graph column (a constant graph IRI filters to that
+    graph; a variable binds it; default-graph rows hold NULL there and are
+    matched by neither, per the dataset semantics).
 
     Scale shape: every pattern is an independent filtered projection of the
     statements scan — constant terms become pushed-down predicates, so a
@@ -43,18 +48,24 @@ def bgp_match(
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
 
-    cols = {"s": s_col, "p": p_col, "o": o_col}
+    cols = {"s": s_col, "p": p_col, "o": o_col, "g": g_col}
 
     def project(pat):
-        s, p, o = pat
+        if len(pat) not in (3, 4):
+            raise ValueError(f"pattern must be a triple or quad, got {pat!r}")
         df = stmts
         seen: dict[str, str] = {}  # var -> first source column
         out = []
-        for pos, term in zip(("s", "p", "o"), (s, p, o)):
+        for pos, term in zip(("s", "p", "o", "g"), pat):
             col = cols[pos]
             if not _is_var(term):
                 df = df.filter(F.col(col) == term)
             else:
+                if pos == "g":
+                    # GRAPH ?g ranges over NAMED graphs only: default-graph
+                    # rows (NULL) never bind a graph variable (SPARQL 1.1
+                    # §13.3) — and an unfiltered NULL would poison joins
+                    df = df.filter(F.col(col).isNotNull())
                 var = term[1:]
                 if var in seen:  # repeated var inside one pattern
                     df = df.filter(F.col(col) == F.col(seen[var]))

@@ -365,3 +365,61 @@ def test_path_expr_composed(spark, stmts):
     # knows+/type
     got = {(r.s, r.o) for r in path_expr(stmts, "knows+/type").collect()}
     assert got == {("alice", "Person"), ("alice", "Robot"), ("bob", "Robot")}
+
+
+# --- quad patterns (SPARQL GRAPH) ---
+
+QUADS = [
+    ("alice", "knows", "bob", "g1"),
+    ("bob", "knows", "carol", "g2"),
+    ("alice", "type", "Person", "meta"),
+    ("bob", "type", "Person", "meta"),
+    ("dave", "knows", "erin", None),  # default graph
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(
+        QUADS, "s string, p string, o string, sub_graph string"
+    ).cache()
+
+
+def test_quad_constant_graph_filters(spark, quads):
+    got = sorted(
+        (r.x, r.y)
+        for r in bgp_match(quads, [("?x", "knows", "?y", "g1")]).collect()
+    )
+    assert got == [("alice", "bob")]
+
+
+def test_quad_graph_variable_binds(spark, quads):
+    got = sorted(
+        (r.x, r.g) for r in bgp_match(quads, [("?x", "knows", "?y", "?g")]).collect()
+    )
+    # NULL-graph (default graph) rows are not named-graph solutions
+    assert got == [("alice", "g1"), ("bob", "g2")]
+
+
+def test_quad_joins_across_graphs(spark, quads):
+    # GRAPH ?g { ?x knows ?y } . GRAPH "meta" { ?x type ?c }
+    got = sorted(
+        (r.x, r.y, r.g, r.c)
+        for r in bgp_match(
+            quads, [("?x", "knows", "?y", "?g"), ("?x", "type", "?c", "meta")]
+        ).collect()
+    )
+    assert got == [("alice", "bob", "g1", "Person"), ("bob", "carol", "g2", "Person")]
+
+
+def test_quad_mixed_with_triple_pattern(spark, quads):
+    # a bare triple pattern matches rows in ANY graph, incl. the default
+    got = sorted(
+        (r.x, r.y) for r in bgp_match(quads, [("?x", "knows", "?y")]).collect()
+    )
+    assert got == [("alice", "bob"), ("bob", "carol"), ("dave", "erin")]
+
+
+def test_quad_bad_arity_raises(spark, quads):
+    with pytest.raises(ValueError, match="triple or quad"):
+        bgp_match(quads, [("?x", "knows")])
