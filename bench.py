@@ -66,6 +66,11 @@ OP_QUERIES = (
     "evt_funnel",
     "evt_interval_merge",
     "er_sorted_neighborhood",
+    "kg_path_expr",
+    "kg_owl_entailed",
+    "kg_bgp_graph",
+    "graph_ktruss",
+    "graph_assortativity",
 )
 
 

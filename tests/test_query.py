@@ -423,3 +423,50 @@ def test_quad_mixed_with_triple_pattern(spark, quads):
 def test_quad_bad_arity_raises(spark, quads):
     with pytest.raises(ValueError, match="triple or quad"):
         bgp_match(quads, [("?x", "knows")])
+
+
+def test_parse_path_render_roundtrip_fuzz():
+    """Property: rendering a random path AST with full parenthesization and
+    re-parsing yields the identical AST — pins tokenizer + precedence over
+    the whole grammar, driver-side only (no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkrdf.query import parse_path
+
+    iri = st.sampled_from(["p", "q", "http://ex.org/r", "ns:local"])
+
+    def render(node):
+        k = node[0]
+        if k == "pred":
+            return f"<{node[1]}>"
+        if k == "neg":
+            return "!(" + "|".join(f"<{i}>" for i in node[1]) + ")"
+        if k == "inv":
+            return "^(" + render(node[1]) + ")"
+        if k in ("star", "plus", "opt"):
+            return "(" + render(node[1]) + ")" + {"star": "*", "plus": "+", "opt": "?"}[k]
+        if k == "seq":
+            return "(" + render(node[1]) + "/" + render(node[2]) + ")"
+        if k == "alt":
+            return "(" + render(node[1]) + "|" + render(node[2]) + ")"
+        raise AssertionError(k)
+
+    ast = st.recursive(
+        st.one_of(
+            st.tuples(st.just("pred"), iri),
+            st.tuples(st.just("neg"), st.lists(iri, min_size=1, max_size=3)),
+        ),
+        lambda inner: st.one_of(
+            st.tuples(st.sampled_from(["inv", "star", "plus", "opt"]), inner),
+            st.tuples(st.sampled_from(["seq", "alt"]), inner, inner),
+        ),
+        max_leaves=8,
+    )
+
+    @given(ast)
+    @settings(max_examples=200, deadline=None)
+    def check(node):
+        assert parse_path(render(node)) == node
+
+    check()
