@@ -978,6 +978,55 @@ def q_kg_bgp_graph(spark, sf_dir):
     )
 
 
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE via Concise Bounded Description (sparkrdf/query.py
+    describe_cbd): doc mentions are remodeled as n-ary blank-node
+    structures (doc --hasMention--> _:m --entity/surface--> ...), and the
+    German-language documents are described — their own statements plus,
+    recursively, their mention bnodes' statements; IRI objects stop the
+    recursion per the CBD spec. Frontier semi-joins per round, one final
+    left-semi against the accumulated subject set. Oracle: the de-doc
+    rows + their bnode rows spelled directly in DuckDB."""
+    from sparkrdf.query import describe_cbd
+
+    docs = _docs(spark, sf_dir)
+    stmts = dockg.doc_triples(spark, docs)
+    men = stmts.filter(F.col("p") == dockg.P_MENTIONS)
+    bn = F.concat(F.lit("m:"), F.col("s"), F.lit("|"), F.col("o"))
+    nul = F.lit(None).cast("string")
+
+    def row(s_kind, s, p, o_kind, o):
+        return men.select(
+            F.lit(s_kind).alias("s_kind"),
+            s.alias("s"),
+            F.lit(p).alias("p"),
+            F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            nul.alias("o_lang"),
+            nul.alias("o_datatype"),
+            nul.alias("sub_graph"),
+        )
+
+    nary = (
+        row("URIRef", F.col("s"), dockg.P_HAS_MENTION, "BNode", bn)
+        .unionByName(row("BNode", bn, dockg.P_ENT, "URIRef", F.col("o")))
+        .unionByName(
+            row(
+                "BNode",
+                bn,
+                dockg.P_SURFACE,
+                "Literal",
+                F.regexp_extract(F.col("o"), r"entity/(.*)$", 1),
+            )
+        )
+    )
+    all_stmts = stmts.filter(F.col("p") != dockg.P_MENTIONS).unionByName(nary)
+    seeds = docs.filter(F.col("lang") == "de").select(
+        F.concat(F.lit(dockg.DOC_PREFIX), F.col("doc_id").cast("string")).alias("n")
+    )
+    return describe_cbd(all_stmts, seeds).select("s", "p", "o_kind", "o")
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -1876,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmeans": q_corpus_kmeans,
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bgp_graph": q_kg_bgp_graph,
+        "kg_describe": q_kg_describe,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3771,6 +3821,26 @@ SELECT m.s AS d, m.ent AS e, 'graph://' || dd.lang AS g, et.cls AS c
 FROM mentions m
 JOIN docs dd ON dd.s = m.s
 JOIN et ON et.ent = m.ent
+"""
+
+    # DESCRIBE (concise bounded description) of the German docs: their own
+    # statement rows plus their mention-bnode rows; entity IRIs stop the
+    # recursion, so entity-class rows never appear
+    sql["kg_describe"] = f"""
+WITH {_DOC_CTES},
+de AS (SELECT s, lang, ntok FROM docs WHERE lang = 'de'),
+dm AS (SELECT m.s, m.ent FROM mentions m JOIN de ON de.s = m.s)
+SELECT s, p, o_kind, o FROM (
+  SELECT s, '{_RDF_TYPE}' AS p, 'URIRef' AS o_kind,
+         '{dockg.CLS_DOCUMENT}' AS o FROM de
+  UNION ALL SELECT s, '{dockg.P_LANG}', 'Literal', lang FROM de
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', 'Literal', ntok FROM de
+  UNION ALL SELECT s, '{dockg.P_HAS_MENTION}', 'BNode',
+    'm:' || s || '|' || ent FROM dm
+  UNION ALL SELECT 'm:' || s || '|' || ent, '{dockg.P_ENT}', 'URIRef', ent
+    FROM dm
+  UNION ALL SELECT 'm:' || s || '|' || ent, '{dockg.P_SURFACE}', 'Literal',
+    regexp_extract(ent, 'entity/(.*)$', 1) FROM dm)
 """
 
     # k-hop BFS over the IRI-object triple pairs, levels unrolled; the

@@ -71,6 +71,9 @@ DOC_ONTOLOGY: list[tuple[str, str, str]] = [
 ]
 
 P_MENTIONED_IN = KG + "prop/mentionedIn"
+P_HAS_MENTION = KG + "prop/hasMention"
+P_ENT = KG + "prop/entity"
+P_SURFACE = KG + "prop/surface"
 
 # OWL-lite property axioms over the doc-KG (sparkrdf/reason.py
 # owl_materialize): the co-mention relation is symmetric AND transitive

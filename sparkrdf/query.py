@@ -564,3 +564,57 @@ def construct_triples(
     for nxt in outs[1:]:
         acc = acc.unionByName(nxt)
     return acc.dropDuplicates(["s", "p", "o"])
+
+
+def describe_cbd(
+    stmts: DataFrame,
+    subjects: DataFrame,
+    s_col: str = "s",
+    o_col: str = "o",
+    o_kind_col: str = "o_kind",
+    bnode_kind: str = "BNode",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """SPARQL ``DESCRIBE`` as a Concise Bounded Description (CBD): for every
+    seed resource, its outgoing statements plus — recursively — the
+    statements of every BLANK NODE reached in object position. Blank nodes
+    have no global identity, so a resource's description is incomplete
+    without them (nested property lists, RDF collections, reified/n-ary
+    structures); IRI and literal objects stop the recursion, per the CBD
+    spec. ``subjects`` is a one-column DataFrame of seed terms; the result
+    keeps the full input statement schema.
+
+    Scale shape: the subject SET is grown khop-style — each round one
+    left-semi join of the statements table against the (narrow, typically
+    shrinking) frontier, a bnode-object projection, and an anti-join
+    against the visited set, frontier checkpointed per round so lineage
+    stays O(1). The final output is ONE left-semi join of the statements
+    table against the accumulated subject set — statements rows are never
+    duplicated or widened mid-loop. Depth is bounded by the deepest bnode
+    chain (data, not corpus, sized); exhausting ``max_rounds`` RAISES
+    rather than returning a silently truncated description.
+    """
+    seed_col = subjects.columns[0]
+    visited = (
+        subjects.select(F.col(seed_col).alias("n"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for _ in range(max_rounds):
+        reached = (
+            stmts.join(frontier, stmts[s_col] == frontier["n"], "left_semi")
+            .filter(F.col(o_kind_col) == bnode_kind)
+            .select(F.col(o_col).alias("n"))
+            .dropDuplicates()
+            .join(visited, "n", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if reached.isEmpty():
+            return stmts.join(visited, stmts[s_col] == visited["n"], "left_semi")
+        visited = visited.unionAll(reached).localCheckpoint(eager=True)
+        frontier = reached
+    raise RuntimeError(
+        f"describe_cbd blank-node closure deeper than {max_rounds} rounds; "
+        "raise max_rounds"
+    )

@@ -470,3 +470,60 @@ def test_parse_path_render_roundtrip_fuzz():
         assert parse_path(render(node)) == node
 
     check()
+
+
+# --- DESCRIBE / concise bounded description ---
+
+
+def test_describe_cbd_follows_bnode_chain(spark):
+    from sparkrdf.query import describe_cbd
+
+    rows = [
+        # (s, p, o, o_kind)
+        ("a", "p1", "_:b1", "BNode"),
+        ("_:b1", "p2", "_:b2", "BNode"),
+        ("_:b2", "p3", "lit", "Literal"),
+        ("a", "p4", "x", "URIRef"),
+        ("x", "p5", "y", "URIRef"),        # IRI object: NOT followed
+        ("other", "p6", "_:b9", "BNode"),  # unrelated subject
+    ]
+    stmts = spark.createDataFrame(rows, "s string, p string, o string, o_kind string")
+    seeds = spark.createDataFrame([("a",)], "n string")
+    got = {(r.s, r.p, r.o) for r in describe_cbd(stmts, seeds).collect()}
+    assert got == {
+        ("a", "p1", "_:b1"),
+        ("_:b1", "p2", "_:b2"),
+        ("_:b2", "p3", "lit"),
+        ("a", "p4", "x"),
+    }
+
+
+def test_describe_cbd_depth_raise(spark):
+    from sparkrdf.query import describe_cbd
+
+    rows = [("a", "p", "_:b0", "BNode")] + [
+        (f"_:b{i}", "p", f"_:b{i+1}", "BNode") for i in range(5)
+    ]
+    stmts = spark.createDataFrame(rows, "s string, p string, o string, o_kind string")
+    seeds = spark.createDataFrame([("a",)], "n string")
+    with pytest.raises(RuntimeError, match="deeper than"):
+        describe_cbd(stmts, seeds, max_rounds=2)
+
+
+def test_describe_cbd_on_parsed_turtle(spark):
+    """DESCRIBE of a subject with an anonymous property list pulls the
+    bnode substructure, and nothing of the sibling subject."""
+    from sparkrdf.query import describe_cbd
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:alice ex:addr [ ex:city "Berlin" ; ex:zip "10115" ] .\n'
+        "ex:bob ex:addr [ ex:city \"Paris\" ] .\n"
+    )
+    stmts = statements_df(spark, rows)
+    seeds = spark.createDataFrame([("http://ex.org/alice",)], "n string")
+    got = {(r.p, r.o) for r in describe_cbd(stmts, seeds).collect()}
+    assert ("http://ex.org/city", "Berlin") in got
+    assert ("http://ex.org/zip", "10115") in got
+    assert ("http://ex.org/city", "Paris") not in got
