@@ -1027,6 +1027,47 @@ def q_kg_describe(spark, sf_dir):
     return describe_cbd(all_stmts, seeds).select("s", "p", "o_kind", "o")
 
 
+def q_kg_table_triples(spark, sf_dir):
+    """Web-table relational fact extraction (sparkrdf/extract/tables.py
+    table_triples): per-nation HTML pages are rendered in-query from the
+    customer table (deterministic fixture), then the extractor recovers
+    per-customer (subject, header-predicate, cell) triples — the WebTables
+    pattern. The extraction is one whole-stage-codegen projection
+    (regexp tables→rows→cells + arrays_zip), no Python, no shuffle; the
+    only exchange is the fixture's groupBy render. Oracle: the triples
+    written directly from the customer columns."""
+    from sparkrdf.extract.tables import table_triples
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    row_html = F.concat(
+        F.lit("<tr><td>"), F.col("c_name"),
+        F.lit("</td><td>"), F.col("c_mktsegment"),
+        F.lit("</td><td>"), F.col("c_acctbal").cast("string"),
+        F.lit("</td></tr>"),
+    )
+    pages = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.concat(
+                F.lit(
+                    "<html><body><table>"
+                    "<tr><th>name</th><th>segment</th><th>acctbal</th></tr>"
+                ),
+                F.array_join(F.sort_array(F.collect_list(row_html)), ""),
+                F.lit("</table></body></html>"),
+            ).alias("html")
+        )
+        .select(
+            F.concat(
+                F.lit("https://data.example.org/nation/"),
+                F.col("c_nationkey").cast("string"),
+            ).alias("url"),
+            "html",
+        )
+    )
+    return table_triples(pages)
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -1926,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": q_kg_bgp_match,
         "kg_bgp_graph": q_kg_bgp_graph,
         "kg_describe": q_kg_describe,
+        "kg_table_triples": q_kg_table_triples,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3821,6 +3863,20 @@ SELECT m.s AS d, m.ent AS e, 'graph://' || dd.lang AS g, et.cls AS c
 FROM mentions m
 JOIN docs dd ON dd.s = m.s
 JOIN et ON et.ent = m.ent
+"""
+
+    # web-table extraction inverts the deterministic render: the recovered
+    # triples are exactly the customer columns, written directly
+    sql["kg_table_triples"] = """
+WITH b AS (
+  SELECT 'https://data.example.org/nation/' || CAST(c_nationkey AS VARCHAR) AS url,
+         'https://data.example.org/nation/' || CAST(c_nationkey AS VARCHAR)
+           || '#' || c_name AS s,
+         c_mktsegment, CAST(c_acctbal AS VARCHAR) AS bal
+  FROM customer)
+SELECT url, s, 'http://kg.example.org/prop/segment' AS p, c_mktsegment AS o FROM b
+UNION ALL
+SELECT url, s, 'http://kg.example.org/prop/acctbal', bal FROM b
 """
 
     # DESCRIBE (concise bounded description) of the German docs: their own

@@ -185,3 +185,41 @@ def test_entity_resolution(spark):
     assert ents["lovelace"].n_docs == 1  # only d2's unresolved bare form
     assert ents["irene curie"].n_mentions == 5  # 1 + the 4 folded shorts
     assert ents["marie curie"].n_mentions == 1
+
+
+def test_table_triples_extraction(spark):
+    from sparkrdf.extract.tables import KG_PROP, table_triples
+
+    html = (
+        b"<html><body>"
+        b"<table><tr><th>name</th><th>pop</th><th>area</th></tr>"
+        b"<tr><td>Berlin</td><td>3.6m</td><td>891</td></tr>"
+        b"<tr><td>Paris</td><td>2.1m</td><td>105</td></tr>"
+        b"<tr><td>ragged</td><td>two</td></tr>"            # arity mismatch: dropped
+        b"</table>"
+        b"<table><tr><th>solo</th></tr><tr><td>x</td></tr></table>"  # 1 col: dropped
+        b"<table><tr><td>headerless</td><td>y</td></tr></table>"     # no <th>: dropped
+        b"</body></html>"
+    )
+    df = spark.createDataFrame([("http://u", html)], "url string, html binary")
+    got = {(r.s, r.p, r.o) for r in table_triples(df).collect()}
+    assert got == {
+        ("http://u#Berlin", KG_PROP + "pop", "3.6m"),
+        ("http://u#Berlin", KG_PROP + "area", "891"),
+        ("http://u#Paris", KG_PROP + "pop", "2.1m"),
+        ("http://u#Paris", KG_PROP + "area", "105"),
+    }
+
+
+def test_table_triples_multiple_tables_and_whitespace(spark):
+    from sparkrdf.extract.tables import KG_PROP, table_triples
+
+    html = (
+        "<table><tr><th> k </th><th> v </th></tr>"
+        "<tr><td> a </td><td> 1 </td></tr></table>"
+        "<table><tr><th>k2</th><th>v2</th></tr>"
+        "<tr><td>b</td><td>2</td></tr></table>"
+    )
+    df = spark.createDataFrame([("u", html.encode())], "url string, html binary")
+    got = {(r.s, r.p, r.o) for r in table_triples(df).collect()}
+    assert got == {("u#a", KG_PROP + "v", "1"), ("u#b", KG_PROP + "v2", "2")}
