@@ -1068,6 +1068,41 @@ def q_kg_table_triples(spark, sf_dir):
     return table_triples(pages)
 
 
+def q_kg_jsonld_triples(spark, sf_dir):
+    """JSON-LD structured-data extraction (sparkrdf/extract/jsonld.py
+    jsonld_triples): per-supplier pages carrying a schema.org ld+json
+    block are rendered in-query (deterministic fixture), then the
+    extractor recovers @id-subject triples — @type to rdf:type, keys
+    resolved against the @context, numbers as their raw JSON text. All
+    whole-stage codegen (regexp + built-in from_json + explodes), no
+    Python, no shuffle. Oracle: the triples written directly from the
+    supplier columns."""
+    from sparkrdf.extract.jsonld import jsonld_triples
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    key = F.col("s_suppkey").cast("string")
+    j = F.concat(
+        F.lit('{"@context":"https://schema.org","@id":"urn:supplier:'),
+        key,
+        F.lit('","@type":"Organization","name":"'),
+        F.col("s_name"),
+        F.lit('","nation":'),
+        F.col("s_nationkey").cast("string"),
+        F.lit(',"balance":'),
+        F.col("s_acctbal").cast("string"),
+        F.lit("}"),
+    )
+    pages = sup.select(
+        F.concat(F.lit("https://data.example.org/supplier/"), key).alias("url"),
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            j,
+            F.lit("</script></head></html>"),
+        ).cast("binary").alias("html"),
+    )
+    return jsonld_triples(pages)
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -1968,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_graph": q_kg_bgp_graph,
         "kg_describe": q_kg_describe,
         "kg_table_triples": q_kg_table_triples,
+        "kg_jsonld_triples": q_kg_jsonld_triples,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3877,6 +3913,21 @@ WITH b AS (
 SELECT url, s, 'http://kg.example.org/prop/segment' AS p, c_mktsegment AS o FROM b
 UNION ALL
 SELECT url, s, 'http://kg.example.org/prop/acctbal', bal FROM b
+"""
+
+    # JSON-LD extraction inverts the deterministic render: @type → rdf:type
+    # against the schema.org context, numbers as their raw JSON text
+    sql["kg_jsonld_triples"] = f"""
+WITH b AS (
+  SELECT 'https://data.example.org/supplier/' || CAST(s_suppkey AS VARCHAR) AS url,
+         'urn:supplier:' || CAST(s_suppkey AS VARCHAR) AS s,
+         s_name, CAST(s_nationkey AS VARCHAR) AS nat,
+         CAST(s_acctbal AS VARCHAR) AS bal
+  FROM supplier)
+SELECT url, s, '{_RDF_TYPE}' AS p, 'https://schema.org/Organization' AS o FROM b
+UNION ALL SELECT url, s, 'https://schema.org/name', s_name FROM b
+UNION ALL SELECT url, s, 'https://schema.org/nation', nat FROM b
+UNION ALL SELECT url, s, 'https://schema.org/balance', bal FROM b
 """
 
     # DESCRIBE (concise bounded description) of the German docs: their own

@@ -223,3 +223,30 @@ def test_table_triples_multiple_tables_and_whitespace(spark):
     df = spark.createDataFrame([("u", html.encode())], "url string, html binary")
     got = {(r.s, r.p, r.o) for r in table_triples(df).collect()}
     assert got == {("u#a", KG_PROP + "v", "1"), ("u#b", KG_PROP + "v2", "2")}
+
+
+def test_jsonld_triples_extraction(spark):
+    from sparkrdf import terms as T
+    from sparkrdf.extract.jsonld import jsonld_triples
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@context":"https://schema.org","@id":"urn:p:1","@type":"Person",'
+        '"name":"Ada","born":1815,"award":["a1","a2"]}'
+        "</script></head><body>"
+        '<script type="application/ld+json">{"name":"no-id-block"}</script>'
+        '<script type="application/ld+json">{broken json</script>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("http://u", html.encode())], "url string, html binary")
+    got = {(r.s, r.p, r.o) for r in jsonld_triples(df).collect()}
+    assert ("urn:p:1", T.RDF_TYPE, "https://schema.org/Person") in got
+    assert ("urn:p:1", "https://schema.org/name", "Ada") in got
+    assert ("urn:p:1", "https://schema.org/born", "1815") in got  # number stringified
+    assert ("urn:p:1", "https://schema.org/award", '["a1","a2"]') in got  # raw JSON
+    # no @id and no @context: subject minted from url+index, default vocab
+    from sparkrdf.extract.jsonld import DEFAULT_VOCAB
+
+    assert ("http://u#jsonld1", DEFAULT_VOCAB + "/name", "no-id-block") in got
+    # broken block contributes nothing; @context/@id keys are not triples
+    assert len(got) == 5
