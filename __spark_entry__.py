@@ -1103,6 +1103,19 @@ def q_kg_jsonld_triples(spark, sf_dir):
     return jsonld_triples(pages)
 
 
+def q_kg_page_meta(spark, sf_dir):
+    """Head-metadata triples (sparkrdf/extract/metatags.py meta_triples)
+    over the SAME materialized Common-Crawl-style pages table the web_*
+    queries read: every page's <title> (and any OpenGraph/meta tags)
+    becomes a per-page statement — the zero-cost structured channel a
+    crawl KG starts from. One codegen projection per tag family, no
+    shuffle. Oracle: the identical regex over the same parquet in
+    DuckDB."""
+    from sparkrdf.extract.metatags import meta_triples
+
+    return meta_triples(_links_input(spark))
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -2004,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_table_triples": q_kg_table_triples,
         "kg_jsonld_triples": q_kg_jsonld_triples,
+        "kg_page_meta": q_kg_page_meta,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3345,6 +3359,18 @@ edges AS MATERIALIZED (
 
     sql["web_link_hosts"] = _links_base + """
 SELECT src_host, dst_host, n_links FROM edges
+"""
+
+    # head-metadata triples over the same materialized pages table: the
+    # fixture carries a <title> on every page (no meta tags), so the
+    # oracle is the identical title regex; the Spark side's meta-tag arm
+    # unions zero rows here and is pinned by pytest on inline HTML
+    sql["kg_page_meta"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet'))
+SELECT url, url AS s, 'http://kg.example.org/prop/title' AS p,
+       trim(regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1)) AS o
+FROM pages
+WHERE regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) <> ''
 """
 
     # per-node local clustering coefficient: naive wedge-close count per

@@ -250,3 +250,34 @@ def test_jsonld_triples_extraction(spark):
     assert ("http://u#jsonld1", DEFAULT_VOCAB + "/name", "no-id-block") in got
     # broken block contributes nothing; @context/@id keys are not triples
     assert len(got) == 5
+
+
+def test_meta_triples_title_and_og_tags(spark):
+    from sparkrdf.extract.metatags import KG_PROP, meta_triples
+
+    html = (
+        "<html><head><title> My Page </title>"
+        '<meta property="og:title" content="OG name">'
+        '<meta name="description" content="a page">'
+        '<meta charset="utf-8">'  # no property/name+content: ignored
+        "</head><body></body></html>"
+    )
+    df = spark.createDataFrame([("http://u", html.encode())], "url string, html binary")
+    got = {(r.s, r.p, r.o) for r in meta_triples(df).collect()}
+    assert got == {
+        ("http://u", KG_PROP + "title", "My Page"),
+        ("http://u", KG_PROP + "meta/og:title", "OG name"),
+        ("http://u", KG_PROP + "meta/description", "a page"),
+    }
+
+
+def test_meta_triples_on_synthesized_pages(spark):
+    from sparkrdf.extract.metatags import KG_PROP, meta_triples
+    from sparkrdf.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 20)
+    out = meta_triples(pages)
+    rows = out.collect()
+    # every synthesized page has a title; the fixture has no meta tags
+    assert len(rows) == 20
+    assert all(r.p == KG_PROP + "title" and "archive" in r.o for r in rows)
