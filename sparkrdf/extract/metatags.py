@@ -7,6 +7,10 @@ description) and as entity-linking context. Emitted triples:
 
     (url, kg:prop/title, <title> text)
     (url, kg:prop/meta/{property-or-name}, content)   per <meta> tag
+    (url, kg:prop/canonical, href)   from <link rel="canonical" ...>
+                                     (the publisher's own dedup signal —
+                                     feeds the url-canonicalization and
+                                     url-dedup operators)
 
 Scope mirrors the other extract/ modules: regex-level markup handling
 (attribute order ``property=``/``name=`` before ``content=``, double
@@ -26,6 +30,7 @@ KG_PROP = "http://kg.example.org/prop/"
 
 TITLE_RE = r"(?s)<title[^>]*>(.*?)</title>"
 META_RE = r'<meta\s[^>]*(?:property|name)="([^"]+)"[^>]*content="([^"]*)"'
+CANONICAL_RE = r'<link\s[^>]*rel="canonical"[^>]*href="([^"]+)"'
 
 
 def meta_triples(
@@ -60,4 +65,16 @@ def meta_triples(
         F.concat(F.lit(KG_PROP + "meta/"), F.col("kv.0")).alias("p"),
         F.col("kv.1").alias("o"),
     )
-    return title_rows.unionByName(meta_rows)
+    canon_rows = (
+        base.select(
+            "url", F.regexp_extract(F.col("h"), CANONICAL_RE, 1).alias("o")
+        )
+        .filter(F.col("o") != "")
+        .select(
+            "url",
+            F.col("url").alias("s"),
+            F.lit(KG_PROP + "canonical").alias("p"),
+            "o",
+        )
+    )
+    return title_rows.unionByName(meta_rows).unionByName(canon_rows)

@@ -281,3 +281,18 @@ def test_meta_triples_on_synthesized_pages(spark):
     # every synthesized page has a title; the fixture has no meta tags
     assert len(rows) == 20
     assert all(r.p == KG_PROP + "title" and "archive" in r.o for r in rows)
+
+
+def test_meta_triples_canonical_link(spark):
+    from sparkrdf.extract.metatags import KG_PROP, meta_triples
+
+    html = (
+        '<head><title>T</title>'
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="https://example.org/master">'
+        "</head>"
+    )
+    df = spark.createDataFrame([("http://m", html.encode())], "url string, html binary")
+    got = {(r.p, r.o) for r in meta_triples(df).collect()}
+    assert (KG_PROP + "canonical", "https://example.org/master") in got
+    assert not any(o.endswith(".css") for _, o in got)
