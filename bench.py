@@ -71,6 +71,9 @@ OP_QUERIES = (
     "kg_bgp_graph",
     "graph_ktruss",
     "graph_assortativity",
+    "kg_table_triples",
+    "kg_jsonld_triples",
+    "kg_page_meta",
 )
 
 
