@@ -1321,13 +1321,24 @@ def q_graph_triangles(spark, sf_dir):
 LINKS_MAT_PATH = "/tmp/sparkrdf_materialized_pagelinks2000.parquet"
 
 
+_LINKS_READY: set[str] = set()  # applicationIds that already materialized
+
+
 def _links_input(spark):
+    """Materialize the deterministic 2000-page fixture ONCE per Spark
+    application (the content is a pure function of nothing — same bytes
+    every time), so the ~10 web_*/meta queries that share it pay the
+    synthesis+write once instead of each. The oracle reads the same files."""
     from sparkrdf.pages import synthesize_pages
 
-    pages = synthesize_pages(spark, 2000).select(
-        "url", F.col("html").cast("string").alias("html")
-    )
-    pages.coalesce(1).write.mode("overwrite").parquet(LINKS_MAT_PATH)
+    app = spark.sparkContext.applicationId
+    success = os.path.join(LINKS_MAT_PATH, "_SUCCESS")
+    if app not in _LINKS_READY or not os.path.exists(success):
+        pages = synthesize_pages(spark, 2000).select(
+            "url", F.col("html").cast("string").alias("html")
+        )
+        pages.coalesce(1).write.mode("overwrite").parquet(LINKS_MAT_PATH)
+        _LINKS_READY.add(app)
     return spark.read.parquet(LINKS_MAT_PATH)
 
 
