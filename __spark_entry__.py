@@ -1116,6 +1116,44 @@ def q_kg_page_meta(spark, sf_dir):
     return meta_triples(_links_input(spark))
 
 
+def q_kg_bgp_not_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS (sparkrdf/query.py bgp_not_exists):
+    documents that do NOT mention any Operator-class entity — the left
+    BGP anti-joined on the shared variable against the negated group
+    (deduped, key-wide, AQE-broadcastable). The divergence from MINUS on
+    disjoint variables is pinned by pytest. Oracle: the same NOT EXISTS
+    correlated predicate in DuckDB."""
+    from sparkrdf.query import bgp_not_exists
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return bgp_not_exists(
+        stmts,
+        [("?d", _RDF_TYPE, dockg.CLS_DOCUMENT)],
+        [
+            ("?d", dockg.P_MENTIONS, "?e"),
+            ("?e", _RDF_TYPE, dockg.class_iri("Operator")),
+        ],
+    )
+
+
+def q_kg_bgp_agg(spark, sf_dir):
+    """SPARQL 1.1 aggregation (sparkrdf/query.py group_solutions): per
+    document, COUNT of its mention solutions and the MIN entity, HAVING
+    count ≥ 2 — the BGP join tree feeding ONE map-side-combinable hash
+    aggregate, HAVING a post-aggregation filter. Oracle: identical
+    GROUP BY / HAVING in DuckDB."""
+    from sparkrdf.query import group_solutions
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return group_solutions(
+        stmts,
+        [("?d", dockg.P_MENTIONS, "?e")],
+        group_by=["d"],
+        aggregates={"n_ment": ("count", "*"), "first_ent": ("min", "e")},
+        having="n_ment >= 2",
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -2029,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_triples": q_kg_table_triples,
         "kg_jsonld_triples": q_kg_jsonld_triples,
         "kg_page_meta": q_kg_page_meta,
+        "kg_bgp_not_exists": q_kg_bgp_not_exists,
+        "kg_bgp_agg": q_kg_bgp_agg,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -3924,6 +3964,23 @@ FROM docs t1
 JOIN mentions t2 ON t2.s = t1.s
 JOIN (SELECT DISTINCT ent FROM mentions
       WHERE cls = '{dockg.class_iri("Operator")}') t3 ON t3.ent = t2.ent
+"""
+
+    # FILTER NOT EXISTS: documents with no Operator-class mention
+    sql["kg_bgp_not_exists"] = f"""
+WITH {_DOC_CTES}
+SELECT t1.s AS d FROM docs t1
+WHERE NOT EXISTS (
+  SELECT 1 FROM mentions m
+  WHERE m.s = t1.s AND m.cls = '{dockg.class_iri("Operator")}')
+"""
+
+    # aggregation over BGP solutions: per-doc mention count + min entity,
+    # HAVING >= 2
+    sql["kg_bgp_agg"] = f"""
+WITH {_DOC_CTES}
+SELECT s AS d, COUNT(*)::BIGINT AS n_ment, MIN(ent) AS first_ent
+FROM mentions GROUP BY s HAVING COUNT(*) >= 2
 """
 
     # named-graph quad patterns: mention rows live in the doc's per-lang

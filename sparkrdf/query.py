@@ -618,3 +618,98 @@ def describe_cbd(
         f"describe_cbd blank-node closure deeper than {max_rounds} rounds; "
         "raise max_rounds"
     )
+
+
+def bgp_not_exists(
+    stmts: DataFrame,
+    patterns: list[tuple],
+    negated: list[tuple],
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    g_col: str = "sub_graph",
+) -> DataFrame:
+    """SPARQL ``FILTER NOT EXISTS`` over two BGP groups: keep the left
+    solutions for which the negated group, with the shared variables
+    substituted, matches nothing. NOT the same operator as
+    :func:`bgp_minus` — the spec's (famous) divergence is the
+    no-shared-variable case: MINUS removes nothing (disjoint domains are
+    never "compatible"), while NOT EXISTS still evaluates the inner group
+    and removes EVERY solution if it matches at all (SPARQL 1.1 §8.3.3
+    gives the ``?x != ?y`` example where the two differ). With shared
+    variables and pure BGPs, both compile to a left-anti equi-join.
+
+    Scale shape: shared-variable case is ONE left-anti shuffle on the
+    shared keys (anti side deduped and only key-wide, AQE
+    broadcast-converts it); the no-shared-variable case is a broadcast
+    1-row existence gate — ``limit(1)`` on the inner group, never a
+    per-row correlated re-evaluation.
+    """
+    left = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col,
+                     g_col=g_col)
+    right = bgp_match(stmts, negated, s_col=s_col, p_col=p_col, o_col=o_col,
+                      g_col=g_col)
+    shared = sorted(set(left.columns) & set(right.columns))
+    if shared:
+        return left.join(
+            right.select(*shared).dropDuplicates(shared), shared, "left_anti"
+        )
+    # uncorrelated NOT EXISTS: all-or-nothing on the inner group's existence
+    probe = right.limit(1).select(F.lit(1).alias("_ne"))
+    return (
+        left.join(F.broadcast(probe), how="left")
+        .filter(F.col("_ne").isNull())
+        .drop("_ne")
+    )
+
+
+def group_solutions(
+    stmts: DataFrame,
+    patterns: list[tuple],
+    group_by: list[str],
+    aggregates: dict[str, tuple[str, str]],
+    having: str | None = None,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    g_col: str = "sub_graph",
+) -> DataFrame:
+    """SPARQL 1.1 aggregation (§18.5.1 Group/Aggregation) over a BGP's
+    solution multiset: ``GROUP BY`` the named variables, compute each
+    ``alias -> (function, variable)`` aggregate (COUNT / COUNT_DISTINCT /
+    SUM / AVG / MIN / MAX — ``COUNT`` with variable ``"*"`` counts
+    solutions), then apply the optional ``HAVING`` expression (a SQL
+    boolean over group keys and aliases). Numeric aggregates cast the
+    lexical form to double, SPARQL's simple-literal arithmetic.
+
+    Scale shape: the BGP join tree feeds ONE hash aggregate keyed on the
+    group variables — partial (map-side) aggregation applies to every
+    supported function, so the exchange carries one row per (key, partial)
+    not per solution; HAVING is a post-aggregation filter, never a second
+    shuffle.
+    """
+    sol = bgp_match(stmts, patterns, s_col=s_col, p_col=p_col, o_col=o_col,
+                    g_col=g_col)
+    missing = [v for v in group_by if v not in sol.columns]
+    if missing:
+        raise ValueError(f"GROUP BY variables {missing} not bound by the patterns")
+    fns = {
+        "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
+        "count_distinct": lambda c: F.count_distinct(F.col(c)),
+        "sum": lambda c: F.sum(F.col(c).cast("double")),
+        "avg": lambda c: F.avg(F.col(c).cast("double")),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+    }
+    aggs = []
+    for alias, (fn, var) in aggregates.items():
+        key = fn.lower()
+        if key not in fns:
+            raise ValueError(f"unsupported aggregate {fn!r} (have {sorted(fns)})")
+        if var != "*" and var not in sol.columns:
+            raise ValueError(f"aggregate variable ?{var} not bound by the patterns")
+        aggs.append(fns[key](var).alias(alias))
+    if not aggs:
+        raise ValueError("group_solutions requires at least one aggregate")
+    out = sol.groupBy(*group_by).agg(*aggs)
+    return out.filter(having) if having else out

@@ -527,3 +527,88 @@ def test_describe_cbd_on_parsed_turtle(spark):
     assert ("http://ex.org/city", "Berlin") in got
     assert ("http://ex.org/zip", "10115") in got
     assert ("http://ex.org/city", "Paris") not in got
+
+
+# --- FILTER NOT EXISTS vs MINUS, and aggregation ---
+
+
+def test_not_exists_shared_vars(spark, stmts):
+    from sparkrdf.query import bgp_not_exists
+
+    # persons who know nobody
+    got = sorted(
+        r.x
+        for r in bgp_not_exists(
+            stmts, [("?x", "type", "Person")], [("?x", "knows", "?y")]
+        ).collect()
+    )
+    assert got == []  # alice and bob both know someone
+    got2 = sorted(
+        r.x
+        for r in bgp_not_exists(
+            stmts, [("?x", "type", "Robot")], [("?x", "knows", "?y")]
+        ).collect()
+    )
+    assert got2 == ["carol"]
+
+
+def test_not_exists_diverges_from_minus_on_disjoint_vars(spark, stmts):
+    from sparkrdf.query import bgp_minus, bgp_not_exists
+
+    left = [("?x", "type", "Person")]
+    right = [("?a", "type", "Robot")]  # no shared variable, but matches
+    kept_minus = sorted(r.x for r in bgp_minus(stmts, left, right).collect())
+    kept_ne = sorted(r.x for r in bgp_not_exists(stmts, left, right).collect())
+    assert kept_minus == ["alice", "bob"]  # MINUS: disjoint domains remove nothing
+    assert kept_ne == []  # NOT EXISTS: inner group matches => all removed
+    # and when the inner group matches nothing, NOT EXISTS keeps everything
+    kept_ne2 = sorted(
+        r.x
+        for r in bgp_not_exists(
+            stmts, left, [("?a", "type", "Unicorn")]
+        ).collect()
+    )
+    assert kept_ne2 == ["alice", "bob"]
+
+
+def test_group_solutions_count_and_having(spark, stmts):
+    from sparkrdf.query import group_solutions
+
+    # how many people does each subject know / like, keep the busy ones
+    got = {
+        (r.x, r.n)
+        for r in group_solutions(
+            stmts,
+            [("?x", "?p", "?y"), ("?x", "type", "Person")],
+            group_by=["x"],
+            aggregates={"n": ("count", "*")},
+            having="n >= 3",
+        ).collect()
+    }
+    # alice: type/knows/likes = 3 rows; bob: type/knows/likes = 3 rows
+    assert got == {("alice", 3), ("bob", 3)}
+
+
+def test_group_solutions_numeric_and_errors(spark):
+    from sparkrdf.query import group_solutions
+
+    rows = [
+        ("d1", "score", "2"), ("d1", "score", "4"),
+        ("d2", "score", "10"),
+    ]
+    st = spark.createDataFrame(rows, "s string, p string, o string")
+    out = {
+        (r.s, r.total, r.mean, r.hi)
+        for r in group_solutions(
+            st,
+            [("?s", "score", "?v")],
+            group_by=["s"],
+            aggregates={"total": ("sum", "v"), "mean": ("avg", "v"),
+                        "hi": ("max", "v")},
+        ).collect()
+    }
+    assert out == {("d1", 6.0, 3.0, "4"), ("d2", 10.0, 10.0, "10")}
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("median", "v")})
+    with pytest.raises(ValueError, match="not bound"):
+        group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("sum", "zz")})
