@@ -1774,6 +1774,29 @@ def q_kg_owl_entailed(spark, sf_dir):
     return owl_materialize(inst.unionByName(co), onto)
 
 
+def q_kg_rdfs_delta(spark, sf_dir):
+    """Incremental entailment maintenance (sparkrdf/reason.py
+    rdfs_materialize_delta): the corpus is split into an already-closed
+    snapshot (doc_id % 10 != 0) and a crawl delta (% 10 == 0); the
+    operator materializes ONLY the delta and anti-joins the existing
+    closure — exact because every ρDF instance rule has a single instance
+    antecedent, so closure(old ∪ Δ) = closure(old) ∪ closure(Δ). Output
+    is MERGE-sink-shaped (the rows the closure gains). Oracle: both
+    closures spelled independently in DuckDB, EXCEPTed."""
+    from sparkrdf.reason import rdfs_materialize, rdfs_materialize_delta
+
+    docs = _docs(spark, sf_dir)
+    onto = spark.createDataFrame(dockg.DOC_ONTOLOGY, "s string, p string, o string")
+
+    def iri_triples(d):
+        stmts = dockg.doc_triples(spark, d)
+        return stmts.filter(F.col("o_kind") == "URIRef").select("s", "p", "o")
+
+    closure = rdfs_materialize(iri_triples(docs.filter(F.col("doc_id") % 10 != 0)), onto)
+    delta = iri_triples(docs.filter(F.col("doc_id") % 10 == 0))
+    return rdfs_materialize_delta(closure, delta, onto)
+
+
 def q_kg_char_sets(spark, sf_dir):
     """Characteristic sets (Neumann & Moerkotte 2011; sparkrdf/reason.py
     characteristic_sets): subjects grouped by their exact predicate set —
@@ -2036,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_kg_predicate_profile,
         "kg_rdfs_entailed": q_kg_rdfs_entailed,
         "kg_owl_entailed": q_kg_owl_entailed,
+        "kg_rdfs_delta": q_kg_rdfs_delta,
         "kg_char_sets": q_kg_char_sets,
         "kg_shape_violations": q_kg_shape_violations,
         "kg_bgp_optional": q_kg_bgp_optional,
@@ -2263,6 +2287,51 @@ SELECT DISTINCT s, p, o FROM (
   UNION ALL SELECT u, '{dockg.P_RELATED}', v FROM co
   UNION ALL SELECT s, '{dockg.P_RELATED}', o FROM relc)
 """
+
+    # incremental entailment maintenance: the rule algebra of
+    # kg_rdfs_entailed applied independently to the old (doc_id % 10 <> 0)
+    # and delta (doc_id % 10 = 0) partitions, delta closure EXCEPT old —
+    # exact because every rDF instance rule has one instance antecedent
+    def _rdfs_closure_block(tag: str, cond: str) -> str:
+        return f""",
+trip_{tag} AS (SELECT DISTINCT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions WHERE {cond}
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs WHERE {cond}
+  UNION ALL SELECT ent, '{_RDF_TYPE}', cls FROM mentions WHERE {cond})),
+t1_{tag} AS (
+  SELECT s, p, o FROM trip_{tag}
+  UNION SELECT t.s, c.b, t.o FROM trip_{tag} t JOIN spc c ON c.a = t.p),
+typed_{tag} AS (
+  SELECT t.s AS s, '{_RDF_TYPE}' AS p, d.o AS o
+  FROM t1_{tag} t JOIN onto d ON d.s = t.p AND d.p = '{_rdfs}domain'
+  UNION
+  SELECT t.o, '{_RDF_TYPE}', r.o
+  FROM t1_{tag} t JOIN onto r ON r.s = t.p AND r.p = '{_rdfs}range'),
+t2_{tag} AS (SELECT * FROM t1_{tag} UNION SELECT * FROM typed_{tag}),
+cl_{tag} AS (SELECT DISTINCT s, p, o FROM (
+  SELECT * FROM t2_{tag}
+  UNION ALL
+  SELECT t.s, '{_RDF_TYPE}', c.b FROM t2_{tag} t
+  JOIN scc c ON c.a = t.o WHERE t.p = '{_RDF_TYPE}'))"""
+
+    sql["kg_rdfs_delta"] = (
+        f"""
+WITH RECURSIVE {_DOC_CTES},
+onto(s, p, o) AS (VALUES {_onto_values}),
+spc(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{_rdfs}subPropertyOf'
+  UNION
+  SELECT c.a, onto.o FROM spc c
+  JOIN onto ON onto.s = c.b AND onto.p = '{_rdfs}subPropertyOf'),
+scc(a, b) AS (
+  SELECT s, o FROM onto WHERE p = '{_rdfs}subClassOf'
+  UNION
+  SELECT c.a, onto.o FROM scc c
+  JOIN onto ON onto.s = c.b AND onto.p = '{_rdfs}subClassOf')"""
+        + _rdfs_closure_block("old", "doc_id % 10 <> 0")
+        + _rdfs_closure_block("new", "doc_id % 10 = 0")
+        + "\nSELECT s, p, o FROM cl_new EXCEPT SELECT s, p, o FROM cl_old\n"
+    )
 
     # characteristic sets: per-subject sorted distinct predicate string,
     # then the set-keyed rollup (reason.characteristic_sets)

@@ -316,3 +316,40 @@ def owl_materialize(
             )
     t2 = t1.unionByName(closed)
     return sym_inv(t2)
+
+
+def rdfs_materialize_delta(
+    closure: DataFrame,
+    delta: DataFrame,
+    ontology: DataFrame,
+    max_doubling: int = 6,
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+) -> DataFrame:
+    """Incremental ρDF maintenance: given an already-materialized closure
+    and a batch of NEW asserted triples (the crawl delta), return exactly
+    the rows the closure gains — MERGE-sink-shaped, the companion of
+    :func:`sparkrdf.compare.snapshot_diff` for the entailed layer.
+
+    Correct without any re-derivation over the old data because every ρDF
+    instance rule (rdfs2/3/7/9) has exactly ONE instance-triple antecedent
+    — the other antecedents are ontology triples, pre-closed and fixed —
+    so ``closure(old ∪ delta) = closure(old) ∪ closure(delta)``. (This is
+    the property that makes ρDF maintenance embarrassingly incremental;
+    full RDFS rules with instance-instance joins would need semi-naive
+    evaluation instead.) Triple DELETION is intentionally out of scope:
+    retracting under materialization needs over-deletion/re-derivation
+    (DRed) and a production system handles it by snapshot rebuild.
+
+    Scale shape: one :func:`rdfs_materialize` over the (small) delta, then
+    ONE left-anti join against the existing closure on the full triple key
+    — the closure side never moves if it is bucketed/partitioned on that
+    key; the anti probe is delta-sized.
+    """
+    new = rdfs_materialize(
+        delta, ontology, max_doubling=max_doubling,
+        s_col=s_col, p_col=p_col, o_col=o_col,
+    )
+    old = _spo(closure, s_col, p_col, o_col)
+    return new.join(old, ["s", "p", "o"], "left_anti")

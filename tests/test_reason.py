@@ -217,3 +217,34 @@ def test_owl_unconverged_closure_raises(spark):
     )
     with pytest.raises(RuntimeError, match="still growing"):
         owl_materialize(t, o, max_doubling=2)
+
+
+def test_rdfs_delta_is_exactly_the_new_entailments(spark):
+    from sparkrdf.reason import rdfs_materialize, rdfs_materialize_delta
+
+    onto = spark.createDataFrame(
+        [
+            ("knows", "http://www.w3.org/2000/01/rdf-schema#domain", "Person"),
+            ("Person", "http://www.w3.org/2000/01/rdf-schema#subClassOf", "Agent"),
+        ],
+        "s string, p string, o string",
+    )
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    old = spark.createDataFrame([("a", "knows", "b")], "s string, p string, o string")
+    closure = rdfs_materialize(old, onto)
+    delta = spark.createDataFrame(
+        [("a", "knows", "c"), ("d", "knows", "e")], "s string, p string, o string"
+    )
+    got = {(r.s, r.p, r.o) for r in rdfs_materialize_delta(closure, delta, onto).collect()}
+    # a's type triples already exist in the closure — only d's are new,
+    # plus the delta assertions themselves
+    assert got == {
+        ("a", "knows", "c"),
+        ("d", "knows", "e"),
+        ("d", rdf_type, "Person"),
+        ("d", rdf_type, "Agent"),
+    }
+    # incremental == from-scratch on the union (the single-antecedent property)
+    full = rdfs_materialize(old.unionAll(delta), onto)
+    incr = closure.unionAll(rdfs_materialize_delta(closure, delta, onto))
+    assert full.exceptAll(incr).isEmpty() and incr.exceptAll(full).isEmpty()
