@@ -1470,6 +1470,21 @@ def q_graph_ktruss(spark, sf_dir):
     return ktruss(g, 3, src="src_host", dst="dst_host")
 
 
+def q_graph_coreness(spark, sf_dir):
+    """Full k-core decomposition of the undirected host graph
+    (sparkrdf/graphops.py coreness): per-node core numbers via the
+    distributed h-index iteration (Lü et al. 2016) — monotone local
+    updates, no sequential peeling order, converges here in 5 rounds
+    (explicit changed-count; raises past max_rounds). Oracle: the same
+    h-index algebra (ROW_NUMBER window + max(least)) unrolled 6 rounds in
+    DuckDB — rounds past the fixpoint are no-ops."""
+    from sparkrdf.graphops import coreness
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return coreness(g, src="src_host", dst="dst_host")
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity (Newman 2002) of the undirected host link
     graph (sparkrdf/graphops.py assortativity): Pearson correlation of
@@ -2074,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_reciprocity": q_web_host_reciprocity,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
+        "graph_coreness": q_graph_coreness,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3547,6 +3563,24 @@ s{i} AS (SELECT u, v, COUNT(*) AS sup FROM (
 e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
   JOIN s{i} s ON s.u = e.u AND s.v = e.v WHERE s.sup >= 1)"""
     sql["graph_ktruss"] = _truss + "\nSELECT u, v FROM e4\n"
+
+    # full coreness: h-index iteration unrolled 6 rounds (fixpoint on this
+    # input is round 5; the iteration is stationary at the fixpoint)
+    _core = _links_base + """,
+cue AS (SELECT DISTINCT least(src_host, dst_host) AS u,
+  greatest(src_host, dst_host) AS v FROM edges),
+cb AS MATERIALIZED (SELECT u, v FROM cue UNION ALL SELECT v, u FROM cue),
+c0 AS MATERIALIZED (SELECT u AS n, COUNT(*)::INT AS c FROM cb GROUP BY u)"""
+    for i in range(6):
+        _core += f""",
+nb{i} AS (SELECT cb.u, cb.v, c{i}.c AS cv FROM cb JOIN c{i} ON c{i}.n = cb.v),
+h{i} AS (SELECT u, MAX(LEAST(rn, cv)) AS h FROM (
+  SELECT u, cv, ROW_NUMBER() OVER (PARTITION BY u ORDER BY cv DESC, v) AS rn
+  FROM nb{i}) GROUP BY u),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.n, LEAST(c.c, COALESCE(h.h, 0))::INT AS c
+  FROM c{i} c LEFT JOIN h{i} h ON h.u = c.n)"""
+    sql["graph_coreness"] = _core + "\nSELECT n, c AS coreness FROM c6\n"
 
     # degree assortativity: Pearson corr of endpoint degrees over the
     # symmetrized (both-orientations) undirected edge list

@@ -1194,3 +1194,70 @@ def assortativity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame
         (F.col("m") / 2).cast("long").alias("n_edges"),
         F.round(F.when(den != 0, num / den), 9).alias("assortativity"),
     )
+
+
+def coreness(
+    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 50
+) -> DataFrame:
+    """Full k-core decomposition: every node's core NUMBER (the largest k
+    such that the node survives k-core peeling) — the standard cohesion
+    ranking, one number per node where :func:`kcore` answers a fixed-k
+    membership question. Returns ``(n, coreness)``.
+
+    Algorithm: distributed h-index iteration (Lü et al., Nature Comms
+    2016): initialize c(v) = degree(v); each round set c(v) to the
+    H-index of its neighbors' current values (the largest h such that ≥ h
+    neighbors have c ≥ h), computed as ``max(least(row_number, c))`` over
+    the neighbor values sorted descending. The sequence is monotone
+    non-increasing and provably converges to the core number — no global
+    peeling order, every node updates locally, which is what makes it the
+    distributed formulation of choice (peeling is inherently sequential).
+
+    Scale shape: per round ONE join of the (static, checkpointed) doubled
+    edge list against the |V|-row value table and one node-keyed window +
+    aggregate — the shuffles carry node-sized tables except the edge join,
+    whose partitioning on the neighbor key is reused every round.
+    Convergence is an explicit changed-count; exhausting ``max_rounds``
+    RAISES rather than returning non-converged numbers.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    both = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    c = (
+        both.groupBy(F.col("u").alias("n"))
+        .agg(F.count("*").cast("int").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nb = both.join(c.select(F.col("n").alias("v"), F.col("c").alias("cv")), "v")
+        w = Window.partitionBy("u").orderBy(F.col("cv").desc(), F.col("v"))
+        h = (
+            nb.select("u", F.least(F.row_number().over(w), F.col("cv")).alias("x"))
+            .groupBy("u")
+            .agg(F.max("x").alias("h"))
+        )
+        newc = (
+            c.join(h.select(F.col("u").alias("n"), "h"), "n", "left")
+            .select("n", F.least(F.col("c"), F.coalesce("h", F.lit(0))).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            newc.alias("a")
+            .join(c.alias("b"), "n")
+            .filter(F.col("a.c") != F.col("b.c"))
+            .count()
+        )
+        c = newc
+        if changed == 0:
+            return c.select("n", F.col("c").alias("coreness"))
+    raise RuntimeError(
+        f"coreness h-index iteration not converged after {max_rounds} rounds"
+    )

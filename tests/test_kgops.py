@@ -1050,3 +1050,34 @@ def test_assortativity_regular_graph_is_null(spark):
     row = assortativity(c4).collect()[0]
     assert row.n_edges == 4
     assert row.assortativity is None  # zero degree variance
+
+
+def test_coreness_k4_with_pendant_chain(spark):
+    from sparkrdf.graphops import coreness
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]  # pendant path off the clique
+    e = spark.createDataFrame(k4 + chain, "u string, v string")
+    got = {r.n: r.coreness for r in coreness(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+
+
+def test_coreness_triangle_with_pendant(spark):
+    from sparkrdf.graphops import coreness
+
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z"), ("z", "p")], "u string, v string"
+    )
+    got = {r.n: r.coreness for r in coreness(e).collect()}
+    assert got == {"x": 2, "y": 2, "z": 2, "p": 1}
+
+
+def test_coreness_max_rounds_raises(spark):
+    import pytest
+    from sparkrdf.graphops import coreness
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], "u string, v string"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        coreness(e, max_rounds=1)
