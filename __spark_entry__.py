@@ -589,6 +589,20 @@ def q_corpus_profile(spark, sf_dir):
     return corpus_profile(_docs(spark, sf_dir))
 
 
+def q_sim_knn_join(spark, sf_dir):
+    """Distributed kNN self-join (sparkrdf/similarity.py knn_join): every
+    embedding's top-3 cosine neighbors WITHIN its IVF cell — one
+    cell-keyed equi-join (Σ cell² work, AQE-split) + one id_a-keyed
+    window; the operator that builds a similarity graph from an embedding
+    table. The exhaustive config and cross-cell recall are pinned by
+    pytest. Oracle: the identical same-cell join + windowed top-k in
+    DuckDB."""
+    from sparkrdf.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_join(emb, k=3, cell_col="label")
+
+
 def q_sim_topk(spark, sf_dir):
     return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10).select(
         "vec_id", "score"
@@ -2041,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "corpus_curate": q_corpus_curate,
         "sim_topk": q_sim_topk,
+        "sim_knn_join": q_sim_knn_join,
         "sim_blocked_near_dup": q_sim_blocked_near_dup,
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_exhaustive": q_sim_ivf_exhaustive,
@@ -3234,6 +3249,21 @@ LIMIT 10
 """
 
     sql["sim_ivf_exhaustive"] = sql["sim_topk"]
+
+    # kNN self-join within IVF cells: same-cell pairs + per-id windowed
+    # top-k with the identical (score desc, id asc) tie order
+    sql["sim_knn_join"] = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cosine_sql("a.embedding", "b.embedding")} AS score
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT id_a, id_b, score, rank FROM (
+  SELECT id_a, id_b, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY id_a ORDER BY score DESC, id_b ASC)::INT AS rank
+  FROM p) WHERE rank <= 3
+"""
 
     # the n_probe=2 probe path: per-label centroids (unnest + AVG by
     # position), rank cells by centroid cosine with the identical

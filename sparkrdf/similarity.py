@@ -315,3 +315,64 @@ def kmeans_assign(
         cents = _mean_centroids(assigned, "cluster", vec_col)
         asg = assign(cents)
     return asg.select(id_col, "cluster", F.round("dist", 6).alias("dist"))
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Distributed kNN self-join: for EVERY row, its top-k cosine
+    neighbors — the all-rows generalization of :func:`brute_force_topk`
+    (one query vector) and the operator that turns an embedding table
+    into a similarity GRAPH (near-dup edges, retrieval eval, clustering
+    seeds). Returns ``(id_a, id_b, score, rank)`` with the deterministic
+    tie order ``(score desc, id_b asc)``.
+
+    With ``cell_col`` set (an IVF/k-means cell assignment), candidates
+    are restricted to same-cell pairs — work is Σ(cell size²) instead of
+    n², the standard partitioned-ANN trade (neighbors in other cells are
+    missed; recall is a function of the quantizer, pinned by pytest).
+    With ``cell_col=None`` the join is exact and quadratic — the
+    verification configuration, not the 100 TB path.
+
+    Scale shape: ONE equi-join on the cell key (AQE splits skewed cells;
+    per-task pair work is bounded by the quantizer's cell sizes, and the
+    per-row norm is precomputed so the pair loop is one fused
+    ``zip_with``-sum per pair), then ONE window keyed on ``id_a`` for the
+    per-row top-k — both shuffles on uniformly-hashed keys.
+    """
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cell = F.col(cell_col) if cell_col else F.lit(0)
+    base = emb.select(
+        cell.alias("_cell"),
+        F.col(id_col).alias("_id"),
+        dv.alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(
+        F.col("_cell"), F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = base.select(
+        F.col("_cell"), F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -640,3 +640,34 @@ def test_cross_doc_dup_grams_within_doc_repeat_not_shared(spark):
     assert out[1]["dup_frac"] == 0.0 and out[1]["n_grams"] == 4
     with pytest.raises(ValueError):
         cross_doc_dup_grams(docs, n=3, min_docs=1)
+
+
+def test_knn_join_exact_small(spark):
+    from sparkrdf.similarity import knn_join
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = knn_join(emb, k=2)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.id_a, []).append((r.rank, r.id_b, r.score))
+    assert [b for _, b, _ in sorted(by_id[1])] == [2, 3]  # 2 closest, then orthogonal 3
+    assert [b for _, b, _ in sorted(by_id[4])] == [3, 2]  # -x: y first, then 2
+    assert all(len(v) == 2 for v in by_id.values())
+
+
+def test_knn_join_cell_restriction_and_recall(spark):
+    from sparkrdf.similarity import knn_join
+
+    rows = [
+        (1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+        (3, [0.95, 0.05], "b"),  # true nearest of 1, but in another cell
+        (4, [0.0, 1.0], "a"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+    out = {(r.id_a, r.rank): r.id_b for r in knn_join(emb, k=1, cell_col="label").collect()}
+    assert out[(1, 1)] == 2  # same-cell candidate only — 3 is invisible
+    exact = {(r.id_a, r.rank): r.id_b for r in knn_join(emb, k=1).collect()}
+    assert exact[(1, 1)] == 3  # exhaustive config recovers the true neighbor
