@@ -74,6 +74,11 @@ OP_QUERIES = (
     "kg_table_triples",
     "kg_jsonld_triples",
     "kg_page_meta",
+    "kg_describe",
+    "kg_bgp_not_exists",
+    "kg_bgp_agg",
+    "graph_coreness",
+    "sim_knn_join",
 )
 
 
