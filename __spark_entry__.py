@@ -1499,6 +1499,28 @@ def q_graph_coreness(spark, sf_dir):
     return coreness(g, src="src_host", dst="dst_host")
 
 
+def q_graph_wcc(spark, sf_dir):
+    """Weakly-connected components of the host link graph — the SAME
+    distributed hash-to-min + pointer-jumping machinery the dedup
+    clustering uses (sparkrdf/dedupe.py connected_components), gated here
+    on a second, independent graph: component = MIN reachable host.
+    Oracle: a DuckDB recursive-CTE reachability closure + per-node MIN —
+    the independent one-edge-at-a-time definition of connectivity."""
+    from sparkrdf.dedupe import connected_components
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    e = (
+        g.select(
+            F.least("src_host", "dst_host").alias("id_a"),
+            F.greatest("src_host", "dst_host").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates()
+    )
+    return connected_components(e).withColumnRenamed("node", "n")
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity (Newman 2002) of the undirected host link
     graph (sparkrdf/graphops.py assortativity): Pearson correlation of
@@ -2105,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
         "graph_coreness": q_graph_coreness,
+        "graph_wcc": q_graph_wcc,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3611,6 +3634,20 @@ c{i + 1} AS MATERIALIZED (
   SELECT c.n, LEAST(c.c, COALESCE(h.h, 0))::INT AS c
   FROM c{i} c LEFT JOIN h{i} h ON h.u = c.n)"""
     sql["graph_coreness"] = _core + "\nSELECT n, c AS coreness FROM c6\n"
+
+    # weakly-connected components: recursive reachability closure + MIN —
+    # independent of the hash-to-min formulation
+    _links_recursive = "WITH RECURSIVE" + _links_base.split("WITH", 1)[1]
+    sql["graph_wcc"] = _links_recursive + """,
+wue AS (SELECT DISTINCT least(src_host, dst_host) AS u,
+  greatest(src_host, dst_host) AS v FROM edges),
+wb AS (SELECT u, v FROM wue UNION SELECT v, u FROM wue),
+reach(a, b) AS (
+  SELECT u, u FROM (SELECT u FROM wb) t
+  UNION
+  SELECT reach.a, wb.v FROM reach JOIN wb ON wb.u = reach.b)
+SELECT a AS n, MIN(b) AS component FROM reach GROUP BY a
+"""
 
     # degree assortativity: Pearson corr of endpoint degrees over the
     # symmetrized (both-orientations) undirected edge list
