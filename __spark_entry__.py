@@ -1168,6 +1168,45 @@ def q_kg_bgp_agg(spark, sf_dir):
     )
 
 
+def q_kg_warc_records(spark, sf_dir):
+    """WARC container ingestion (sparkrdf/warc.py warc_records): one WARC
+    container per nation is rendered in-query from the customer table
+    (spec framing — Content-Length bodies, CRLF separators), then the
+    Arrow-batched splitter recovers every record. File-level parallelism,
+    payload bytes untouched through Arrow. Oracle: the records written
+    directly from the customer columns."""
+    from sparkrdf.warc import warc_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    payload = F.concat(F.col("c_name"), F.lit(","), F.col("c_mktsegment"))
+    url = F.concat(
+        F.lit("https://data.example.org/customer/"),
+        F.col("c_custkey").cast("string"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    containers = (
+        cust.groupBy("c_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list(record)), "").alias("c"))
+        .select(
+            F.concat(F.lit("nation-"), F.col("c_nationkey").cast("string"),
+                     F.lit(".warc")).alias("path"),
+            F.col("c").cast("binary").alias("content"),
+        )
+    )
+    out = warc_records(containers)
+    return out.filter(F.col("ok")).select(
+        "url", "warc_ts", F.col("payload").cast("string").alias("body")
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -2147,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_page_meta": q_kg_page_meta,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_warc_records": q_kg_warc_records,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -4134,6 +4174,15 @@ FROM docs t1
 JOIN mentions t2 ON t2.s = t1.s
 JOIN (SELECT DISTINCT ent FROM mentions
       WHERE cls = '{dockg.class_iri("Operator")}') t3 ON t3.ent = t2.ent
+"""
+
+    # WARC split inverts the deterministic render: the records are exactly
+    # the customer rows
+    sql["kg_warc_records"] = """
+SELECT 'https://data.example.org/customer/' || CAST(c_custkey AS VARCHAR) AS url,
+       '2025-01-01T00:00:00Z' AS warc_ts,
+       c_name || ',' || c_mktsegment AS body
+FROM customer
 """
 
     # FILTER NOT EXISTS: documents with no Operator-class mention

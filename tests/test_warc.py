@@ -1,0 +1,47 @@
+"""WARC container split (sparkrdf/warc.py) — framing, round-trip,
+corrupt-container tolerance."""
+
+from sparkrdf.warc import render_warc, split_warc, warc_records
+
+
+def _recs():
+    return [
+        ("response", "http://a", "2025-01-01T00:00:00Z", b"hello"),
+        # payload CONTAINS the record separator — Content-Length framing
+        # must carry it through intact (a find()-based splitter would not)
+        ("response", "http://b", "2025-01-01T00:00:01Z", b"x\r\n\r\nWARC/1.0 fake"),
+        ("metadata", "http://c", "2025-01-01T00:00:02Z", b""),
+    ]
+
+
+def test_split_round_trip():
+    recs, err = split_warc(render_warc(_recs()))
+    assert err is None
+    assert recs == _recs()
+
+
+def test_split_truncated_body_returns_prefix_and_error():
+    buf = render_warc(_recs())
+    recs, err = split_warc(buf[:-12])  # chop into the last record
+    assert [r[1] for r in recs] == ["http://a", "http://b"]
+    assert err and "truncated" in err
+
+
+def test_split_bad_magic():
+    recs, err = split_warc(b"HTTP/1.1 200 OK\r\n\r\nbody")
+    assert recs == [] and "bad record magic" in err
+
+
+def test_warc_records_distributed(spark):
+    good = render_warc(_recs())
+    bad = good[: len(good) - 12]
+    df = spark.createDataFrame(
+        [("f1.warc", good), ("f2.warc", bad)], "path string, content binary"
+    )
+    out = warc_records(df).collect()
+    ok = [(r.path, r.url, bytes(r.payload)) for r in out if r.ok]
+    assert ("f1.warc", "http://b", b"x\r\n\r\nWARC/1.0 fake") in ok
+    assert len([r for r in ok if r[0] == "f1.warc"]) == 3
+    assert len([r for r in ok if r[0] == "f2.warc"]) == 2
+    errs = [r for r in out if not r.ok]
+    assert len(errs) == 1 and errs[0].path == "f2.warc" and "truncated" in errs[0].error
