@@ -1081,3 +1081,47 @@ def test_coreness_max_rounds_raises(spark):
     )
     with pytest.raises(RuntimeError, match="not converged"):
         coreness(e, max_rounds=1)
+
+
+def test_coreness_vs_peeling_reference_fuzz(spark):
+    """Property: the distributed h-index iteration agrees with the
+    sequential Matula–Beck min-degree peel on random small graphs."""
+    from collections import defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparkrdf.graphops import coreness
+
+    nodes_v = list("abcdefgh")
+    edge = st.tuples(st.sampled_from(nodes_v), st.sampled_from(nodes_v))
+
+    def core_ref(edges):
+        adj = defaultdict(set)
+        for u, v in edges:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        deg = {n: len(ns) for n, ns in adj.items()}
+        core, k = {}, 0
+        while deg:
+            v = min(deg, key=lambda n: (deg[n], n))
+            k = max(k, deg[v])
+            core[v] = k
+            for w in adj[v]:
+                if w in deg and w != v:
+                    deg[w] -= 1
+            del deg[v]
+        return core
+
+    @given(st.lists(edge, min_size=1, max_size=14, unique=True))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(edges):
+        if not any(u != v for u, v in edges):
+            return
+        df = spark.createDataFrame(edges, "u string, v string")
+        got = {r.n: r.coreness for r in coreness(df).collect()}
+        assert got == core_ref(edges)
+
+    check()

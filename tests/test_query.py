@@ -612,3 +612,70 @@ def test_group_solutions_numeric_and_errors(spark):
         group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("median", "v")})
     with pytest.raises(ValueError, match="not bound"):
         group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("sum", "zz")})
+
+
+def test_path_expr_vs_reference_fuzz(spark):
+    """Property: path_expr agrees (as a SET — closures are set-valued and
+    seq/alt bags dedupe to the same support) with a direct Python
+    evaluation of the path algebra on random small graphs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparkrdf.query import path_expr
+
+    preds = ["p", "q", "r"]
+    nodes_v = ["a", "b", "c", "d"]
+    triple = st.tuples(
+        st.sampled_from(nodes_v), st.sampled_from(preds), st.sampled_from(nodes_v)
+    )
+    ast = st.recursive(
+        st.one_of(
+            st.tuples(st.just("pred"), st.sampled_from(preds)),
+            st.tuples(st.just("neg"), st.lists(st.sampled_from(preds), min_size=1, max_size=2)),
+        ),
+        lambda inner: st.one_of(
+            st.tuples(st.sampled_from(["inv", "star", "plus", "opt"]), inner),
+            st.tuples(st.sampled_from(["seq", "alt"]), inner, inner),
+        ),
+        max_leaves=4,
+    )
+
+    def closure(pairs):
+        out = set(pairs)
+        while True:
+            step = {(a, d) for a, b in out for c, d in out if b == c}
+            if step <= out:
+                return out
+            out |= step
+
+    def ev(node, triples, gnodes):
+        k = node[0]
+        if k == "pred":
+            return {(s, o) for s, p, o in triples if p == node[1]}
+        if k == "neg":
+            return {(s, o) for s, p, o in triples if p not in node[1]}
+        if k == "inv":
+            return {(o, s) for s, o in ev(node[1], triples, gnodes)}
+        if k == "seq":
+            a, b = ev(node[1], triples, gnodes), ev(node[2], triples, gnodes)
+            return {(s, o2) for s, o in a for s2, o2 in b if o == s2}
+        if k == "alt":
+            return ev(node[1], triples, gnodes) | ev(node[2], triples, gnodes)
+        if k == "plus":
+            return closure(ev(node[1], triples, gnodes))
+        if k == "star":
+            return closure(ev(node[1], triples, gnodes)) | {(n, n) for n in gnodes}
+        if k == "opt":
+            return ev(node[1], triples, gnodes) | {(n, n) for n in gnodes}
+        raise AssertionError(k)
+
+    @given(st.lists(triple, min_size=1, max_size=8, unique=True), ast)
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def check(triples, node):
+        df = spark.createDataFrame(triples, "s string, p string, o string")
+        got = {(r.s, r.o) for r in path_expr(df, node).collect()}
+        gnodes = {s for s, _, _ in triples} | {o for _, _, o in triples}
+        assert got == ev(node, triples, gnodes)
+
+    check()
