@@ -79,6 +79,9 @@ OP_QUERIES = (
     "kg_bgp_agg",
     "graph_coreness",
     "sim_knn_join",
+    "graph_wcc",
+    "kg_warc_records",
+    "kg_rdfs_delta",
 )
 
 
