@@ -1560,6 +1560,30 @@ def q_graph_wcc(spark, sf_dir):
     return connected_components(e).withColumnRenamed("node", "n")
 
 
+def q_web_robots_filter(spark, sf_dir):
+    """robots.txt admission over the crawl URL set (sparkrdf/robots.py):
+    per-host robots bodies (deterministic parity-dependent policies with a
+    longest-match Allow override) parsed into a rules table, every page
+    URL decided by RFC 9309 longest-prefix-match. Rules are
+    dimension-sized (broadcast); the URL stream shuffles once on the
+    decision window. Oracle: the admission policy restated directly as
+    path CASE logic in DuckDB — an independent definition of the same
+    verdicts."""
+    from sparkrdf.robots import filter_allowed, parse_robots
+
+    pages = _links_input(spark)
+    urls = pages.select("url")
+    hosts = urls.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    ).distinct()
+    body = F.when(
+        F.length("host") % 2 == 0,
+        F.lit("User-agent: *\nDisallow: /page/1\nAllow: /page/12\n"),
+    ).otherwise(F.lit("User-agent: *\nDisallow: /page/9\n"))
+    rules = parse_robots(hosts.select("host", body.alias("body")))
+    return filter_allowed(urls, rules)
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity (Newman 2002) of the undirected host link
     graph (sparkrdf/graphops.py assortativity): Pearson correlation of
@@ -2167,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_coreness": q_graph_coreness,
         "graph_wcc": q_graph_wcc,
+        "web_robots_filter": q_web_robots_filter,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3674,6 +3699,24 @@ c{i + 1} AS MATERIALIZED (
   SELECT c.n, LEAST(c.c, COALESCE(h.h, 0))::INT AS c
   FROM c{i} c LEFT JOIN h{i} h ON h.u = c.n)"""
     sql["graph_coreness"] = _core + "\nSELECT n, c AS coreness FROM c6\n"
+
+    # robots admission: the parity policy restated as direct path CASE
+    # logic — independent of the parse/longest-match machinery
+    sql["web_robots_filter"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet')),
+u AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(url, '^https?://[^/]+', '') AS path
+  FROM pages)
+SELECT url,
+  CASE WHEN length(host) % 2 = 0 THEN
+    CASE WHEN path LIKE '/page/12%' THEN TRUE
+         WHEN path LIKE '/page/1%' THEN FALSE
+         ELSE TRUE END
+  ELSE CASE WHEN path LIKE '/page/9%' THEN FALSE ELSE TRUE END
+  END AS allowed
+FROM u
+"""
 
     # weakly-connected components: recursive reachability closure + MIN —
     # independent of the hash-to-min formulation
