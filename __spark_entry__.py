@@ -1584,6 +1584,41 @@ def q_web_robots_filter(spark, sf_dir):
     return filter_allowed(urls, rules)
 
 
+def q_web_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery (sparkrdf/weblinks.py sitemap_urls): per-nation
+    sitemap XML rendered in-query from the orders table (loc per order,
+    lastmod from o_orderdate), parsed back into (path, loc, lastmod)
+    entries — codegen regexp only, no shuffle beyond the fixture groupBy.
+    Oracle: the entries written directly from the orders columns."""
+    from sparkrdf.weblinks import sitemap_urls
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    entry = F.concat(
+        F.lit("<url><loc>https://data.example.org/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.sort_array(F.collect_list(entry)), ""),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                F.lit("sitemap-"), F.col("o_custkey").cast("string"), F.lit(".xml")
+            ).alias("path"),
+            "body",
+        )
+    )
+    return sitemap_urls(sitemaps)
+
+
 def q_graph_assortativity(spark, sf_dir):
     """Degree assortativity (Newman 2002) of the undirected host link
     graph (sparkrdf/graphops.py assortativity): Pearson correlation of
@@ -2192,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_graph_coreness,
         "graph_wcc": q_graph_wcc,
         "web_robots_filter": q_web_robots_filter,
+        "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
         "web_host_sssp": q_web_host_sssp,
         "kg_snapshot_diff": q_kg_snapshot_diff,
@@ -3716,6 +3752,15 @@ SELECT url,
   ELSE CASE WHEN path LIKE '/page/9%' THEN FALSE ELSE TRUE END
   END AS allowed
 FROM u
+"""
+
+    # sitemap parse inverts the deterministic render: entries are exactly
+    # the orders rows
+    sql["web_sitemap_urls"] = """
+SELECT 'sitemap-' || CAST(o_custkey AS VARCHAR) || '.xml' AS path,
+       'https://data.example.org/order/' || CAST(o_orderkey AS VARCHAR) AS loc,
+       strftime(o_orderdate, '%Y-%m-%d') AS lastmod
+FROM orders
 """
 
     # weakly-connected components: recursive reachability closure + MIN —

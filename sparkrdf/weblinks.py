@@ -53,3 +53,39 @@ def host_link_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").cast("long").alias("n_links"))
     )
+
+
+SITEMAP_LOC_RE = r"(?s)<url>(.*?)</url>"
+_LOC_RE = r"<loc>\s*([^<\s]+)\s*</loc>"
+_LASTMOD_RE = r"<lastmod>\s*([^<\s]+)\s*</lastmod>"
+
+
+def sitemap_urls(
+    sitemaps: DataFrame, path_col: str = "path", body_col: str = "body"
+) -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) → one row per ``<url>`` entry:
+    ``(path, loc, lastmod)`` — the crawl-discovery channel that complements
+    anchor extraction (publishers list canonical URLs + change dates here;
+    lastmod drives recrawl scheduling). ``lastmod`` is NULL when the entry
+    omits it.
+
+    Scale shape: same as :func:`extract_links` — whole-stage-codegen
+    ``regexp_extract_all`` per ``<url>`` block + per-field extraction,
+    zero Python, zero shuffle; entries without a ``<loc>`` drop.
+    """
+    entries = sitemaps.select(
+        F.col(path_col).alias("path"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col).cast("string"), F.lit(SITEMAP_LOC_RE), F.lit(1)
+            )
+        ).alias("entry"),
+    )
+    return entries.select(
+        "path",
+        F.regexp_extract(F.col("entry"), _LOC_RE, 1).alias("loc"),
+        F.when(
+            F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1) != "",
+            F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1),
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")

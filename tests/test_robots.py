@@ -59,3 +59,18 @@ def test_allow_beats_disallow_on_tie(spark):
     )
     urls = spark.createDataFrame([("https://t.org/a/x",)], "url string")
     assert filter_allowed(urls, rules).collect()[0].allowed is True
+
+
+def test_sitemap_urls_extraction(spark):
+    from sparkrdf.weblinks import sitemap_urls
+
+    body = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a/1</loc><lastmod>2025-01-02</lastmod></url>"
+        "<url><loc> https://a/2 </loc></url>"
+        "<url><lastmod>2025-01-03</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("s.xml", body)], "path string, body string")
+    got = {(r.loc, r.lastmod) for r in sitemap_urls(df).collect()}
+    assert got == {("https://a/1", "2025-01-02"), ("https://a/2", None)}
