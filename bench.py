@@ -82,6 +82,8 @@ OP_QUERIES = (
     "graph_wcc",
     "kg_warc_records",
     "kg_rdfs_delta",
+    "web_robots_filter",
+    "web_sitemap_urls",
 )
 
 
