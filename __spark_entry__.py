@@ -1207,6 +1207,49 @@ def q_kg_warc_records(spark, sf_dir):
     )
 
 
+def q_kg_http_responses(spark, sf_dir):
+    """The full crawl-ingestion path end-to-end (sparkrdf/warc.py): WARC
+    containers whose record payloads are raw HTTP messages (as Common
+    Crawl ships them) → warc_records container split → http_responses
+    message split → (url, status, content_type, body). Both splitters are
+    Arrow-batched at file/record granularity; bytes flow through Arrow
+    untouched. Oracle: the rows written directly from the customer
+    columns."""
+    from sparkrdf.warc import http_responses, warc_records
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    doc = F.concat(F.col("c_name"), F.lit(","), F.col("c_mktsegment"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"), doc
+    )
+    url = F.concat(
+        F.lit("https://data.example.org/customer/"),
+        F.col("c_custkey").cast("string"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    containers = (
+        cust.groupBy("c_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list(record)), "").alias("c"))
+        .select(
+            F.concat(F.lit("nation-"), F.col("c_nationkey").cast("string"),
+                     F.lit(".warc")).alias("path"),
+            F.col("c").cast("binary").alias("content"),
+        )
+    )
+    recs = warc_records(containers).filter(F.col("ok"))
+    return http_responses(recs).filter(F.col("ok")).select(
+        "url", "status", "content_type", F.col("body").cast("string").alias("doc")
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL (sparkrdf/query.py bgp_optional): every document,
     left-join-extended with its mentioned entities where any exist, NULL-
@@ -2248,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_warc_records": q_kg_warc_records,
+        "kg_http_responses": q_kg_http_responses,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
         "kg_path_expr": q_kg_path_expr,
@@ -4270,6 +4314,14 @@ JOIN (SELECT DISTINCT ent FROM mentions
 SELECT 'https://data.example.org/customer/' || CAST(c_custkey AS VARCHAR) AS url,
        '2025-01-01T00:00:00Z' AS warc_ts,
        c_name || ',' || c_mktsegment AS body
+FROM customer
+"""
+
+    # WARC+HTTP double split inverts the deterministic render
+    sql["kg_http_responses"] = """
+SELECT 'https://data.example.org/customer/' || CAST(c_custkey AS VARCHAR) AS url,
+       200 AS status, 'text/plain' AS content_type,
+       c_name || ',' || c_mktsegment AS doc
 FROM customer
 """
 

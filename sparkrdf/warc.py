@@ -123,3 +123,62 @@ def warc_records(
             )
 
     return files.select(path_col, content_col).mapInPandas(gen, RECORD_SCHEMA)
+
+
+HTTP_SCHEMA = (
+    "url string, status int, content_type string, body binary, ok boolean, "
+    "error string"
+)
+
+
+def split_http(payload: bytes) -> tuple[int, str, bytes]:
+    """Split one HTTP/1.x response message into (status, content_type,
+    body). Raises ValueError on a non-HTTP payload."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("no header/body separator")
+    head = payload[:sep].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    if not parts[0].startswith("HTTP/") or len(parts) < 2:
+        raise ValueError(f"bad status line {lines[0][:40]!r}")
+    status = int(parts[1])
+    ctype = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, payload[sep + 4 :]
+
+
+def http_responses(
+    records: DataFrame, url_col: str = "url", payload_col: str = "payload"
+) -> DataFrame:
+    """WARC response records → HTTP messages split into ``(url, status,
+    content_type, body, ok)`` — the stage between :func:`warc_records` and
+    text extraction (Common Crawl response payloads ARE raw HTTP). A
+    malformed payload yields one ``ok=false`` row with the error; the good
+    rows are unaffected (the same crash-tolerance contract as the
+    container split). Arrow-batched mapInPandas, body bytes untouched.
+    """
+    import pandas as pd
+
+    from sparkrdf.session import ensure_pyfiles
+
+    ensure_pyfiles(records.sparkSession)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                try:
+                    status, ctype, body = split_http(bytes(payload))
+                    rows.append((url, status, ctype, body, True, None))
+                except (ValueError, IndexError) as e:
+                    rows.append((url, None, None, None, False, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "status", "content_type", "body", "ok", "error"],
+            )
+
+    return records.select(url_col, payload_col).mapInPandas(gen, HTTP_SCHEMA)

@@ -45,3 +45,22 @@ def test_warc_records_distributed(spark):
     assert len([r for r in ok if r[0] == "f2.warc"]) == 2
     errs = [r for r in out if not r.ok]
     assert len(errs) == 1 and errs[0].path == "f2.warc" and "truncated" in errs[0].error
+
+
+def test_split_http_and_distributed(spark):
+    from sparkrdf.warc import http_responses, split_http
+
+    msg = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"X-Other: y\r\n\r\n<html>hi \r\n\r\n body</html>"
+    )
+    status, ctype, body = split_http(msg)
+    assert (status, ctype) == (200, "text/html; charset=utf-8")
+    assert body == b"<html>hi \r\n\r\n body</html>"  # separators in body survive
+
+    df = spark.createDataFrame(
+        [("u1", msg), ("u2", b"not http at all")], "url string, payload binary"
+    )
+    rows = {r.url: r for r in http_responses(df).collect()}
+    assert rows["u1"].ok and rows["u1"].status == 200
+    assert not rows["u2"].ok and "separator" in rows["u2"].error
