@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line as the LAST line
+of output (the driver tail-captures it — round 4's artifact failed to
+parse because the embedded per-rep table outgrew the capture window):
   {"metric": "e2e_sec", "value": N, "unit": "sec", "queries": {...},
    "sf": ..., "pages": N, "triples": N, "triples_per_sec": N, "cpus": N,
-   "reps": [...], "clean_reps": N, "all_windows_dirty": bool}
+   "clean_reps": N, "all_windows_dirty": bool}
+The full per-rep table (timings + steal%) is written to the file named
+by $SPARK_GRAFT_BENCH_REPS_OUT (default BENCH_local.json next to this
+script), NOT embedded in the summary line.
 
 The flagship measurement is the Common-Crawl-style pipeline: synthesize the
 pages table (distributed, deterministic), extract triples, materialize the
@@ -186,33 +191,52 @@ def main():
     )
     tps = round(n_triples / kg_sec, 1) if kg_sec else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pages": n_pages,
-                "triples": n_triples,
-                "triples_per_sec": tps,
-                "cpus": cpus,
-                "reps": [
-                    {
-                        "wall": r["wall"],
-                        "steal_pct": r["steal_pct"],
-                        "timings": r["timings"],
-                    }
-                    for r in reps
-                ],
-                "clean_reps": len(clean),
-                "max_steal_pct": max_steal,
-                "all_windows_dirty": all_dirty,
-            }
-        )
+    summary = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "triples": n_triples,
+        "triples_per_sec": tps,
+        "cpus": cpus,
+        "clean_reps": len(clean),
+        "max_steal_pct": max_steal,
+        "all_windows_dirty": all_dirty,
+    }
+    # full detail (per-rep timings + steal windows) goes to a side file so
+    # the stdout summary stays small enough for the driver's tail capture
+    reps_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_REPS_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
     )
+    try:
+        with open(reps_out, "w") as f:
+            json.dump(
+                {
+                    **summary,
+                    "reps": [
+                        {
+                            "wall": r["wall"],
+                            "steal_pct": r["steal_pct"],
+                            "timings": r["timings"],
+                        }
+                        for r in reps
+                    ],
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    except OSError as e:
+        print(f"warning: could not write reps file {reps_out}: {e}", file=sys.stderr)
+
     spark.stop()
+    # the summary line MUST be the last stdout line (spark.stop() above can
+    # still emit shutdown chatter; print after it)
+    sys.stdout.flush()
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -2,12 +2,19 @@
 Spark and its oracle_sql() in DuckDB at the given sf, compare row count +
 order-insensitive value hash (columns sorted by name, values stringified).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes the results in the driver's CORRECTNESS schema
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) so each round can commit a durable full-gate artifact
+(CORRECTNESS_local_rNN.json) covering the queries the driver's sampled
+gate skipped.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 
@@ -58,8 +65,13 @@ def value_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -78,18 +90,31 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = {}
+    records = {}  # driver CORRECTNESS schema
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             results[name] = f"SPARK ERROR: {type(e).__name__}: {str(e)[:200]}"
+            rec["err"] = f"spark: {type(e).__name__}: {str(e)[:200]}"
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
             results[name] = f"rows-only: {len(srows)} rows"
+            rec["err"] = "no_oracle"
             continue
         try:
             cur = con.execute(oracles[name])
@@ -97,14 +122,19 @@ def main():
             orows = cur.fetchall()
         except Exception as e:
             results[name] = f"ORACLE ERROR: {type(e).__name__}: {str(e)[:300]}"
+            rec["err"] = f"oracle: {type(e).__name__}: {str(e)[:300]}"
             continue
-        if sorted(scols) != sorted(ocols):
+        rec["oracle_rows"] = len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             results[name] = f"SCHEMA MISMATCH: spark={sorted(scols)} oracle={sorted(ocols)}"
             continue
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             results[name] = f"ROWCOUNT MISMATCH: spark={len(srows)} oracle={len(orows)}"
             continue
         sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+        rec["hash_match"] = sh == oh
         if sh != oh:
             # show a few differing lines for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -116,6 +146,11 @@ def main():
             results[name] = f"VALUE MISMATCH: spark-only={diff_s} oracle-only={diff_o}"
         else:
             results[name] = f"OK ({len(srows)} rows)"
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+            f.write("\n")
 
     width = max(len(n) for n in results)
     fails = 0
