@@ -35,6 +35,15 @@ def bgp_match(
     graph; a variable binds it; default-graph rows hold NULL there and are
     matched by neither, per the dataset semantics).
 
+    Dataset semantics of bare TRIPLE patterns: they match rows from ALL
+    graphs (default + every named graph) — the "union default graph"
+    convention (what most stores, e.g. Virtuoso, default to), NOT strict
+    SPARQL where non-GRAPH patterns see only the unnamed graph. If the
+    same triple exists in several named graphs, mixing triple and quad
+    patterns multiplies solution multiplicities accordingly; restrict to
+    the unnamed graph by pre-filtering ``stmts.filter(col(g_col).isNull())``
+    when strict semantics are needed.
+
     Scale shape: every pattern is an independent filtered projection of the
     statements scan — constant terms become pushed-down predicates, so a
     selective pattern reads a fraction of the table. Patterns join
@@ -706,6 +715,8 @@ def group_solutions(
         key = fn.lower()
         if key not in fns:
             raise ValueError(f"unsupported aggregate {fn!r} (have {sorted(fns)})")
+        if var == "*" and key != "count":
+            raise ValueError(f"aggregate {fn!r} cannot take '*' (only count)")
         if var != "*" and var not in sol.columns:
             raise ValueError(f"aggregate variable ?{var} not bound by the patterns")
         aggs.append(fns[key](var).alias(alias))

@@ -351,7 +351,10 @@ def knn_join(
         F.col(id_col).alias("_id"),
         dv.alias("_v"),
         _norm(F.col(vec_col)).alias("_n"),
-    )
+        # a zero vector has no direction: its cosine is NaN, and NaN sorts
+        # ABOVE all doubles in a descending window — it would rank as the
+        # #1 neighbor of every row in its cell. Exclude it on both sides.
+    ).filter(F.col("_n") != 0)
     a = base.select(
         F.col("_cell"), F.col("_id").alias("id_a"),
         F.col("_v").alias("va"), F.col("_n").alias("na"),

@@ -127,6 +127,7 @@ class TurtleParser:
         # triples are TERMS (referentially transparent), so every occurrence
         # of the same triple maps to ONE node and one reification quad.
         self.qt_nodes: dict[tuple, tuple] = {}
+        self.qt_emitted: set[tuple] = set()  # (graph, quoted-triple) quads emitted
 
     # -- token helpers ------------------------------------------------------
     def _peek(self) -> _Tok | None:
@@ -320,11 +321,20 @@ class TurtleParser:
         return self._quoted_node(s, p, o)
 
     def _quoted_node(self, s, p, o) -> tuple:
+        # one reification NODE per quoted triple document-wide (so two
+        # annotations of the same quoted triple share a subject), but the
+        # four defining quads are (re-)emitted into EVERY named graph the
+        # quoted triple appears in — otherwise an annotation inside a later
+        # TriG graph would reference a bnode whose definition lives only in
+        # the first graph seen
         key = (s, p, o)
         node = self.qt_nodes.get(key)
         if node is None:
             node = self._new_bnode()
             self.qt_nodes[key] = node
+        gkey = (self.graph, key)
+        if gkey not in self.qt_emitted:
+            self.qt_emitted.add(gkey)
             self._emit(node, ("URIRef", RDF_TYPE), ("URIRef", RDF_NS + "Statement"))
             self._emit(node, ("URIRef", RDF_NS + "subject"), s)
             self._emit(node, ("URIRef", RDF_NS + "predicate"), p)

@@ -658,6 +658,19 @@ def test_knn_join_exact_small(spark):
     assert all(len(v) == 2 for v in by_id.values())
 
 
+def test_knn_join_zero_norm_excluded(spark):
+    # a zero vector has NaN cosine with everything, and NaN sorts above all
+    # doubles descending — unguarded it would be the #1 neighbor of every row
+    from sparkrdf.similarity import knn_join
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = knn_join(emb, k=1).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    assert got == {(1, 2), (2, 1)}  # 3 appears neither as query nor candidate
+    assert all(r.score == r.score for r in out)  # no NaN scores
+
+
 def test_knn_join_cell_restriction_and_recall(spark):
     from sparkrdf.similarity import knn_join
 

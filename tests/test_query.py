@@ -612,6 +612,10 @@ def test_group_solutions_numeric_and_errors(spark):
         group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("median", "v")})
     with pytest.raises(ValueError, match="not bound"):
         group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("sum", "zz")})
+    with pytest.raises(ValueError, match="cannot take '\\*'"):
+        # '*' is only meaningful for count; fail fast instead of letting
+        # F.sum(col("*")) surface an opaque analysis error later
+        group_solutions(st, [("?s", "score", "?v")], ["s"], {"x": ("sum", "*")})
 
 
 def test_path_expr_vs_reference_fuzz(spark):

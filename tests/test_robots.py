@@ -61,6 +61,71 @@ def test_allow_beats_disallow_on_tie(spark):
     assert filter_allowed(urls, rules).collect()[0].allowed is True
 
 
+def test_multi_agent_group_shares_rules(spark):
+    body = "User-agent: a\nUser-agent: b\nDisallow: /x\n\nUser-agent: c\nAllow: /y\n"
+    rules = parse_robots(
+        spark.createDataFrame([("m.org", body)], "host string, body string")
+    )
+    got = {(r.agent, r.allow, r.prefix) for r in rules.collect()}
+    assert got == {
+        ("a", False, "/x"),
+        ("b", False, "/x"),
+        ("c", True, "/y"),
+    }  # consecutive User-agent lines open ONE group; its rules bind both
+
+
+def test_rules_before_any_group_are_dropped(spark):
+    body = "Disallow: /orphan\nUser-agent: *\nDisallow: /x\n"
+    rules = parse_robots(
+        spark.createDataFrame([("o.org", body)], "host string, body string")
+    )
+    assert {(r.agent, r.prefix) for r in rules.collect()} == {("*", "/x")}
+
+
+def test_specific_group_shadows_star(spark):
+    # RFC 9309: the '*' group applies ONLY when no named group matches —
+    # goodbot's group allows everything, so the '*' Disallow must not leak in
+    body = "User-agent: *\nDisallow: /\n\nUser-agent: goodbot\nAllow: /\n"
+    rules = parse_robots(
+        spark.createDataFrame([("s.org", body)], "host string, body string")
+    )
+    urls = spark.createDataFrame([("https://s.org/a",)], "url string")
+    assert filter_allowed(urls, rules, agent="GoodBot").collect()[0].allowed is True
+    assert filter_allowed(urls, rules).collect()[0].allowed is False
+
+
+def test_wildcard_and_anchor_matching(spark):
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"   # any path ending in .pdf
+        "Disallow: /a/*/c\n"    # interior wildcard
+        "Disallow: /lit.x\n"    # '.' is literal, must not match /litqx
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("w.org", body)], "host string, body string")
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://w.org/doc.pdf",),        # blocked by /*.pdf$
+            ("https://w.org/doc.pdf?x=1",),    # $ anchor: NOT blocked
+            ("https://w.org/a/b/c",),          # blocked by /a/*/c
+            ("https://w.org/a/c",),            # '*' spans empty? no '/a//c' -> allowed
+            ("https://w.org/lit.x",),          # blocked, literal match
+            ("https://w.org/litqx",),          # '.' escaped -> allowed
+        ],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in filter_allowed(urls, rules).collect()}
+    assert got == {
+        "https://w.org/doc.pdf": False,
+        "https://w.org/doc.pdf?x=1": True,
+        "https://w.org/a/b/c": False,
+        "https://w.org/a/c": True,
+        "https://w.org/lit.x": False,
+        "https://w.org/litqx": True,
+    }
+
+
 def test_sitemap_urls_extraction(spark):
     from sparkrdf.weblinks import sitemap_urls
 

@@ -204,6 +204,26 @@ def test_rdf_star_annotation_block_asserts_base_triple():
     assert len(rows) == 1 + 4 + 2
 
 
+def test_rdf_star_quoted_triple_redefined_per_graph():
+    # the same quoted triple annotated inside TWO TriG graphs: one shared
+    # node, but the four defining reification quads must exist in BOTH
+    # graphs — a consumer reading only g2 must still see the definition
+    rows = parse_ttl(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:g1 { << ex:a ex:p ex:b >> ex:src ex:doc1 . }\n"
+        "ex:g2 { << ex:a ex:p ex:b >> ex:src ex:doc2 . }\n"
+    )
+    subj_nodes = {r[1] for r in rows if r[2] == _RDF + "subject"}
+    assert len(subj_nodes) == 1  # still one node document-wide
+    for g in ("http://ex.org/g1", "http://ex.org/g2"):
+        preds = sorted(r[2] for r in rows if r[7] == g)
+        assert preds == sorted(
+            [_RDF + "type", _RDF + "subject", _RDF + "predicate", _RDF + "object",
+             "http://ex.org/src"]
+        )
+    assert len(rows) == 10  # (4 reification + 1 annotation) x 2 graphs
+
+
 def test_rdf_star_nested_quoted_triple():
     rows = parse_ttl(
         "@prefix ex: <http://ex.org/> .\n"
