@@ -17,6 +17,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve module-globally
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1207,6 +1209,56 @@ def q_kg_warc_records(spark, sf_dir):
     )
 
 
+def q_kg_warc_gz(spark, sf_dir):
+    """Gzipped WARC ingestion (sparkrdf/warc.py split_warc gzip branch):
+    the same per-nation containers as kg_warc_records, but shipped as
+    .warc.gz — gzip-compressed in-query by an Arrow-batched pandas UDF,
+    then recovered by the magic-detecting member decompressor inside the
+    same warc_records operator. (Member-per-record layout — Common Crawl's
+    actual shape — is pinned by tests/test_warc.py; this gate uses a
+    whole-container member.) Oracle: the records written directly from the
+    customer columns."""
+    import gzip
+
+    from sparkrdf.session import ensure_pyfiles
+    from sparkrdf.warc import warc_records
+
+    ensure_pyfiles(spark)
+
+    @F.pandas_udf("binary")
+    def gz(col: pd.Series) -> pd.Series:
+        return col.apply(lambda b: gzip.compress(bytes(b), mtime=0))
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    payload = F.concat(F.col("c_name"), F.lit(","), F.col("c_mktsegment"))
+    url = F.concat(
+        F.lit("https://data.example.org/customer/"),
+        F.col("c_custkey").cast("string"),
+    )
+    record = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        url,
+        F.lit("\r\nWARC-Date: 2025-01-01T00:00:00Z\r\nContent-Length: "),
+        F.length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    containers = (
+        cust.groupBy("c_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list(record)), "").alias("c"))
+        .select(
+            F.concat(F.lit("nation-"), F.col("c_nationkey").cast("string"),
+                     F.lit(".warc.gz")).alias("path"),
+            gz(F.col("c").cast("binary")).alias("content"),
+        )
+    )
+    out = warc_records(containers)
+    return out.filter(F.col("ok")).select(
+        "url", "warc_ts", F.col("payload").cast("string").alias("body")
+    )
+
+
 def q_kg_http_responses(spark, sf_dir):
     """The full crawl-ingestion path end-to-end (sparkrdf/warc.py): WARC
     containers whose record payloads are raw HTTP messages (as Common
@@ -2291,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_warc_records": q_kg_warc_records,
+        "kg_warc_gz": q_kg_warc_gz,
         "kg_http_responses": q_kg_http_responses,
         "graph_khop": q_graph_khop,
         "kg_path_closure": q_kg_path_closure,
@@ -4316,6 +4369,10 @@ SELECT 'https://data.example.org/customer/' || CAST(c_custkey AS VARCHAR) AS url
        c_name || ',' || c_mktsegment AS body
 FROM customer
 """
+
+    # gzipped WARC split: same inverse as the plain container (the gzip
+    # wrapper is transparent to the record content)
+    sql["kg_warc_gz"] = sql["kg_warc_records"]
 
     # WARC+HTTP double split inverts the deterministic render
     sql["kg_http_responses"] = """

@@ -8,7 +8,10 @@ records. This module provides:
   bytes (spec-correct framing: header block terminated by CRLFCRLF, body
   of exactly ``Content-Length`` bytes, records separated by two CRLFs —
   NEVER by scanning the body for separators, which corrupts payloads that
-  contain them).
+  contain them). Gzipped containers (``.warc.gz`` — Common Crawl's actual
+  shipping layout: ONE gzip member per record, concatenated) are detected
+  by magic and decompressed member-by-member with the same good-prefix
+  contract: a corrupt member yields every record before it plus the error.
 * :func:`warc_records` — the distributed operator: a DataFrame of
   ``(path, content binary)`` rows (``spark.read.format("binaryFile")``
   shape) → one row per WARC record ``(path, rec_type, url, warc_ts,
@@ -53,12 +56,62 @@ def render_warc(records: list[tuple[str, str, str, bytes]]) -> bytes:
     return b"".join(out)
 
 
+def render_warc_gz(records: list[tuple[str, str, str, bytes]]) -> bytes:
+    """Render records as a ``.warc.gz`` container in Common Crawl's layout:
+    one gzip member per record, members concatenated — each record stays
+    independently decompressible (what makes the format streamable/seekable
+    via the columnar index)."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(render_warc([rec]), mtime=0) for rec in records
+    )
+
+
+def _gzip_members(buf: bytes):
+    """Decompress a concatenated-gzip-member stream one member at a time.
+    Returns ``(members, error)`` — on a corrupt/truncated member the good
+    prefix is returned with the error. Operates on a memoryview so large
+    containers are never re-sliced per member."""
+    import zlib
+
+    members: list[bytes] = []
+    mv = memoryview(buf)
+    i, n = 0, len(buf)
+    while i < n:
+        d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+        try:
+            chunk = d.decompress(mv[i:]) + d.flush()
+        except zlib.error as e:
+            return members, f"corrupt gzip member at byte {i}: {e}"
+        if not d.eof:
+            return members, f"truncated gzip member at byte {i}"
+        members.append(chunk)
+        consumed = (n - i) - len(d.unused_data)
+        if consumed <= 0:  # defensive: eof implies progress, but never loop
+            return members, f"gzip member made no progress at byte {i}"
+        i += consumed
+    return members, None
+
+
 def split_warc(buf: bytes) -> tuple[list[tuple[str, str, str, bytes]], str | None]:
     """Split one container's bytes into ``(rec_type, url, warc_ts,
     payload)`` records. Returns ``(records, error)`` — error is None for a
     clean container, else a message describing where parsing stopped (the
-    good prefix is still returned)."""
-    recs: list[tuple[str, str, str, bytes]] = []
+    good prefix is still returned). A gzipped container (magic 1f 8b) is
+    split into gzip members first; each member's records parse with the
+    same framing rules, and the first bad member OR bad record inside a
+    member ends the good prefix."""
+    if buf[:2] == b"\x1f\x8b":
+        members, gerr = _gzip_members(buf)
+        recs: list[tuple[str, str, str, bytes]] = []
+        for m, member in enumerate(members):
+            mrecs, merr = split_warc(member)
+            recs.extend(mrecs)
+            if merr is not None:
+                return recs, f"gzip member {m}: {merr}"
+        return recs, gerr
+    recs = []
     i, n = 0, len(buf)
     while i < n:
         j = buf.find(b"\r\n\r\n", i)

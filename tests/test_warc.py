@@ -47,6 +47,57 @@ def test_warc_records_distributed(spark):
     assert len(errs) == 1 and errs[0].path == "f2.warc" and "truncated" in errs[0].error
 
 
+def test_gzip_member_round_trip():
+    from sparkrdf.warc import render_warc_gz
+
+    buf = render_warc_gz(_recs())
+    assert buf[:2] == b"\x1f\x8b"
+    # Common Crawl layout: one independently-decompressible member per record
+    from sparkrdf.warc import _gzip_members
+
+    members, gerr = _gzip_members(buf)
+    assert gerr is None and len(members) == len(_recs())
+    assert [split_warc(m)[0] for m in members] == [[r] for r in _recs()]
+    recs, err = split_warc(buf)
+    assert err is None and recs == _recs()
+
+
+def test_gzip_corrupt_member_returns_prefix_and_error():
+    from sparkrdf.warc import render_warc_gz
+
+    buf = render_warc_gz(_recs())
+    # flip bytes inside the LAST member's deflate stream
+    bad = buf[:-8] + b"\x00" * 8
+    recs, err = split_warc(bad)
+    assert [r[1] for r in recs] == ["http://a", "http://b"]
+    assert err and "gzip member" in err
+
+
+def test_gzip_truncated_member():
+    from sparkrdf.warc import render_warc_gz
+
+    buf = render_warc_gz(_recs()[:1])
+    recs, err = split_warc(buf[: len(buf) // 2])
+    assert recs == [] and err and "gzip member" in err
+
+
+def test_warc_records_gz_distributed(spark):
+    from sparkrdf.warc import render_warc_gz
+
+    df = spark.createDataFrame(
+        [("f1.warc.gz", render_warc_gz(_recs())), ("f2.warc", render_warc(_recs()))],
+        "path string, content binary",
+    )
+    out = warc_records(df).collect()
+    assert all(r.ok for r in out)
+    # same records out of the gz and plain containers
+    by_path = {}
+    for r in out:
+        by_path.setdefault(r.path, set()).add((r.rec_type, r.url, bytes(r.payload)))
+    assert by_path["f1.warc.gz"] == by_path["f2.warc"]
+    assert len(by_path["f1.warc.gz"]) == 3
+
+
 def test_split_http_and_distributed(spark):
     from sparkrdf.warc import http_responses, split_http
 
