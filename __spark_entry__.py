@@ -1170,6 +1170,34 @@ def q_kg_bgp_agg(spark, sf_dir):
     )
 
 
+def q_kg_bgp_filter(spark, sf_dir):
+    """SPARQL FILTER expressions (sparkrdf/query.py bgp_filter): documents
+    BGP-bound to their tokenCount and lang, filtered by a value expression
+    mixing numeric coercion (?n > 40 — lexical forms compared as doubles),
+    regex(), string equality and || — compiled to ONE codegen Filter, no
+    UDF. Oracle: the same predicate written directly over the docs CTE."""
+    from sparkrdf.query import bgp_filter, bgp_match
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    sol = bgp_match(
+        stmts, [("?d", dockg.P_TOKENS, "?n"), ("?d", dockg.P_LANG, "?l")]
+    )
+    return bgp_filter(sol, '?n > 40 && (regex(?l, "^e") || ?l = "de")')
+
+
+def q_kg_bgp_order(spark, sf_dir):
+    """SPARQL ORDER BY/LIMIT solution modifiers (sparkrdf/query.py
+    order_solutions): documents by tokenCount numerically descending,
+    top 25, with the deterministic ?d ascending tie-break — plans as
+    TakeOrderedAndProject (per-partition heap + single merge), never a
+    global sort. Oracle: the same ORDER BY/LIMIT in DuckDB."""
+    from sparkrdf.query import bgp_match, order_solutions
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    sol = bgp_match(stmts, [("?d", dockg.P_TOKENS, "?n")])
+    return order_solutions(sol, ["desc(?n)", "?d"], limit=25, numeric=("n",))
+
+
 def q_kg_warc_records(spark, sf_dir):
     """WARC container ingestion (sparkrdf/warc.py warc_records): one WARC
     container per nation is rendered in-query from the customer table
@@ -2342,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_page_meta": q_kg_page_meta,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_bgp_filter": q_kg_bgp_filter,
+        "kg_bgp_order": q_kg_bgp_order,
         "kg_warc_records": q_kg_warc_records,
         "kg_warc_gz": q_kg_warc_gz,
         "kg_http_responses": q_kg_http_responses,
@@ -4373,6 +4403,24 @@ FROM customer
     # gzipped WARC split: same inverse as the plain container (the gzip
     # wrapper is transparent to the record content)
     sql["kg_warc_gz"] = sql["kg_warc_records"]
+
+    # FILTER value expression restated directly over the docs CTE
+    sql["kg_bgp_filter"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.ntok AS n, d.lang AS l
+FROM docs d
+WHERE TRY_CAST(d.ntok AS DOUBLE) > 40
+  AND (regexp_matches(d.lang, '^e') OR d.lang = 'de')
+"""
+
+    # ORDER BY DESC(?n) ?d LIMIT 25 with the same deterministic tie-break
+    sql["kg_bgp_order"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.ntok AS n
+FROM docs d
+ORDER BY TRY_CAST(d.ntok AS DOUBLE) DESC NULLS LAST, d.s
+LIMIT 25
+"""
 
     # WARC+HTTP double split inverts the deterministic render
     sql["kg_http_responses"] = """

@@ -724,3 +724,310 @@ def group_solutions(
         raise ValueError("group_solutions requires at least one aggregate")
     out = sol.groupBy(*group_by).agg(*aggs)
     return out.filter(having) if having else out
+
+
+# --- SPARQL FILTER expressions + solution modifiers (§17.2, §15) ---
+
+
+def _tokenize_expr(expr: str) -> list[tuple[str, object]]:
+    """Tokenize a SPARQL FILTER expression: variables, numeric and string
+    literals, booleans, function names, comparison/logical operators,
+    parens and commas."""
+    import re as _re
+
+    toks: list[tuple[str, object]] = []
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "?":
+            m = _re.match(r"\?(\w+)", expr[i:])
+            if not m:
+                raise ValueError(f"bad variable at offset {i} in {expr!r}")
+            toks.append(("var", m.group(1)))
+            i += m.end()
+        elif c in "\"'":
+            j = i + 1
+            out = []
+            while j < n and expr[j] != c:
+                if expr[j] == "\\" and j + 1 < n:
+                    out.append(expr[j + 1])
+                    j += 2
+                else:
+                    out.append(expr[j])
+                    j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string at offset {i} in {expr!r}")
+            toks.append(("str", "".join(out)))
+            i = j + 1
+        elif c.isdigit() or (
+            c in "+-" and i + 1 < n and (expr[i + 1].isdigit() or expr[i + 1] == ".")
+        ):
+            m = _re.match(r"[+-]?\d*\.?\d+(?:[eE][+-]?\d+)?", expr[i:])
+            toks.append(("num", float(m.group(0))))
+            i += m.end()
+        elif expr[i : i + 2] in ("&&", "||", "!=", "<=", ">="):
+            toks.append(("op", expr[i : i + 2]))
+            i += 2
+        elif c in "=<>!(),":
+            toks.append(("op", c))
+            i += 1
+        else:
+            m = _re.match(r"[A-Za-z_][A-Za-z0-9_]*", expr[i:])
+            if not m:
+                raise ValueError(f"bad token at offset {i} in {expr!r}")
+            word = m.group(0)
+            if word.lower() in ("true", "false"):
+                toks.append(("bool", word.lower() == "true"))
+            else:
+                toks.append(("fn", word.lower()))
+            i += m.end()
+    return toks
+
+
+def parse_filter(expr: str):
+    """Parse a SPARQL FILTER expression (§17.2 subset) into an AST of
+    tuples. Supported: ``&& || !``, comparisons ``= != < <= > >=``,
+    ``regex(?v, pat[, flags])``, ``bound(?v)``, ``contains/strstarts/
+    strends(?v, str)``, variables, numeric/string/boolean literals, and
+    grouping parens. Precedence: ``||`` < ``&&`` < ``!`` < comparison.
+    """
+    toks = _tokenize_expr(expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(expect=None):
+        nonlocal pos
+        t = peek()
+        if expect is not None and t != expect:
+            raise ValueError(f"expected {expect} at token {pos} in {expr!r}, got {t}")
+        pos += 1
+        return t
+
+    def or_expr():
+        node = and_expr()
+        while peek() == ("op", "||"):
+            take()
+            node = ("or", node, and_expr())
+        return node
+
+    def and_expr():
+        node = unary()
+        while peek() == ("op", "&&"):
+            take()
+            node = ("and", node, unary())
+        return node
+
+    def unary():
+        if peek() == ("op", "!"):
+            take()
+            return ("not", unary())
+        return relational()
+
+    def relational():
+        left = primary()
+        kind, val = peek()
+        if kind == "op" and val in ("=", "!=", "<", "<=", ">", ">="):
+            take()
+            return ("cmp", val, left, primary())
+        return left
+
+    def primary():
+        kind, val = take()
+        if kind == "op" and val == "(":
+            node = or_expr()
+            take(("op", ")"))
+            return node
+        if kind == "var":
+            return ("var", val)
+        if kind in ("num", "str", "bool"):
+            return (kind, val)
+        if kind == "fn":
+            take(("op", "("))
+            args = []
+            if peek() != ("op", ")"):
+                args.append(or_expr())
+                while peek() == ("op", ","):
+                    take()
+                    args.append(or_expr())
+            take(("op", ")"))
+            return ("call", val, args)
+        raise ValueError(f"unexpected token {kind, val} in {expr!r}")
+
+    node = or_expr()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens at {pos} in {expr!r}")
+    return node
+
+
+def _compile_filter(node, columns: list[str]):
+    """Compile a parse_filter AST to a boolean Column over a solution
+    table whose variable columns hold LEXICAL FORMS (strings). SPARQL
+    numeric coercion: a comparison against a numeric literal casts the
+    variable side to double (a non-numeric lexical casts to NULL, and
+    NULL comparisons are type errors in SPARQL — FILTER drops them, which
+    is exactly Spark's NULL-filter semantics). var-vs-var comparisons are
+    lexical (string) comparisons.
+    """
+
+    def operand(n):
+        """-> (column, tag) where tag in var/num/str/bool."""
+        kind = n[0]
+        if kind == "var":
+            if n[1] not in columns:
+                raise ValueError(f"FILTER variable ?{n[1]} not bound (have {columns})")
+            return F.col(n[1]), "var"
+        if kind == "num":
+            v = n[1]
+            return F.lit(int(v) if v == int(v) else v), "num"
+        if kind == "str":
+            return F.lit(n[1]), "str"
+        if kind == "bool":
+            return F.lit(n[1]), "bool"
+        if kind == "call":
+            raise ValueError(
+                f"unsupported FILTER function {n[1]!r} in a value position "
+                "(supported functions — regex, bound, contains, strstarts, "
+                "strends — are all boolean-valued)"
+            )
+        raise ValueError(f"expected a value operand, got {n!r}")
+
+    def compile_bool(n):
+        kind = n[0]
+        if kind == "or":
+            return compile_bool(n[1]) | compile_bool(n[2])
+        if kind == "and":
+            return compile_bool(n[1]) & compile_bool(n[2])
+        if kind == "not":
+            return ~compile_bool(n[1])
+        if kind == "cmp":
+            op, ln, rn = n[1], n[2], n[3]
+            lc, lt = operand(ln)
+            rc, rt = operand(rn)
+            if "num" in (lt, rt):
+                # try_cast: a non-numeric lexical becomes NULL (a SPARQL
+                # type error — the row is dropped), instead of an ANSI raise
+                lc = lc.try_cast("double") if lt == "var" else lc
+                rc = rc.try_cast("double") if rt == "var" else rc
+            elif "bool" in (lt, rt):
+                lc = lc.try_cast("boolean") if lt == "var" else lc
+                rc = rc.try_cast("boolean") if rt == "var" else rc
+            return {
+                "=": lc == rc,
+                "!=": lc != rc,
+                "<": lc < rc,
+                "<=": lc <= rc,
+                ">": lc > rc,
+                ">=": lc >= rc,
+            }[op]
+        if kind == "call":
+            fn, args = n[1], n[2]
+            if fn == "bound":
+                (v,) = args
+                if v[0] != "var":
+                    raise ValueError("bound() takes a variable")
+                return F.col(v[1]).isNotNull()
+            if fn == "regex":
+                if len(args) not in (2, 3):
+                    raise ValueError("regex(text, pattern[, flags])")
+                text, _ = operand(args[0])
+                if args[1][0] != "str":
+                    raise ValueError("regex pattern must be a string literal")
+                pat = args[1][1]
+                if len(args) == 3:
+                    if args[2][0] != "str":
+                        raise ValueError("regex flags must be a string literal")
+                    java_flags = "".join(f for f in args[2][1] if f in "imsx")
+                    if java_flags:
+                        pat = f"(?{java_flags}){pat}"
+                return text.rlike(pat)
+            if fn in ("contains", "strstarts", "strends"):
+                if len(args) != 2 or args[1][0] != "str":
+                    raise ValueError(f"{fn}(text, string-literal)")
+                text, _ = operand(args[0])
+                s = args[1][1]
+                return {
+                    "contains": text.contains(s),
+                    "strstarts": text.startswith(s),
+                    "strends": text.endswith(s),
+                }[fn]
+            raise ValueError(
+                f"unsupported FILTER function {fn!r} "
+                "(have regex, bound, contains, strstarts, strends)"
+            )
+        raise ValueError(f"expression {n!r} is not boolean-valued")
+
+    return compile_bool(node)
+
+
+def bgp_filter(solutions: DataFrame, expr: str) -> DataFrame:
+    """SPARQL ``FILTER`` over a solution table (§17.2 subset — see
+    :func:`parse_filter`): comparisons with numeric coercion, ``&& || !``,
+    ``regex()``, ``bound()``, ``contains/strstarts/strends``. Error rows
+    (e.g. a non-numeric lexical compared numerically) are dropped, per the
+    spec's effective-boolean-value rule.
+
+    Scale shape: compiles to ONE whole-stage-codegen Filter over the
+    solution columns — no UDF, no shuffle; when applied directly after a
+    single-pattern BGP, Catalyst pushes the predicate into the statements
+    scan.
+    """
+    return solutions.filter(_compile_filter(parse_filter(expr), solutions.columns))
+
+
+def order_solutions(
+    solutions: DataFrame,
+    keys: list,
+    limit: int | None = None,
+    offset: int = 0,
+    numeric: tuple = (),
+) -> DataFrame:
+    """SPARQL ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` solution modifiers
+    (§15). ``keys`` entries are ``"?v"`` (ascending), ``"desc(?v)"`` /
+    ``"asc(?v)"``, or ``(var, "desc")`` tuples; variables named in
+    ``numeric`` sort by double value (SPARQL numeric order), others by
+    lexical form. Unbound (NULL) sorts lowest, per the spec's ordering of
+    unbound before bound. The full column list is appended ascending as a
+    deterministic tie-break so equal-key rows have a stable order.
+
+    Scale shape: with a LIMIT, Spark plans TakeOrderedAndProject — a
+    per-partition top-(limit+offset) heap plus a single-reduce merge, no
+    global sort materialization; without one it is a range-partitioned
+    global sort (sampled boundaries), the honest cost of a total order.
+    """
+    import re as _re
+
+    cols = solutions.columns
+    parsed: list[tuple[str, bool]] = []
+    for k in keys:
+        if isinstance(k, tuple):
+            var, direction = k
+            var = var.lstrip("?")
+            asc = str(direction).lower() != "desc"
+        else:
+            m = _re.fullmatch(r"(?:(asc|desc)\()?\s*\?(\w+)\s*\)?", k.strip(),
+                              _re.IGNORECASE)
+            if not m:
+                raise ValueError(f"bad ORDER BY key {k!r}")
+            asc = (m.group(1) or "asc").lower() == "asc"
+            var = m.group(2)
+        if var not in cols:
+            raise ValueError(f"ORDER BY variable ?{var} not bound (have {cols})")
+        parsed.append((var, asc))
+
+    order = []
+    keyed = set()
+    for var, asc in parsed:
+        c = F.col(var).try_cast("double") if var in numeric else F.col(var)
+        order.append(c.asc_nulls_first() if asc else c.desc_nulls_last())
+        keyed.add(var)
+    order.extend(F.col(c).asc_nulls_first() for c in cols if c not in keyed)
+
+    out = solutions.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    return out.limit(limit) if limit is not None else out

@@ -683,3 +683,109 @@ def test_path_expr_vs_reference_fuzz(spark):
         assert got == ev(node, triples, gnodes)
 
     check()
+
+
+# --- FILTER expressions + ORDER BY/LIMIT solution modifiers ---
+
+
+def test_parse_filter_precedence():
+    from sparkrdf.query import parse_filter
+
+    # || binds looser than &&, ! binds tighter than both
+    ast = parse_filter("?a = 1 || ?b = 2 && !bound(?c)")
+    assert ast[0] == "or"
+    assert ast[2][0] == "and"
+    assert ast[2][2] == ("not", ("call", "bound", [("var", "c")]))
+
+
+def test_bgp_filter_numeric_coercion(spark):
+    from sparkrdf.query import bgp_filter, bgp_match
+
+    rows = [
+        ("d1", "score", "2"), ("d2", "score", "10"), ("d3", "score", "n/a"),
+    ]
+    st = spark.createDataFrame(rows, "s string, p string, o string")
+    sol = bgp_match(st, [("?d", "score", "?v")])
+    # numeric literal coerces ?v to double: "10" > "2" numerically even
+    # though "10" < "2" lexically; the non-numeric lexical is an error row
+    # and is DROPPED (SPARQL type-error semantics), not matched
+    got = sorted(r.d for r in bgp_filter(sol, "?v > 5").collect())
+    assert got == ["d2"]
+    got = sorted(r.d for r in bgp_filter(sol, "?v <= 5 || ?v > 5").collect())
+    assert got == ["d1", "d2"]  # d3 is an error row on BOTH sides
+
+
+def test_bgp_filter_regex_bound_logic(spark, stmts):
+    from sparkrdf.query import bgp_filter, bgp_optional
+
+    sol = bgp_optional(stmts, [("?x", "type", "Person")], [("?x", "knows", "?y")])
+    assert sorted(
+        r.x for r in bgp_filter(sol, 'regex(?x, "^A", "i")').collect()
+    ) == ["alice"]
+    assert sorted(r.x for r in bgp_filter(sol, "bound(?y)").collect()) == [
+        "alice",
+        "bob",
+    ]
+    assert sorted(
+        r.x for r in bgp_filter(sol, '!bound(?y) || strstarts(?y, "car")').collect()
+    ) == ["bob"]
+    assert sorted(
+        r.x for r in bgp_filter(sol, 'contains(?x, "li") && ?x != "bob"').collect()
+    ) == ["alice"]
+
+
+def test_bgp_filter_string_comparison_and_errors(spark, stmts):
+    import pytest as _pytest
+
+    from sparkrdf.query import bgp_filter, bgp_match
+
+    sol = bgp_match(stmts, [("?x", "knows", "?y")])
+    assert sorted(
+        (r.x, r.y) for r in bgp_filter(sol, '?y = "carol"').collect()
+    ) == [("bob", "carol")]
+    with _pytest.raises(ValueError, match="not bound"):
+        bgp_filter(sol, "?zz = 1")
+    with _pytest.raises(ValueError, match="unsupported FILTER function"):
+        bgp_filter(sol, "lcase(?x) = ?y")
+    with _pytest.raises(ValueError, match="trailing tokens"):
+        bgp_filter(sol, "?x = 1 ?y")
+
+
+def test_order_solutions_numeric_desc_limit(spark):
+    from sparkrdf.query import bgp_match, order_solutions
+
+    rows = [("d1", "score", "2"), ("d2", "score", "10"), ("d3", "score", "9")]
+    st = spark.createDataFrame(rows, "s string, p string, o string")
+    sol = bgp_match(st, [("?d", "score", "?v")])
+    got = [r.d for r in order_solutions(sol, ["desc(?v)"], numeric=("v",)).collect()]
+    assert got == ["d2", "d3", "d1"]  # numeric order, not lexical
+    got = [
+        r.d
+        for r in order_solutions(sol, ["desc(?v)"], limit=1, numeric=("v",)).collect()
+    ]
+    assert got == ["d2"]
+    got = [
+        r.d
+        for r in order_solutions(
+            sol, ["desc(?v)"], limit=2, offset=1, numeric=("v",)
+        ).collect()
+    ]
+    assert got == ["d3", "d1"]
+
+
+def test_order_solutions_unbound_lowest_and_tiebreak(spark, stmts):
+    from sparkrdf.query import bgp_optional, order_solutions
+
+    sol = bgp_optional(stmts, [("?x", "type", "Person")], [("?x", "likes", "?y")])
+    # bob likes carol; alice likes alice -> both bound; add a row with NULL
+    got = [
+        (r.x, r.y)
+        for r in order_solutions(sol, ["?y", "?x"]).collect()
+    ]
+    assert got == sorted(got, key=lambda t: (t[1] is not None, t[1] or "", t[0]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bound"):
+        order_solutions(sol, ["?nope"])
+    with _pytest.raises(ValueError, match="bad ORDER BY"):
+        order_solutions(sol, ["max(?x)"])
