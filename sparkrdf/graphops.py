@@ -403,16 +403,38 @@ def random_walks(
     textops.hash_split buys over randomSplit. Walks stop early at sinks.
     Returns one row per visited position: ``(start, walk_no, step, node)``.
 
-    Scale shape: the indexed neighbor table (one row_number window keyed by
-    source) and the degree table are built once and persisted; each step is
-    two narrow equi-joins keyed on the current node — frontier size never
-    exceeds |starts|·walks_per_node, and hot nodes are join KEYS (AQE skew
-    split), never window partitions.
+    Scale shape: the indexed neighbor table and the degree table are built
+    once and persisted; each step is two narrow equi-joins keyed on the
+    current node — frontier size never exceeds |starts|·walks_per_node, and
+    hot nodes are join KEYS (AQE skew split), never window partitions. The
+    neighbor index itself is also window-free: a per-source window would
+    make a 10M-out-degree hub ONE task's sort, so instead the (s, t) global
+    rank is computed with the range-partition + per-partition row_number +
+    broadcast cumulative-offset pattern (same as er.py sorted_neighborhood)
+    and the per-source 0-based index is rank − min(rank) over s — rows of
+    one source are contiguous in (s, t) order, so the difference IS the
+    neighbor index; the min is a partial-aggregated groupBy, never a sort.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
-    w = Window.partitionBy("s").orderBy("t")
+    d = (
+        e.repartitionByRange("s", "t")
+        .sortWithinPartitions("s", "t")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("_pid").orderBy("s", "t")
+    d = d.withColumn("_r", F.row_number().over(wp)).localCheckpoint(eager=True)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    omap = e.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    ranked = d.join(F.broadcast(omap), "_pid").select(
+        "s", "t", (F.col("_off") + F.col("_r") - 1).alias("_gr")
+    )
     nbr = (
-        e.select("s", "t", (F.row_number().over(w) - 1).alias("idx"))
+        ranked.join(ranked.groupBy("s").agg(F.min("_gr").alias("_g0")), "s")
+        .select("s", "t", (F.col("_gr") - F.col("_g0")).cast("int").alias("idx"))
         .repartition("s")
         .persist()
     )
