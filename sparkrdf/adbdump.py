@@ -36,6 +36,14 @@ from pyspark.sql import functions as F
 
 SYSTEM_ATTRS = ("_key", "_id", "_rev", "_from", "_to")
 
+# RDF-provenance attributes an RPT/PGT export (this engine's or the
+# reference's, main.py:1938-2099) stores ON the documents: these must come
+# back as COLUMNS, not properties, or a dump round-trip loses term identity
+# and named-graph (_sub_graph_uri) provenance (reference round-trips them,
+# test_main.py:2401-2474)
+VERTEX_META_ATTRS = ("_uri", "_rdftype", "_value", "_lang", "_datatype", "_label")
+EDGE_META_ATTRS = ("_uri", "_label", "_sub_graph_uri", "_rdftype")
+
 _VERTEX_TYPE = 2  # structure.json parameters.type
 _EDGE_TYPE = 3
 
@@ -88,8 +96,11 @@ def _parse_lines(collection: str, kind: str, graph_ns: str):
                     if obj["type"] != 2300:
                         continue
                     obj = obj["data"]
+                meta = EDGE_META_ATTRS if kind == "edge" else VERTEX_META_ATTRS
                 props = {
-                    k: v for k, v in obj.items() if k not in SYSTEM_ATTRS
+                    k: v
+                    for k, v in obj.items()
+                    if k not in SYSTEM_ATTRS and k not in meta
                 }
                 pjson = json.dumps(props, sort_keys=True) if props else None
                 if kind == "edge":
@@ -99,9 +110,11 @@ def _parse_lines(collection: str, kind: str, graph_ns: str):
                             obj["_key"],
                             obj["_from"],
                             obj["_to"],
-                            f"{graph_ns}/{collection}",
-                            collection,
-                            None,
+                            # RDF-origin edge docs carry their predicate IRI;
+                            # native docs fall back to the collection IRI
+                            obj.get("_uri") or f"{graph_ns}/{collection}",
+                            obj.get("_label") or collection,
+                            obj.get("_sub_graph_uri"),
                             pjson,
                         )
                     )
@@ -110,12 +123,15 @@ def _parse_lines(collection: str, kind: str, graph_ns: str):
                         (
                             collection,
                             obj["_key"],
-                            None,  # _uri: native docs synthesize ns/col#key
-                            "URIRef",
-                            None,
-                            None,
-                            None,
-                            None,
+                            # _uri: native docs synthesize ns/col#key later
+                            obj.get("_uri"),
+                            obj.get("_rdftype") or "URIRef",
+                            # lexical form; stringify defensively (a JSON
+                            # number in a string Arrow column would raise)
+                            None if obj.get("_value") is None else str(obj["_value"]),
+                            obj.get("_lang"),
+                            obj.get("_datatype"),
+                            obj.get("_label"),
                             pjson,
                         )
                     )

@@ -341,3 +341,100 @@ def test_fraud_round_trips(spark):
     assert not d["missing"] and not d["extra"], {
         k: v[:5] if isinstance(v, list) else v for k, v in d.items()
     }
+
+
+def _write_dump(dirpath, dump) -> None:
+    """Serialize engine doc tables as an arangodump directory (plain JSONL
+    flavor): one structure.json + one data file per collection."""
+    os.makedirs(dirpath, exist_ok=True)
+    for df, adb_type in ((dump["vertices"], 2), (dump["edges"], 3)):
+        by_col: dict[str, list] = {}
+        for r in df.collect():
+            by_col.setdefault(r["collection"], []).append(r.asDict())
+        for col, docs in by_col.items():
+            with open(os.path.join(dirpath, f"{col}.structure.json"), "w") as f:
+                json.dump({"parameters": {"name": col, "type": adb_type}}, f)
+            with open(os.path.join(dirpath, f"{col}_0.data.json"), "w") as f:
+                for d in docs:
+                    doc = {
+                        k: v
+                        for k, v in d.items()
+                        if k not in ("collection", "properties") and v is not None
+                    }
+                    if d.get("properties"):
+                        doc.update(json.loads(d["properties"]))
+                    f.write(json.dumps(doc, sort_keys=True) + "\n")
+
+
+def test_named_graph_dump_round_trip(spark, tmp_path):
+    """Quad provenance through the dump format: a TriG graph with named
+    graphs → RPT docs (edges carry _sub_graph_uri) → serialized arangodump
+    → read_arangodump → export — statements come back in their original
+    named graphs (reference _sub_graph_uri round-trip, main.py:2401-2474
+    test semantics), and the N-Quads sink renders the 4th term."""
+    from sparkrdf.ttl import nquads_lines, parse_ttl, statements_df
+
+    trig = (
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:g1 { ex:a ex:knows ex:b . }\n"
+        "ex:g2 { ex:b ex:knows ex:c . ex:c ex:age 30 . }\n"
+        "ex:a ex:likes ex:c .\n"
+    )
+    stmts = statements_df(spark, parse_ttl(trig))
+    out = rpt_transform(stmts, "Quads")
+    dump_dir = str(tmp_path / "dump")
+    _write_dump(dump_dir, out)
+
+    dump = read_arangodump(spark, dump_dir)
+    back = edges_to_statements(dump["vertices"], dump["edges"])
+    d = round_trip_diff(stmts, back)
+    assert not d["missing"] and not d["extra"], d
+
+    by_triple = {(r.s, r.p, r.o): r.sub_graph for r in back.collect()}
+    assert by_triple[
+        ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b")
+    ] == "http://ex.org/g1"
+    assert by_triple[
+        ("http://ex.org/c", "http://ex.org/age", "30")
+    ] == "http://ex.org/g2"
+    assert by_triple[("http://ex.org/a", "http://ex.org/likes", "http://ex.org/c")] is None
+
+    # the quad manifest sink renders the graph label as the 4th term
+    lines = {r.value for r in nquads_lines(back).collect()}
+    assert (
+        "<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> "
+        "<http://ex.org/g1> ." in lines
+    )
+    assert any(
+        ln.endswith("<http://ex.org/c> .") and "likes" in ln for ln in lines
+    )  # default-graph statement: triple form, no 4th term
+
+
+def test_native_dump_meta_attrs_do_not_leak_into_properties(spark, tmp_path):
+    """A native (non-RDF) doc with a user attribute NAMED like a meta attr
+    keeps it as the column (round-trip fidelity beats property leakage);
+    ordinary user attributes still land in properties."""
+    dump_dir = str(tmp_path / "nd")
+    os.makedirs(dump_dir)
+    with open(os.path.join(dump_dir, "People.structure.json"), "w") as f:
+        json.dump({"parameters": {"name": "People", "type": 2}}, f)
+    with open(os.path.join(dump_dir, "People_0.data.json"), "w") as f:
+        f.write(json.dumps({"_key": "p1", "name": "Ned", "age": 41}) + "\n")
+    with open(os.path.join(dump_dir, "Knows.structure.json"), "w") as f:
+        json.dump({"parameters": {"name": "Knows", "type": 3}}, f)
+    with open(os.path.join(dump_dir, "Knows_0.data.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"_key": "k1", "_from": "People/p1", "_to": "People/p1",
+                 "weight": 2}
+            )
+            + "\n"
+        )
+    dump = read_arangodump(spark, dump_dir)
+    v = dump["vertices"].collect()[0]
+    assert v["_uri"] is None and v["_rdftype"] == "URIRef"
+    assert json.loads(v["properties"]) == {"age": 41, "name": "Ned"}
+    e = dump["edges"].collect()[0]
+    assert e["_uri"] == "http://www.arangodb.com/Knows"
+    assert e["_sub_graph_uri"] is None
+    assert json.loads(e["properties"]) == {"weight": 2}
