@@ -1198,6 +1198,70 @@ def q_kg_bgp_order(spark, sf_dir):
     return order_solutions(sol, ["desc(?n)", "?d"], limit=25, numeric=("n",))
 
 
+def q_kg_sparql_select(spark, sf_dir):
+    """SPARQL SELECT as a QUERY STRING (sparkrdf/sparql.py sparql_query —
+    the parser+compiler over the algebra operators, the surface a
+    reference user hands to rdflib's .query()): prologue PREFIX,
+    predicate-object list, FILTER with numeric coercion/regex/||, ORDER BY
+    DESC + tie-break + LIMIT. Compiles to the identical single Catalyst
+    plan the programmatic operators produce (pushed constant scans, one
+    codegen Filter, TakeOrderedAndProject). Oracle: the same predicate
+    and ordering written directly over the docs CTE."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?n ?l WHERE {{
+          ?d kgp:tokenCount ?n ; kgp:lang ?l .
+          FILTER(?n > 40 && (regex(?l, "^e") || ?l = "de"))
+        }} ORDER BY DESC(?n) ?d LIMIT 25
+    """, numeric=("n",))
+
+
+def q_kg_sparql_agg(spark, sf_dir):
+    """SPARQL GROUP BY/HAVING via the string front end (sparkrdf/sparql.py):
+    mentions per document with COUNT(*)/MIN aggregates and a HAVING
+    cutoff — one map-side-combinable hash aggregate; exactly the plan
+    q_kg_bgp_agg builds programmatically. Oracle: identical GROUP BY in
+    DuckDB."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d (COUNT(*) AS ?n_ment) (MIN(?e) AS ?first_ent)
+        WHERE {{ ?d kgp:mentions ?e . }}
+        GROUP BY ?d HAVING(?n_ment >= 2)
+    """)
+
+
+def q_kg_sparql_graph(spark, sf_dir):
+    """SPARQL GRAPH quads via the string front end (sparkrdf/sparql.py):
+    the same per-language named-graph dataset as q_kg_bgp_graph, queried
+    with ``GRAPH ?g {{...}}`` + a constant-graph block — parsed from the
+    string into the identical 4-tuple quad patterns. Oracle: the
+    graph-tagged join spelled directly."""
+    from sparkrdf.sparql import sparql_query
+
+    docs = _docs(spark, sf_dir)
+    stmts = dockg.doc_triples(spark, docs)
+    graphs = docs.select(
+        F.concat(F.lit(dockg.DOC_PREFIX), F.col("doc_id").cast("string")).alias("s"),
+        F.concat(F.lit("graph://"), F.col("lang")).alias("_g"),
+    )
+    quads = stmts.join(graphs, "s", "left").withColumn(
+        "sub_graph", F.coalesce(F.col("_g"), F.lit("graph://meta"))
+    ).drop("_g")
+    return sparql_query(quads, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?e ?g ?c WHERE {{
+          GRAPH ?g {{ ?d kgp:mentions ?e }}
+          GRAPH <graph://meta> {{ ?e a ?c }}
+        }}
+    """)
+
+
 def q_kg_warc_records(spark, sf_dir):
     """WARC container ingestion (sparkrdf/warc.py warc_records): one WARC
     container per nation is rendered in-query from the customer table
@@ -2372,6 +2436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_filter": q_kg_bgp_filter,
         "kg_bgp_order": q_kg_bgp_order,
+        "kg_sparql_select": q_kg_sparql_select,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_graph": q_kg_sparql_graph,
         "kg_warc_records": q_kg_warc_records,
         "kg_warc_gz": q_kg_warc_gz,
         "kg_http_responses": q_kg_http_responses,
@@ -4420,6 +4487,35 @@ SELECT d.s AS d, d.ntok AS n
 FROM docs d
 ORDER BY TRY_CAST(d.ntok AS DOUBLE) DESC NULLS LAST, d.s
 LIMIT 25
+"""
+
+    # the SPARQL string front end compiles to the same algebra the two
+    # queries above exercise programmatically: filter + order combined
+    sql["kg_sparql_select"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.ntok AS n, d.lang AS l
+FROM docs d
+WHERE TRY_CAST(d.ntok AS DOUBLE) > 40
+  AND (regexp_matches(d.lang, '^e') OR d.lang = 'de')
+ORDER BY TRY_CAST(d.ntok AS DOUBLE) DESC NULLS LAST, d.s
+LIMIT 25
+"""
+
+    # string-front-end GROUP BY/HAVING — identical shape to kg_bgp_agg
+    sql["kg_sparql_agg"] = f"""
+WITH {_DOC_CTES}
+SELECT s AS d, COUNT(*)::BIGINT AS n_ment, MIN(ent) AS first_ent
+FROM mentions GROUP BY s HAVING COUNT(*) >= 2
+"""
+
+    # string-front-end GRAPH quads — identical join to kg_bgp_graph
+    sql["kg_sparql_graph"] = f"""
+WITH {_DOC_CTES},
+et AS (SELECT DISTINCT ent, cls FROM mentions)
+SELECT m.s AS d, m.ent AS e, 'graph://' || dd.lang AS g, et.cls AS c
+FROM mentions m
+JOIN docs dd ON dd.s = m.s
+JOIN et ON et.ent = m.ent
 """
 
     # WARC+HTTP double split inverts the deterministic render

@@ -1,0 +1,656 @@
+"""SPARQL SELECT front end: query STRING → DataFrame.
+
+The algebra operators (sparkrdf.query: bgp_match, bgp_optional, bgp_minus,
+bgp_not_exists, bgp_values, bgp_filter, group_solutions, order_solutions)
+each expose one SPARQL 1.1 feature programmatically; this module is the
+missing user surface — a parser + compiler so the query a reference user
+would write as a STRING runs directly:
+
+    sparql_query(stmts, '''
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:tokenCount ?n .
+          FILTER(?n > 40)
+        } ORDER BY DESC(?n) LIMIT 10
+    ''')
+
+Supported subset (raises ValueError, never silently mis-executes, on
+anything else):
+
+* ``PREFIX`` prologue; ``BASE`` is not supported.
+* ``SELECT [DISTINCT] (* | ?v ... | (AGG(?v|*) AS ?alias) ...)``.
+* Group graph pattern with: triple patterns (IRIs, prefixed names, the
+  ``a`` keyword, plain/numeric literals, variables), ``FILTER(expr)``
+  (the :func:`sparkrdf.query.parse_filter` expression subset),
+  ``OPTIONAL { ... }`` (well-designed, any number — applied as sequential
+  left joins), ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
+  ``GRAPH <g>|?g { ... }`` (compiled to quad patterns), ``VALUES``
+  (single-var and multi-var forms, ``UNDEF`` supported), and a group that
+  is entirely ``{ A } UNION { B } UNION ...``.
+* Solution modifiers: ``GROUP BY`` + ``HAVING`` (aggregates COUNT /
+  COUNT(DISTINCT) / SUM / AVG / MIN / MAX), ``ORDER BY [ASC|DESC](?v)``,
+  ``LIMIT``, ``OFFSET``.
+* Literal patterns match the stored LEXICAL form; ``@lang`` / ``^^dt``
+  qualifiers on patterns are rejected (the statements model keeps those in
+  separate columns — filter on them directly when needed).
+
+Scale shape: this module only PARSES; every compiled plan is the same
+DataFrame program the underlying operator documents (pushed-down constant
+scans, selectivity-ordered equi-joins, codegen filters, hash aggregates,
+TakeOrderedAndProject under LIMIT). Nothing here touches rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkrdf.query import (
+    bgp_match,
+    bgp_union,
+    order_solutions,
+    parse_filter,
+    _compile_filter,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_KEYWORDS = {
+    "select", "distinct", "where", "filter", "optional", "minus", "union",
+    "graph", "values", "not", "exists", "group", "by", "having", "order",
+    "asc", "desc", "limit", "offset", "prefix", "as", "undef", "a",
+    "count", "sum", "avg", "min", "max", "base", "reduced",
+}
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max"}
+
+
+class _Tok:
+    __slots__ = ("kind", "val")
+
+    def __init__(self, kind, val):
+        self.kind, self.val = kind, val
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.kind}:{self.val!r}"
+
+
+def _tokenize(q: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "#":  # comment to end of line
+            j = q.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "<":
+            j = q.find(">", i)
+            if j < 0:
+                raise ValueError(f"unterminated <iri> at offset {i}")
+            toks.append(_Tok("iri", q[i + 1 : j]))
+            i = j + 1
+        elif c == "?" or c == "$":
+            m = re.match(r"[?$](\w+)", q[i:])
+            if not m:
+                raise ValueError(f"bad variable at offset {i}")
+            toks.append(_Tok("var", m.group(1)))
+            i += m.end()
+        elif c in "\"'":
+            j = i + 1
+            out = []
+            while j < n and q[j] != c:
+                if q[j] == "\\" and j + 1 < n:
+                    out.append({"n": "\n", "t": "\t", "r": "\r"}.get(q[j + 1], q[j + 1]))
+                    j += 2
+                else:
+                    out.append(q[j])
+                    j += 1
+            if j >= n:
+                raise ValueError(f"unterminated string at offset {i}")
+            toks.append(_Tok("str", "".join(out)))
+            i = j + 1
+            if i < n and q[i] == "@":
+                raise ValueError("@lang literal patterns are not supported; "
+                                 "filter on the o_lang column instead")
+            if q[i : i + 2] == "^^":
+                raise ValueError("^^datatype literal patterns are not supported; "
+                                 "filter on the o_datatype column instead")
+        elif c.isdigit() or (c in "+-" and i + 1 < n and q[i + 1].isdigit()):
+            m = re.match(r"[+-]?\d*\.?\d+(?:[eE][+-]?\d+)?", q[i:])
+            toks.append(_Tok("num", m.group(0)))
+            i += m.end()
+        elif q[i : i + 2] in (">=", "<=", "!=", "&&", "||"):
+            # keep two-char FILTER operators whole so capture_parens can
+            # round-trip them into parse_filter's lexer verbatim
+            toks.append(_Tok("punct", q[i : i + 2]))
+            i += 2
+        elif c in "{}().;,*=<>!&|":
+            # FILTER expressions are re-lexed by parse_filter; here we only
+            # need structural tokens plus balanced-paren capture
+            toks.append(_Tok("punct", c))
+            i += 1
+        else:
+            m = re.match(r"[A-Za-z_][A-Za-z0-9_.\-]*(:[A-Za-z0-9_.\-]*)?", q[i:])
+            if not m:
+                raise ValueError(f"bad token at offset {i}: {q[i:i+20]!r}")
+            word = m.group(0)
+            if ":" in word:
+                toks.append(_Tok("pname", word))
+            elif word.lower() in _KEYWORDS:
+                toks.append(_Tok("kw", word.lower()))
+            else:
+                toks.append(_Tok("word", word))
+            i += m.end()
+    return toks
+
+
+class _Parser:
+    def __init__(self, q: str):
+        self.q = q
+        self.toks = _tokenize(q)
+        self.pos = 0
+        self.prefixes: dict[str, str] = {}
+
+    # -- token helpers ---------------------------------------------------
+    def peek(self) -> _Tok | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def at_kw(self, *kws) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "kw" and t.val in kws
+
+    def at_punct(self, ch) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "punct" and t.val == ch
+
+    def take(self):
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        self.pos += 1
+        return t
+
+    def expect_kw(self, kw):
+        t = self.take()
+        if t.kind != "kw" or t.val != kw:
+            raise ValueError(f"expected {kw.upper()}, got {t!r}")
+
+    def expect_punct(self, ch):
+        t = self.take()
+        if t.kind != "punct" or t.val != ch:
+            raise ValueError(f"expected {ch!r}, got {t!r}")
+
+    # -- terms -----------------------------------------------------------
+    def expand(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"unknown prefix {pfx!r} in {pname!r}")
+        return self.prefixes[pfx] + local
+
+    def term(self, position: str) -> str:
+        """One pattern term → the bgp_match encoding (constant or '?var')."""
+        t = self.take()
+        if t.kind == "var":
+            return "?" + t.val
+        if t.kind == "iri":
+            return t.val
+        if t.kind == "pname":
+            return self.expand(t.val)
+        if t.kind == "kw" and t.val == "a" and position == "p":
+            return RDF_TYPE
+        if t.kind in ("str", "num") and position == "o":
+            return t.val
+        raise ValueError(f"unexpected term {t!r} in {position} position")
+
+    # -- prologue + select -----------------------------------------------
+    def parse(self) -> dict:
+        while self.at_kw("prefix"):
+            self.take()
+            t = self.take()
+            if t.kind != "pname" or not t.val.endswith(":"):
+                raise ValueError(f"expected pfx: after PREFIX, got {t!r}")
+            iri = self.take()
+            if iri.kind != "iri":
+                raise ValueError(f"expected <iri> after PREFIX {t.val}")
+            self.prefixes[t.val[:-1]] = iri.val
+        if self.at_kw("base"):
+            raise ValueError("BASE is not supported")
+        self.expect_kw("select")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.take()
+            distinct = True
+        elif self.at_kw("reduced"):
+            self.take()  # REDUCED permits (but does not require) dedup: no-op
+        proj: list[str] | None = []
+        aggs: dict[str, tuple[str, str, bool]] = {}  # alias -> (fn, var, distinct)
+        if self.at_punct("*"):
+            self.take()
+            proj = None
+        else:
+            while True:
+                t = self.peek()
+                if t is not None and t.kind == "var":
+                    self.take()
+                    proj.append(t.val)
+                elif t is not None and t.kind == "punct" and t.val == "(":
+                    self.take()
+                    fn_tok = self.take()
+                    if fn_tok.kind != "kw" or fn_tok.val not in _AGG_FNS:
+                        raise ValueError(f"expected aggregate, got {fn_tok!r}")
+                    self.expect_punct("(")
+                    agg_distinct = False
+                    if self.at_kw("distinct"):
+                        self.take()
+                        agg_distinct = True
+                    if self.at_punct("*"):
+                        self.take()
+                        var = "*"
+                    else:
+                        v = self.take()
+                        if v.kind != "var":
+                            raise ValueError(f"expected ?var in {fn_tok.val}()")
+                        var = v.val
+                    self.expect_punct(")")
+                    self.expect_kw("as")
+                    alias = self.take()
+                    if alias.kind != "var":
+                        raise ValueError("expected ?alias after AS")
+                    self.expect_punct(")")
+                    aggs[alias.val] = (fn_tok.val, var, agg_distinct)
+                    proj.append(alias.val)
+                else:
+                    break
+            if not proj:
+                raise ValueError("SELECT needs * or at least one variable")
+        if self.at_kw("where"):
+            self.take()
+        body = self.group()
+        mods = self.modifiers()
+        return {
+            "distinct": distinct,
+            "proj": proj,
+            "aggs": aggs,
+            "body": body,
+            **mods,
+        }
+
+    # -- group graph pattern ----------------------------------------------
+    def triples_block(self, g: str | None = None) -> list[tuple]:
+        """Parse triples until the block's closing brace; supports ';' and
+        ',' predicate/object lists. Quad-ifies with g when inside GRAPH."""
+        pats: list[tuple] = []
+        while not self.at_punct("}"):
+            s = self.term("s")
+            while True:
+                p = self.term("p")
+                while True:
+                    o = self.term("o")
+                    pats.append((s, p, o) if g is None else (s, p, o, g))
+                    if self.at_punct(","):
+                        self.take()
+                        continue
+                    break
+                if self.at_punct(";"):
+                    self.take()
+                    if self.at_punct(".") or self.at_punct("}"):
+                        break  # trailing ;
+                    continue
+                break
+            if self.at_punct("."):
+                self.take()
+        return pats
+
+    def brace_group_triples(self, g: str | None = None) -> list[tuple]:
+        self.expect_punct("{")
+        pats = self.triples_block(g)
+        self.expect_punct("}")
+        return pats
+
+    def capture_parens(self) -> str:
+        """Capture the source text of a balanced (...) — handed to
+        parse_filter, which has its own lexer."""
+        self.expect_punct("(")
+        depth = 1
+        parts: list[str] = []
+        while depth:
+            t = self.take()
+            if t.kind == "punct" and t.val == "(":
+                depth += 1
+            elif t.kind == "punct" and t.val == ")":
+                depth -= 1
+                if not depth:
+                    break
+            parts.append(self.render_tok(t))
+        return " ".join(parts)
+
+    def render_tok(self, t: _Tok) -> str:
+        if t.kind == "var":
+            return "?" + t.val
+        if t.kind == "str":
+            escaped = t.val.replace("\\", "\\\\").replace('"', '\\"')
+            return f'"{escaped}"'
+        if t.kind == "iri":
+            return f'"{t.val}"'  # IRIs compare as plain strings in our model
+        if t.kind == "pname":
+            return f'"{self.expand(t.val)}"'
+        return str(t.val)
+
+    def group(self) -> dict:
+        """One { ... } group → {'patterns': [...], 'filters': [...],
+        'optionals': [...], 'minuses': [...], 'not_exists': [...],
+        'values': (vars, rows) | None, 'union': [...] | None}."""
+        self.expect_punct("{")
+        out = {
+            "patterns": [],
+            "filters": [],
+            "optionals": [],
+            "minuses": [],
+            "not_exists": [],
+            "values": None,
+            "union": None,
+        }
+        while not self.at_punct("}"):
+            if self.at_punct("{"):
+                # { A } UNION { B } ... — only as the whole group body
+                branches = [self.brace_group_triples()]
+                while self.at_kw("union"):
+                    self.take()
+                    branches.append(self.brace_group_triples())
+                if out["patterns"] or len(branches) < 2:
+                    raise ValueError(
+                        "UNION is supported only as the entire group body"
+                    )
+                out["union"] = branches
+            elif self.at_kw("filter"):
+                self.take()
+                if self.at_kw("not"):
+                    self.take()
+                    self.expect_kw("exists")
+                    out["not_exists"].append(self.brace_group_triples())
+                else:
+                    out["filters"].append(self.capture_parens())
+            elif self.at_kw("optional"):
+                self.take()
+                out["optionals"].append(self.brace_group_triples())
+            elif self.at_kw("minus"):
+                self.take()
+                out["minuses"].append(self.brace_group_triples())
+            elif self.at_kw("graph"):
+                self.take()
+                g = self.term("s")  # graph term: IRI, pname or var
+                out["patterns"].extend(self.brace_group_triples(g))
+            elif self.at_kw("values"):
+                self.take()
+                out["values"] = self.values_clause()
+            else:
+                out["patterns"].extend(self.triples_block_step())
+        self.expect_punct("}")
+        return out
+
+    def triples_block_step(self) -> list[tuple]:
+        """Parse ONE subject's triples (so FILTER etc. can interleave)."""
+        pats: list[tuple] = []
+        s = self.term("s")
+        while True:
+            p = self.term("p")
+            while True:
+                o = self.term("o")
+                pats.append((s, p, o))
+                if self.at_punct(","):
+                    self.take()
+                    continue
+                break
+            if self.at_punct(";"):
+                self.take()
+                if self.at_punct(".") or self.at_punct("}"):
+                    break
+                continue
+            break
+        if self.at_punct("."):
+            self.take()
+        return pats
+
+    def values_clause(self):
+        t = self.peek()
+        if t is not None and t.kind == "var":  # single-var form
+            self.take()
+            vars_ = [t.val]
+            self.expect_punct("{")
+            rows = []
+            while not self.at_punct("}"):
+                rows.append({vars_[0]: self.values_datum()})
+            self.take()
+            return rows
+        self.expect_punct("(")
+        vars_ = []
+        while not self.at_punct(")"):
+            v = self.take()
+            if v.kind != "var":
+                raise ValueError("expected ?var in VALUES clause")
+            vars_.append(v.val)
+        self.take()
+        self.expect_punct("{")
+        rows = []
+        while not self.at_punct("}"):
+            self.expect_punct("(")
+            row = {}
+            for v in vars_:
+                row[v] = self.values_datum()
+            self.expect_punct(")")
+            rows.append(row)
+        self.take()
+        return rows
+
+    def values_datum(self):
+        t = self.take()
+        if t.kind == "kw" and t.val == "undef":
+            return None
+        if t.kind in ("str", "num"):
+            return t.val
+        if t.kind == "iri":
+            return t.val
+        if t.kind == "pname":
+            return self.expand(t.val)
+        raise ValueError(f"bad VALUES datum {t!r}")
+
+    # -- solution modifiers -----------------------------------------------
+    def modifiers(self) -> dict:
+        group_by: list[str] = []
+        having: str | None = None
+        order: list[str] = []
+        limit = offset = None
+        if self.at_kw("group"):
+            self.take()
+            self.expect_kw("by")
+            while True:
+                t = self.peek()
+                if t is None or t.kind != "var":
+                    break
+                self.take()
+                group_by.append(t.val)
+            if not group_by:
+                raise ValueError("GROUP BY needs at least one variable")
+        if self.at_kw("having"):
+            self.take()
+            having = self.capture_parens()
+        if self.at_kw("order"):
+            self.take()
+            self.expect_kw("by")
+            while True:
+                if self.at_kw("asc", "desc"):
+                    d = self.take().val
+                    self.expect_punct("(")
+                    v = self.take()
+                    if v.kind != "var":
+                        raise ValueError(f"expected ?var in {d.upper()}()")
+                    self.expect_punct(")")
+                    order.append(f"{d}(?{v.val})")
+                    continue
+                t = self.peek()
+                if t is not None and t.kind == "var":
+                    self.take()
+                    order.append(f"?{t.val}")
+                    continue
+                break
+            if not order:
+                raise ValueError("ORDER BY needs at least one key")
+        if self.at_kw("limit"):
+            self.take()
+            t = self.take()
+            if t.kind != "num":
+                raise ValueError("LIMIT needs a number")
+            limit = int(float(t.val))
+        if self.at_kw("offset"):
+            self.take()
+            t = self.take()
+            if t.kind != "num":
+                raise ValueError("OFFSET needs a number")
+            offset = int(float(t.val))
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens after query: {self.peek()!r}")
+        return {
+            "group_by": group_by,
+            "having": having,
+            "order": order,
+            "limit": limit,
+            "offset": offset,
+        }
+
+
+def _anti_compatible(left: DataFrame, right: DataFrame, spec: str) -> DataFrame:
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        if spec == "minus":
+            return left  # disjoint domains: MINUS removes nothing
+        probe = right.limit(1).select(F.lit(1).alias("_ne"))
+        return (
+            left.join(F.broadcast(probe), how="left")
+            .filter(F.col("_ne").isNull())
+            .drop("_ne")
+        )
+    return left.join(right.select(*shared).dropDuplicates(shared), shared, "left_anti")
+
+
+def sparql_query(
+    stmts: DataFrame,
+    query: str,
+    numeric: tuple = (),
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    g_col: str = "sub_graph",
+) -> DataFrame:
+    """Run a SPARQL SELECT string against a statements table (see module
+    docstring for the supported subset). ``numeric`` names variables whose
+    ORDER BY comparison is by double value rather than lexical form."""
+    q = _Parser(query).parse()
+    body = q["body"]
+    cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
+
+    if body["union"] is not None:
+        sol = bgp_union(stmts, body["union"], **cols)
+    else:
+        if not body["patterns"]:
+            raise ValueError("the group pattern binds no triples")
+        sol = bgp_match(stmts, body["patterns"], g_col=g_col, **cols)
+
+    for opt in body["optionals"]:
+        right = bgp_match(stmts, opt, g_col=g_col, **cols)
+        shared = sorted(set(sol.columns) & set(right.columns))
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required group "
+                "(not well-designed)"
+            )
+        sol = sol.join(right, shared, "left")
+    for mn in body["minuses"]:
+        sol = _anti_compatible(sol, bgp_match(stmts, mn, g_col=g_col, **cols), "minus")
+    for ne in body["not_exists"]:
+        sol = _anti_compatible(
+            sol, bgp_match(stmts, ne, g_col=g_col, **cols), "not_exists"
+        )
+    if body["values"]:
+        rows = body["values"]
+        vars_ = sorted({k for row in rows for k in row})
+        missing = [v for v in vars_ if v not in sol.columns]
+        if missing:
+            raise ValueError(f"VALUES variables {missing} not bound by the group")
+        spark = stmts.sparkSession
+        inline = spark.createDataFrame(
+            [tuple(row.get(v) for v in vars_) for row in rows],
+            ", ".join(f"`__v_{v}` string" for v in vars_),
+        )
+        pred = None
+        for v in vars_:
+            c = F.col(f"__v_{v}").isNull() | (F.col(f"__v_{v}") == F.col(v))
+            pred = c if pred is None else pred & c
+        sol = sol.join(F.broadcast(inline), pred).drop(
+            *[f"__v_{v}" for v in vars_]
+        )
+    for fexpr in body["filters"]:
+        sol = sol.filter(_compile_filter(parse_filter(fexpr), sol.columns))
+
+    aggs, group_by = q["aggs"], q["group_by"]
+    if aggs or group_by:
+        fns = {
+            "count": lambda c, d: (
+                F.count_distinct(F.col(c)) if d
+                else (F.count(F.lit(1)) if c == "*" else F.count(c))
+            ),
+            "sum": lambda c, d: F.sum(F.col(c).try_cast("double")),
+            "avg": lambda c, d: F.avg(F.col(c).try_cast("double")),
+            "min": lambda c, d: F.min(c),
+            "max": lambda c, d: F.max(c),
+        }
+        exprs = []
+        for alias, (fn, var, dist) in aggs.items():
+            if var == "*" and fn != "count":
+                raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
+            if var != "*" and var not in sol.columns:
+                raise ValueError(f"aggregate variable ?{var} not bound")
+            if dist and fn != "count":
+                raise ValueError("DISTINCT inside aggregates supports COUNT only")
+            exprs.append(fns[fn](var, dist).alias(alias))
+        bad = [g for g in group_by if g not in sol.columns]
+        if bad:
+            raise ValueError(f"GROUP BY variables {bad} not bound")
+        non_agg = [v for v in (q["proj"] or []) if v not in aggs]
+        stray = [v for v in non_agg if v not in group_by]
+        if stray:
+            raise ValueError(
+                f"projected variables {stray} are neither aggregated nor "
+                "grouped (SPARQL 1.1 §18.2.4 projection restriction)"
+            )
+        if not exprs:
+            raise ValueError("GROUP BY requires at least one aggregate in SELECT")
+        sol = sol.groupBy(*group_by).agg(*exprs)
+        if q["having"]:
+            sol = sol.filter(
+                _compile_filter(parse_filter(q["having"]), sol.columns)
+            )
+    elif q["having"]:
+        raise ValueError("HAVING requires GROUP BY / aggregates")
+
+    if q["proj"] is not None:
+        missing = [v for v in q["proj"] if v not in sol.columns]
+        if missing:
+            raise ValueError(f"SELECT variables {missing} not bound by the group")
+        sol = sol.select(*q["proj"])
+    if q["distinct"]:
+        sol = sol.dropDuplicates()
+    if q["order"]:
+        sol = order_solutions(
+            sol, q["order"], limit=q["limit"], offset=q["offset"] or 0,
+            numeric=numeric,
+        )
+    else:
+        if q["offset"]:
+            sol = sol.offset(q["offset"])
+        if q["limit"] is not None:
+            sol = sol.limit(q["limit"])
+    return sol

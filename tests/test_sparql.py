@@ -1,0 +1,225 @@
+"""SPARQL SELECT string front end (sparkrdf/sparql.py).
+
+The algebra operators are individually tested in test_query.py /
+test_kgops.py; here we pin the parser+compiler surface: the query STRING a
+reference user would hand to rdflib's `.query()` (reference: main.py uses
+AQL strings for the same role) runs as one Catalyst plan.
+"""
+
+import pytest
+
+from sparkrdf.sparql import sparql_query
+
+EX = "http://ex.org/"
+QUADS = [
+    ("d1", EX + "tokenCount", "55", None),
+    ("d2", EX + "tokenCount", "41", None),
+    ("d3", EX + "tokenCount", "9", None),
+    ("d1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Doc", None),
+    ("d2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Doc", None),
+    ("d3", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Page", None),
+    ("d1", EX + "author", "alice", None),
+    ("d2", EX + "author", "alice", None),
+    ("d1", EX + "cites", "d2", "http://g/1"),
+    ("d2", EX + "cites", "d3", "http://g/2"),
+]
+
+
+@pytest.fixture(scope="module")
+def stmts(spark):
+    return spark.createDataFrame(
+        QUADS, "s string, p string, o string, sub_graph string"
+    ).cache()
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_bgp_prefix_a_and_predicate_object_list(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d a ex:Doc ; ex:tokenCount ?n . }
+        ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d2", "41")]
+
+
+def test_filter_numeric_comparison_and_order_desc_numeric(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d ex:tokenCount ?n . FILTER(?n >= 41) }
+        ORDER BY DESC(?n) LIMIT 10
+    """, numeric=("n",))
+    assert rows(got) == [("d1", "55"), ("d2", "41")]
+
+
+def test_filter_logical_and_regex(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:tokenCount ?n .
+          FILTER(?n > 10 && regex(?d, "^d[12]$"))
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1",), ("d2",)]
+
+
+def test_optional_left_join_null_pads(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?a WHERE {
+          ?d ex:tokenCount ?n .
+          OPTIONAL { ?d ex:author ?a }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "alice"), ("d2", "alice"), ("d3", None)]
+
+
+def test_minus_and_not_exists(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:tokenCount ?n .
+          MINUS { ?d a ex:Page }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1",), ("d2",)]
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:tokenCount ?n .
+          FILTER NOT EXISTS { ?d ex:author ?a }
+        }
+    """)
+    assert rows(got) == [("d3",)]
+
+
+def test_values_single_and_multi_var(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:tokenCount ?n .
+          VALUES ?d { "d1" "d3" }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d3", "9")]
+    # multi-var with UNDEF wildcard on ?n
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:tokenCount ?n .
+          VALUES (?d ?n) { ("d1" "55") ("d2" UNDEF) }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d2", "41")]
+
+
+def test_union_is_multiset_additive_and_distinct(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          { ?d a ex:Doc } UNION { ?d ex:author ?a }
+        }
+    """)
+    assert sorted(rows(got)) == [("d1",), ("d1",), ("d2",), ("d2",)]
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?d WHERE {
+          { ?d a ex:Doc } UNION { ?d ex:author ?a }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1",), ("d2",)]
+
+
+def test_graph_variable_binds_named_graphs(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:cites ?y } } ORDER BY ?g
+    """)
+    assert rows(got) == [
+        ("http://g/1", "d1", "d2"),
+        ("http://g/2", "d2", "d3"),
+    ]
+
+
+def test_graph_constant_filters_one_graph(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?x ?y WHERE { GRAPH <http://g/2> { ?x ex:cites ?y } }
+    """)
+    assert rows(got) == [("d2", "d3")]
+
+
+def test_group_by_having_count_order(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?t (COUNT(*) AS ?cnt) WHERE { ?d a ?t . }
+        GROUP BY ?t HAVING(?cnt >= 1) ORDER BY DESC(?cnt) ?t
+    """, numeric=("cnt",))
+    assert rows(got) == [(EX + "Doc", 2), (EX + "Page", 1)]
+
+
+def test_aggregates_sum_avg_count_distinct(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a (SUM(?n) AS ?total) (COUNT(DISTINCT ?d) AS ?docs)
+        WHERE { ?d ex:author ?a ; ex:tokenCount ?n . }
+        GROUP BY ?a
+    """)
+    assert rows(got) == [("alice", 96.0, 2)]
+
+
+def test_limit_offset_without_order(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:tokenCount ?n } ORDER BY ?d LIMIT 1 OFFSET 1
+    """)
+    assert rows(got) == [("d2",)]
+
+
+def test_comments_and_dollar_vars(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>  # namespace
+        SELECT $d WHERE {
+          $d a ex:Page .  # pages only
+        }
+    """)
+    assert rows(got) == [("d3",)]
+
+
+def test_select_star_projects_all_vars(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT * WHERE { ?d a ex:Page ; ex:tokenCount ?n . }
+    """)
+    assert got.columns == ["d", "n"] and rows(got) == [("d3", "9")]
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ("SELECT ?d WHERE { ?d <p> 'x'@en }", "@lang"),
+    ("SELECT ?d WHERE { ?d <p> 'x'^^<dt> }", "datatype"),
+    ("BASE <http://b/> SELECT ?d WHERE { ?d <p> ?o }", "BASE"),
+    ("SELECT ?d WHERE { ?d ex:p ?o }", "unknown prefix"),
+    ("SELECT ?missing WHERE { ?d <p> ?o }", "not bound"),
+    ("SELECT (SUM(*) AS ?t) WHERE { ?d <p> ?o }", "not valid SPARQL"),
+    ("SELECT ?d (COUNT(*) AS ?c) WHERE { ?d <p> ?o } GROUP BY ?o",
+     "projection restriction"),
+    ("SELECT ?d WHERE { ?d <p> ?o } HAVING(?o > 1)", "HAVING requires"),
+    ("SELECT ?d WHERE { ?d <p> ?o } LIMIT 5 extra", "trailing"),
+])
+def test_rejects_unsupported_with_clear_error(stmts, bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        sparql_query(stmts, bad)
+
+
+def test_plan_is_single_catalyst_plan_with_pushdown(stmts, spark):
+    """The compiled plan must keep the constant-predicate filters in the
+    scan stage (pushed filters / codegen Filter), not post-filter rows."""
+    df = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d a ex:Doc ; ex:tokenCount ?n . FILTER(?n > 10) }
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both constant-p patterns compile to Filter over the cached relation
+    assert "tokenCount" in plan
