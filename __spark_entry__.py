@@ -1236,6 +1236,37 @@ def q_kg_sparql_agg(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_ask(spark, sf_dir):
+    """SPARQL ASK via the string front end (sparkrdf/sparql.py): is there
+    any document mentioning an Operator-class entity? Plans as a
+    LIMIT-1-bounded probe of the BGP join feeding one keyless aggregate —
+    Spark stops the scan at the first solution; never a driver-side
+    count. Oracle: the same EXISTS in DuckDB."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        ASK {{ ?d kgp:mentions ?e . ?e a <{dockg.class_iri("Operator")}> }}
+    """)
+
+
+def q_kg_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT via the string front end (sparkrdf/sparql.py): the
+    mention graph inverted into mentionedIn edges plus the entity's class
+    assertion — the solution relation computed ONCE, each template row a
+    zero-shuffle projection, one final (s,p,o) distinct (§16.2 graph
+    semantics). Oracle: the two projections unioned in DuckDB."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        CONSTRUCT {{ ?e kgp:mentionedIn ?d . ?e a ?c }}
+        WHERE {{ ?d kgp:mentions ?e . ?e a ?c }}
+    """)
+
+
 def q_kg_sparql_graph(spark, sf_dir):
     """SPARQL GRAPH quads via the string front end (sparkrdf/sparql.py):
     the same per-language named-graph dataset as q_kg_bgp_graph, queried
@@ -2439,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_graph": q_kg_sparql_graph,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_construct": q_kg_sparql_construct,
         "kg_warc_records": q_kg_warc_records,
         "kg_warc_gz": q_kg_warc_gz,
         "kg_http_responses": q_kg_http_responses,
@@ -4506,6 +4539,22 @@ LIMIT 25
 WITH {_DOC_CTES}
 SELECT s AS d, COUNT(*)::BIGINT AS n_ment, MIN(ent) AS first_ent
 FROM mentions GROUP BY s HAVING COUNT(*) >= 2
+"""
+
+    # string-front-end ASK — restated as EXISTS over the mentions CTE
+    sql["kg_sparql_ask"] = f"""
+WITH {_DOC_CTES}
+SELECT EXISTS(SELECT 1 FROM mentions
+              WHERE cls = '{dockg.class_iri("Operator")}') AS ask
+"""
+
+    # string-front-end CONSTRUCT — the two template projections unioned
+    # (UNION is distinct: CONSTRUCT's §16.2 graph dedup)
+    sql["kg_sparql_construct"] = f"""
+WITH {_DOC_CTES}
+SELECT ent AS s, '{dockg.P_MENTIONED_IN}' AS p, m.s AS o FROM mentions m
+UNION
+SELECT DISTINCT ent, '{_RDF_TYPE}', cls FROM mentions
 """
 
     # string-front-end GRAPH quads — identical join to kg_bgp_graph

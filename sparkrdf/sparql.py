@@ -18,7 +18,14 @@ Supported subset (raises ValueError, never silently mis-executes, on
 anything else):
 
 * ``PREFIX`` prologue; ``BASE`` is not supported.
-* ``SELECT [DISTINCT] (* | ?v ... | (AGG(?v|*) AS ?alias) ...)``.
+* ``SELECT [DISTINCT] (* | ?v ... | (AGG(?v|*) AS ?alias) ...)``,
+  ``ASK [WHERE] { ... }`` (one row, one boolean ``ask`` column — computed
+  as a global aggregate over a LIMIT-1-bounded probe, never a driver-side
+  count), and ``CONSTRUCT { template } WHERE { ... }`` (template
+  instantiated once per solution, unbound instantiations dropped,
+  duplicates collapsed — §16.2 graph semantics; the template may use any
+  group feature the SELECT path supports, a superset of the programmatic
+  :func:`sparkrdf.query.construct_triples` which takes plain BGPs).
 * Group graph pattern with: triple patterns (IRIs, prefixed names, the
   ``a`` keyword, plain/numeric literals, variables), ``FILTER(expr)``
   (the :func:`sparkrdf.query.parse_filter` expression subset),
@@ -62,6 +69,7 @@ _KEYWORDS = {
     "graph", "values", "not", "exists", "group", "by", "having", "order",
     "asc", "desc", "limit", "offset", "prefix", "as", "undef", "a",
     "count", "sum", "avg", "min", "max", "base", "reduced",
+    "ask", "construct",
 }
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max"}
@@ -219,6 +227,30 @@ class _Parser:
             self.prefixes[t.val[:-1]] = iri.val
         if self.at_kw("base"):
             raise ValueError("BASE is not supported")
+        if self.at_kw("ask"):
+            self.take()
+            if self.at_kw("where"):
+                self.take()
+            body = self.group()
+            mods = self.modifiers()
+            if (mods["group_by"] or mods["having"] or mods["order"]
+                    or mods["limit"] is not None or mods["offset"]):
+                raise ValueError("ASK takes no solution modifiers")
+            return {"form": "ask", "distinct": False, "proj": None,
+                    "aggs": {}, "body": body, **mods}
+        if self.at_kw("construct"):
+            self.take()
+            template = self.brace_group_triples()
+            if not template:
+                raise ValueError("CONSTRUCT requires a non-empty template")
+            self.expect_kw("where")
+            body = self.group()
+            mods = self.modifiers()
+            if mods["group_by"] or mods["having"]:
+                raise ValueError("CONSTRUCT does not support GROUP BY/HAVING")
+            return {"form": "construct", "template": template,
+                    "distinct": False, "proj": None, "aggs": {},
+                    "body": body, **mods}
         self.expect_kw("select")
         distinct = False
         if self.at_kw("distinct"):
@@ -272,6 +304,7 @@ class _Parser:
         body = self.group()
         mods = self.modifiers()
         return {
+            "form": "select",
             "distinct": distinct,
             "proj": proj,
             "aggs": aggs,
@@ -594,6 +627,46 @@ def sparql_query(
         )
     for fexpr in body["filters"]:
         sol = sol.filter(_compile_filter(parse_filter(fexpr), sol.columns))
+
+    if q["form"] == "ask":
+        # LIMIT-1 bounds the probe (Spark stops scanning after one row);
+        # the keyless aggregate yields exactly one row even on empty input
+        return sol.limit(1).agg((F.count(F.lit(1)) > F.lit(0)).alias("ask"))
+
+    if q["form"] == "construct":
+        if q["order"]:
+            sol = order_solutions(
+                sol, q["order"], limit=q["limit"], offset=q["offset"] or 0,
+                numeric=numeric,
+            )
+        else:
+            if q["offset"]:
+                sol = sol.offset(q["offset"])
+            if q["limit"] is not None:
+                sol = sol.limit(q["limit"])
+        outs = []
+        for s, p, o in q["template"]:
+            tcols = []
+            for name, term in zip(("s", "p", "o"), (s, p, o)):
+                if term.startswith("?"):
+                    var = term[1:]
+                    if var not in sol.columns:
+                        raise ValueError(
+                            f"template variable ?{var} not bound by the group"
+                        )
+                    tcols.append(F.col(var).alias(name))
+                else:
+                    tcols.append(F.lit(term).alias(name))
+            outs.append(sol.select(*tcols).filter(
+                F.col("s").isNotNull() & F.col("p").isNotNull()
+                & F.col("o").isNotNull()
+            ))
+        acc = outs[0]
+        for nxt in outs[1:]:
+            acc = acc.unionByName(nxt)
+        # CONSTRUCT output is a GRAPH: duplicates collapse (§16.2) — the
+        # same single dedup exchange every statement producer ends with
+        return acc.dropDuplicates(["s", "p", "o"])
 
     aggs, group_by = q["aggs"], q["group_by"]
     if aggs or group_by:

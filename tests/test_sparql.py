@@ -196,6 +196,54 @@ def test_select_star_projects_all_vars(stmts):
     assert got.columns == ["d", "n"] and rows(got) == [("d3", "9")]
 
 
+def test_ask_true_false_and_empty_input(stmts, spark):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        ASK { ?d a ex:Doc }
+    """)
+    assert got.columns == ["ask"] and rows(got) == [(True,)]
+    got = sparql_query(stmts, "ASK WHERE { ?d <http://nope/p> ?o }")
+    assert rows(got) == [(False,)]
+    empty = spark.createDataFrame([], "s string, p string, o string")
+    got = sparql_query(empty, "ASK { ?s ?p ?o }")
+    assert rows(got) == [(False,)]  # keyless agg: one row even on empty
+
+
+def test_construct_template_instantiation_dedups(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?a ex:wrote ?d . ?d a ex:Authored }
+        WHERE { ?d ex:author ?a }
+    """)
+    assert sorted(rows(got)) == [
+        ("alice", EX + "wrote", "d1"),
+        ("alice", EX + "wrote", "d2"),
+        ("d1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Authored"),
+        ("d2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", EX + "Authored"),
+    ]
+
+
+def test_construct_unbound_optional_drops_instantiation(stmts):
+    # d3 has no author: its OPTIONAL-bound ?a is NULL, so the template
+    # instantiation emits no triple for it (spec: no partial triples)
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?d ex:by ?a }
+        WHERE { ?d ex:tokenCount ?n . OPTIONAL { ?d ex:author ?a } }
+    """)
+    assert sorted(r[0] for r in rows(got)) == ["d1", "d2"]
+
+
+def test_construct_with_order_limit_slices_solutions(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?d ex:rank "top" }
+        WHERE { ?d ex:tokenCount ?n }
+        ORDER BY DESC(?n) LIMIT 2
+    """, numeric=("n",))
+    assert sorted(r[0] for r in rows(got)) == ["d1", "d2"]
+
+
 @pytest.mark.parametrize("bad, msg", [
     ("SELECT ?d WHERE { ?d <p> 'x'@en }", "@lang"),
     ("SELECT ?d WHERE { ?d <p> 'x'^^<dt> }", "datatype"),
@@ -207,6 +255,11 @@ def test_select_star_projects_all_vars(stmts):
      "projection restriction"),
     ("SELECT ?d WHERE { ?d <p> ?o } HAVING(?o > 1)", "HAVING requires"),
     ("SELECT ?d WHERE { ?d <p> ?o } LIMIT 5 extra", "trailing"),
+    ("ASK { ?s <p> ?o } LIMIT 1", "no solution modifiers"),
+    ("CONSTRUCT { } WHERE { ?s <p> ?o }", "non-empty template"),
+    ("CONSTRUCT { ?s <p> ?x } WHERE { ?s <p> ?o }", "not bound"),
+    ("CONSTRUCT { ?s <p> ?o } WHERE { ?s <p> ?o } GROUP BY ?s",
+     "GROUP BY"),
 ])
 def test_rejects_unsupported_with_clear_error(stmts, bad, msg):
     with pytest.raises(ValueError, match=msg):
