@@ -1236,6 +1236,24 @@ def q_kg_sparql_agg(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_path(spark, sf_dir):
+    """Property-path PREDICATES in the SPARQL string front end
+    (sparkrdf/sparql.py path_term → sparkrdf/query.py path_expr): the
+    same §9.1 algebra kg_path_expr exercises programmatically —
+    ``^mentions/mentions/(a|lang)?`` — written as a query string; the
+    parser renders the path for parse_path and the endpoint relation
+    joins like any BGP pattern. Oracle: identical to kg_path_expr."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?src ?dst WHERE {{
+          ?src ^kgp:mentions/kgp:mentions/(a|kgp:lang)? ?dst
+        }}
+    """)
+
+
 def q_kg_sparql_ask(spark, sf_dir):
     """SPARQL ASK via the string front end (sparkrdf/sparql.py): is there
     any document mentioning an Operator-class entity? Plans as a
@@ -2471,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_warc_records": q_kg_warc_records,
         "kg_warc_gz": q_kg_warc_gz,
@@ -4694,6 +4713,9 @@ optn AS (
   SELECT n, n FROM nodes)
 SELECT co.a AS src, q.o AS dst FROM co JOIN optn q ON q.s = co.b
 """
+
+    # string-level property-path predicate — same algebra as kg_path_expr
+    sql["kg_sparql_path"] = sql["kg_path_expr"]
 
     khop_src = dockg.class_iri("Operator")
     sql["graph_khop"] = f"""

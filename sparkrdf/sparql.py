@@ -27,7 +27,11 @@ anything else):
   group feature the SELECT path supports, a superset of the programmatic
   :func:`sparkrdf.query.construct_triples` which takes plain BGPs).
 * Group graph pattern with: triple patterns (IRIs, prefixed names, the
-  ``a`` keyword, plain/numeric literals, variables), ``FILTER(expr)``
+  ``a`` keyword, plain/numeric literals, variables), property-path
+  predicates (§9.1: ``^`` inverse, ``/`` sequence, ``|`` alternative,
+  ``* + ?`` closures, ``!p`` / ``!(p1|p2)`` negated sets, grouping —
+  evaluated via :func:`sparkrdf.query.path_expr` and joined on shared
+  variables; top-level required group only), ``FILTER(expr)``
   (the :func:`sparkrdf.query.parse_filter` expression subset),
   ``OPTIONAL { ... }`` (well-designed, any number — applied as sequential
   left joins), ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
@@ -59,6 +63,7 @@ from sparkrdf.query import (
     bgp_union,
     order_solutions,
     parse_filter,
+    path_expr,
     _compile_filter,
 )
 
@@ -104,6 +109,11 @@ def _tokenize(q: str) -> list[_Tok]:
         elif c == "?" or c == "$":
             m = re.match(r"[?$](\w+)", q[i:])
             if not m:
+                # a bare '?' is the ZeroOrOne path modifier, not a variable
+                if c == "?":
+                    toks.append(_Tok("punct", "?"))
+                    i += 1
+                    continue
                 raise ValueError(f"bad variable at offset {i}")
             toks.append(_Tok("var", m.group(1)))
             i += m.end()
@@ -136,7 +146,7 @@ def _tokenize(q: str) -> list[_Tok]:
             # round-trip them into parse_filter's lexer verbatim
             toks.append(_Tok("punct", q[i : i + 2]))
             i += 2
-        elif c in "{}().;,*=<>!&|":
+        elif c in "{}().;,*=<>!&|/^+":
             # FILTER expressions are re-lexed by parse_filter; here we only
             # need structural tokens plus balanced-paren capture
             toks.append(_Tok("punct", c))
@@ -213,6 +223,87 @@ class _Parser:
         if t.kind in ("str", "num") and position == "o":
             return t.val
         raise ValueError(f"unexpected term {t!r} in {position} position")
+
+    # -- property paths ----------------------------------------------------
+    def path_term(self):
+        """Predicate position: a variable, a plain IRI constant, or a
+        SPARQL 1.1 property-path expression. Paths are rendered into
+        :func:`sparkrdf.query.parse_path` syntax (``<iri>`` atoms, the
+        operators verbatim, explicit grouping parens so precedence is
+        carried structurally) and returned as a ``("path", src)`` marker
+        the compiler evaluates via :func:`sparkrdf.query.path_expr`."""
+        t = self.peek()
+        if t is not None and t.kind == "var":
+            self.take()
+            return "?" + t.val
+        rendered, plain = self._path_alt()
+        return plain if plain is not None else ("path", rendered)
+
+    def _path_alt(self):
+        rendered, plain = self._path_seq()
+        parts = [rendered]
+        while self.at_punct("|"):
+            self.take()
+            nxt, _ = self._path_seq()
+            parts.append(nxt)
+        if len(parts) == 1:
+            return rendered, plain
+        return "(" + "|".join(parts) + ")", None
+
+    def _path_seq(self):
+        rendered, plain = self._path_elt()
+        parts = [rendered]
+        while self.at_punct("/"):
+            self.take()
+            nxt, _ = self._path_elt()
+            parts.append(nxt)
+        if len(parts) == 1:
+            return rendered, plain
+        return "(" + "/".join(parts) + ")", None
+
+    def _path_elt(self):
+        inv = False
+        if self.at_punct("^"):
+            self.take()
+            inv = True
+        rendered, plain = self._path_primary()
+        if inv:
+            rendered, plain = "(^" + rendered + ")", None
+        if self.at_punct("*") or self.at_punct("+") or self.at_punct("?"):
+            mod = self.take().val
+            rendered, plain = "(" + rendered + mod + ")", None
+        return rendered, plain
+
+    def _path_iri(self) -> str:
+        t = self.take()
+        if t.kind == "iri":
+            return t.val
+        if t.kind == "pname":
+            return self.expand(t.val)
+        if t.kind == "kw" and t.val == "a":
+            return RDF_TYPE
+        raise ValueError(f"expected IRI in property path, got {t!r}")
+
+    def _path_primary(self):
+        t = self.peek()
+        if t is not None and t.kind == "punct" and t.val == "!":
+            self.take()
+            if self.at_punct("("):
+                self.take()
+                alts = ["<" + self._path_iri() + ">"]
+                while self.at_punct("|"):
+                    self.take()
+                    alts.append("<" + self._path_iri() + ">")
+                self.expect_punct(")")
+                return "!(" + "|".join(alts) + ")", None
+            return "!<" + self._path_iri() + ">", None
+        if t is not None and t.kind == "punct" and t.val == "(":
+            self.take()
+            rendered, _ = self._path_alt()
+            self.expect_punct(")")
+            return rendered, None
+        iri = self._path_iri()
+        return "<" + iri + ">", iri
 
     # -- prologue + select -----------------------------------------------
     def parse(self) -> dict:
@@ -320,7 +411,7 @@ class _Parser:
         while not self.at_punct("}"):
             s = self.term("s")
             while True:
-                p = self.term("p")
+                p = self.path_term()
                 while True:
                     o = self.term("o")
                     pats.append((s, p, o) if g is None else (s, p, o, g))
@@ -423,6 +514,9 @@ class _Parser:
             else:
                 out["patterns"].extend(self.triples_block_step())
         self.expect_punct("}")
+        if out["union"] is not None and out["patterns"]:
+            # triples AFTER the union would otherwise be dropped silently
+            raise ValueError("UNION is supported only as the entire group body")
         return out
 
     def triples_block_step(self) -> list[tuple]:
@@ -430,7 +524,7 @@ class _Parser:
         pats: list[tuple] = []
         s = self.term("s")
         while True:
-            p = self.term("p")
+            p = self.path_term()
             while True:
                 o = self.term("o")
                 pats.append((s, p, o))
@@ -585,12 +679,67 @@ def sparql_query(
     body = q["body"]
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
 
+    path_pats = [p for p in body["patterns"] if isinstance(p[1], tuple)]
+    plain_pats = [p for p in body["patterns"] if not isinstance(p[1], tuple)]
+    for grp in (body["optionals"] + body["minuses"] + body["not_exists"]
+                + (body["union"] or [])):
+        if any(isinstance(p[1], tuple) for p in grp):
+            raise ValueError(
+                "property paths are supported only in the required "
+                "top-level group"
+            )
+    if any(len(p) == 4 for p in path_pats):
+        raise ValueError("property paths inside GRAPH are not supported")
+    if q["form"] == "construct" and any(
+        isinstance(p[1], tuple) for p in q["template"]
+    ):
+        raise ValueError("property paths are not allowed in a CONSTRUCT template")
+
     if body["union"] is not None:
         sol = bgp_union(stmts, body["union"], **cols)
     else:
         if not body["patterns"]:
             raise ValueError("the group pattern binds no triples")
-        sol = bgp_match(stmts, body["patterns"], g_col=g_col, **cols)
+        sol = bgp_match(stmts, plain_pats, g_col=g_col, **cols) if plain_pats else None
+
+    for s, (_, path_src), o in path_pats:
+        # each path pattern evaluates to its (s, o) endpoint relation —
+        # pushed-down pred-leaf scans, iterative-doubling closures — then
+        # joins the solution on its shared variables like any BGP pattern
+        rel = path_expr(stmts, path_src, **cols)
+        if s.startswith("?"):
+            rel = rel.withColumnRenamed("s", s[1:])
+            if o == s:
+                rel = rel.filter(F.col(s[1:]) == F.col("o")).drop("o")
+            elif o.startswith("?"):
+                rel = rel.withColumnRenamed("o", o[1:])
+            else:
+                rel = rel.filter(F.col("o") == o).drop("o")
+        else:
+            rel = rel.filter(F.col("s") == s).drop("s")
+            if o.startswith("?"):
+                rel = rel.withColumnRenamed("o", o[1:])
+            else:
+                rel = rel.filter(F.col("o") == o).drop("o")
+        if not rel.columns:
+            # both endpoints constant: a pure existence test (ASK-shaped)
+            probe = rel.limit(1).select(F.lit(1).alias("_pe"))
+            if sol is None:
+                sol = probe.drop("_pe")
+            else:
+                sol = (sol.join(F.broadcast(probe), how="left")
+                       .filter(F.col("_pe").isNotNull()).drop("_pe"))
+            continue
+        if sol is None:
+            sol = rel
+        else:
+            shared = sorted(set(sol.columns) & set(rel.columns))
+            if not shared:
+                raise ValueError(
+                    "a property-path pattern shares no variable with the "
+                    "rest of the group"
+                )
+            sol = sol.join(rel, shared)
 
     for opt in body["optionals"]:
         right = bgp_match(stmts, opt, g_col=g_col, **cols)

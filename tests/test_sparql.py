@@ -196,6 +196,95 @@ def test_select_star_projects_all_vars(stmts):
     assert got.columns == ["d", "n"] and rows(got) == [("d3", "9")]
 
 
+def test_path_plus_closure_predicate(stmts):
+    # d1 cites d2 cites d3: cites+ reaches both from d1
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?y WHERE { <d1> ex:cites+ ?y } ORDER BY ?y
+    """)
+    assert rows(got) == [("d2",), ("d3",)]
+
+
+def test_path_sequence_and_inverse(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE { ?d ex:cites/ex:tokenCount ?n } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "41"), ("d2", "9")]
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?x WHERE { <d2> ^ex:cites ?x }
+    """)
+    assert rows(got) == [("d1",)]
+
+
+def test_path_alternative_and_join_with_plain_pattern(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?d ?v WHERE {
+          ?d a ex:Doc .
+          ?d (ex:author|ex:cites) ?v .
+        } ORDER BY ?d ?v
+    """)
+    assert rows(got) == [("d1", "alice"), ("d1", "d2"),
+                         ("d2", "alice"), ("d2", "d3")]
+
+
+def test_path_negated_set(stmts):
+    # everything about d3 except its type
+    got = sparql_query(stmts, """
+        SELECT ?o WHERE {
+          <d3> !<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> ?o
+        }
+    """)
+    assert rows(got) == [("9",)]
+
+
+def test_path_zero_or_one_and_constant_endpoints(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?y WHERE { <d1> ex:cites? ?y } ORDER BY ?y
+    """)
+    assert rows(got) == [("d1",), ("d2",)]
+    # both ends constant: pure existence gate over another pattern
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d a ex:Page . <d1> ex:cites+ <d3> }
+    """)
+    assert rows(got) == [("d3",)]
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d a ex:Page . <d3> ex:cites+ <d1> }
+    """)
+    assert rows(got) == []
+
+
+def test_path_rejected_outside_required_group(stmts):
+    with pytest.raises(ValueError, match="top-level group"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d WHERE {
+              ?d a ex:Doc . OPTIONAL { ?d ex:cites+ ?y }
+            }
+        """)
+    with pytest.raises(ValueError, match="GRAPH"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d WHERE { GRAPH ?g { ?d ex:cites+ ?y } }
+        """)
+
+
+def test_union_followed_by_triples_raises(stmts):
+    with pytest.raises(ValueError, match="entire group body"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d WHERE {
+              { ?d a ex:Doc } UNION { ?d a ex:Page }
+              ?d ex:tokenCount ?n .
+            }
+        """)
+
+
 def test_ask_true_false_and_empty_input(stmts, spark):
     got = sparql_query(stmts, """
         PREFIX ex: <http://ex.org/>
