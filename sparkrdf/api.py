@@ -298,6 +298,18 @@ class SparkRDF:
         the column-wise twin is :func:`sparkrdf.terms.adb_label`."""
         return re.split("/|#|:", rdf_id)[-1] or rdf_id
 
+    # -- query surface ---------------------------------------------------
+    def query(self, stmts: DataFrame, sparql: str, **kwargs) -> DataFrame:
+        """Run a SPARQL SELECT/ASK/CONSTRUCT string against a statements
+        DataFrame. The reference itself queries through rdflib's
+        ``Graph.query`` (its test suite does exactly this) or hand-written
+        AQL (main.py:1383-1408); this is the Spark-native equivalent —
+        delegates to :func:`sparkrdf.sparql.sparql_query`, one Catalyst
+        plan per query."""
+        from sparkrdf.sparql import sparql_query
+
+        return sparql_query(stmts, sparql, **kwargs)
+
     # -- meta ontologies -----------------------------------------------------
     def load_meta_ontology(self, meta_dir: str | None = None) -> DataFrame | None:
         """Vendored OWL/RDF/RDFS meta-ontology statements (the reference's

@@ -160,3 +160,12 @@ def test_extract_controller_statements_shapes(spark):
 def test_load_meta_ontology(spark):
     meta = SparkRDF(spark).load_meta_ontology()
     assert meta is not None and meta.count() > 0
+
+
+def test_query_string_surface(spark):
+    adb = SparkRDF(spark)
+    stmts = _stmts(spark, "cases/7.ttl")
+    out = adb.query(stmts, "SELECT ?s ?o WHERE { ?s ?p ?o } LIMIT 5")
+    assert out.columns == ["s", "o"] and len(out.collect()) == 5
+    ask = adb.query(stmts, "ASK { ?s ?p ?o }")
+    assert [tuple(r) for r in ask.collect()] == [(True,)]
