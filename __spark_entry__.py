@@ -1311,6 +1311,102 @@ def q_kg_sparql_graph(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_bind(spark, sf_dir):
+    """SPARQL BIND + IN via the string front end (sparkrdf/sparql.py →
+    sparkrdf/query.py bgp_extend / compile_value_expr): two Extend
+    assignments (string builtins, arithmetic) and a FILTER mixing IN with
+    a comparison over the bound value — all compiled to codegen Project +
+    Filter expressions, zero UDFs, zero extra shuffles. Oracle: the same
+    expressions written directly over the docs CTE."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?n ?tag ?score WHERE {{
+          ?d kgp:tokenCount ?n ; kgp:lang ?l .
+          BIND(concat(ucase(?l), ":", ?d) AS ?tag)
+          BIND(?n * 2 + 1 AS ?score)
+          FILTER(?l IN ("en", "de") && ?score > 21)
+        }}
+    """)
+
+
+def q_kg_sparql_subquery(spark, sf_dir):
+    """SPARQL subquery (§12) via the string front end: an inner
+    ``{ SELECT ?d (COUNT(*) AS ?m) ... GROUP BY ?d }`` evaluated
+    independently (only its projection visible) and equi-joined to the
+    outer lang pattern, then filtered on the aggregate — one hash
+    aggregate + one AQE-sized join, the same plan a hand-written
+    aggregate-then-join produces. Oracle: the join spelled directly."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?l ?m WHERE {{
+          ?d kgp:lang ?l .
+          {{ SELECT ?d (COUNT(*) AS ?m)
+             WHERE {{ ?d kgp:mentions ?e }} GROUP BY ?d }}
+          FILTER(?m >= 2)
+        }}
+    """)
+
+
+def q_kg_sparql_group_concat(spark, sf_dir):
+    """GROUP_CONCAT / SAMPLE aggregates (§18.5.1) via the string front
+    end: per document the sorted '|'-joined mention list, a SAMPLE and
+    the count — one partial-aggregatable exchange (collect_list partials
+    merge map-side). SAMPLE picks MIN and GROUP_CONCAT sorts — the
+    deterministic choices inside the spec's freedom, so distributed
+    re-partitions agree. Oracle: string_agg(... ORDER BY) + MIN."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d (GROUP_CONCAT(?e; SEPARATOR="|") AS ?ents)
+               (SAMPLE(?e) AS ?one) (COUNT(?e) AS ?n_ment)
+        WHERE {{ ?d kgp:mentions ?e }} GROUP BY ?d
+    """)
+
+
+def q_kg_sparql_expr_select(spark, sf_dir):
+    """SELECT expressions (§18.4.4) via the string front end:
+    ``(strlen(?l) AS ?langlen)``, a 1-based substr key extraction and an
+    IF bucket — projection-position value expressions compiled to codegen
+    Project columns after the group evaluates, no UDF. Oracle: the same
+    CASE/substr/length projections in DuckDB."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d (strlen(?l) AS ?langlen) (substr(?d, 7) AS ?key)
+               (if(?n > 30, "long", "short") AS ?bucket)
+        WHERE {{ ?d kgp:tokenCount ?n ; kgp:lang ?l . }}
+    """)
+
+
+def q_kg_bgp_extend(spark, sf_dir):
+    """Programmatic BIND — the §18.4 Extend algebra operator
+    (sparkrdf/query.py bgp_extend): a numeric density expression and a
+    concat label added to a BGP's solutions, then a NOT IN + arithmetic
+    FILTER; everything whole-stage-codegen over the solution columns.
+    Oracle: identical expressions over the docs CTE."""
+    from sparkrdf.query import bgp_extend, bgp_filter, bgp_match
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    sol = bgp_match(
+        stmts, [("?d", dockg.P_TOKENS, "?n"), ("?d", dockg.P_LANG, "?l")]
+    )
+    sol = bgp_extend(sol, [
+        ("density", "?n / strlen(?d)"),
+        ("label", 'concat(?l, "/", str(?n))'),
+    ])
+    return bgp_filter(sol, '?l NOT IN ("zz") && ?density >= 0')
+
+
 def q_kg_warc_records(spark, sf_dir):
     """WARC container ingestion (sparkrdf/warc.py warc_records): one WARC
     container per nation is rendered in-query from the customer table
@@ -2487,6 +2583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_order": q_kg_bgp_order,
         "kg_sparql_select": q_kg_sparql_select,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_bind": q_kg_sparql_bind,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_group_concat": q_kg_sparql_group_concat,
+        "kg_sparql_expr_select": q_kg_sparql_expr_select,
+        "kg_bgp_extend": q_kg_bgp_extend,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_path": q_kg_sparql_path,
@@ -4558,6 +4659,58 @@ LIMIT 25
 WITH {_DOC_CTES}
 SELECT s AS d, COUNT(*)::BIGINT AS n_ment, MIN(ent) AS first_ent
 FROM mentions GROUP BY s HAVING COUNT(*) >= 2
+"""
+
+    # string-front-end BIND + IN: the two Extend expressions and the
+    # filter restated directly over the docs CTE
+    sql["kg_sparql_bind"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.ntok AS n,
+       upper(d.lang) || ':' || d.s AS tag,
+       TRY_CAST(d.ntok AS DOUBLE) * 2 + 1 AS score
+FROM docs d
+WHERE d.lang IN ('en', 'de')
+  AND TRY_CAST(d.ntok AS DOUBLE) * 2 + 1 > 21
+"""
+
+    # string-front-end subquery: the inner aggregate joined to the outer
+    # lang binding, filtered on the count
+    sql["kg_sparql_subquery"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.lang AS l, mm.m AS m
+FROM docs d
+JOIN (SELECT s, COUNT(*)::BIGINT AS m FROM mentions GROUP BY s) mm
+  ON mm.s = d.s
+WHERE mm.m >= 2
+"""
+
+    # GROUP_CONCAT sorts its members (our deterministic choice) — ORDER BY
+    # inside string_agg mirrors it; SAMPLE picks MIN
+    sql["kg_sparql_group_concat"] = f"""
+WITH {_DOC_CTES}
+SELECT s AS d, string_agg(ent, '|' ORDER BY ent) AS ents,
+       MIN(ent) AS one, COUNT(ent)::BIGINT AS n_ment
+FROM mentions GROUP BY s
+"""
+
+    # SELECT expressions restated as projections
+    sql["kg_sparql_expr_select"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, LENGTH(d.lang) AS langlen, substr(d.s, 7) AS key,
+       CASE WHEN TRY_CAST(d.ntok AS DOUBLE) > 30
+            THEN 'long' ELSE 'short' END AS bucket
+FROM docs d
+"""
+
+    # programmatic Extend: density + label expressions, NOT IN filter
+    sql["kg_bgp_extend"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.ntok AS n, d.lang AS l,
+       TRY_CAST(d.ntok AS DOUBLE) / LENGTH(d.s) AS density,
+       d.lang || '/' || d.ntok AS label
+FROM docs d
+WHERE d.lang NOT IN ('zz')
+  AND TRY_CAST(d.ntok AS DOUBLE) / LENGTH(d.s) >= 0
 """
 
     # string-front-end ASK — restated as EXISTS over the mentions CTE

@@ -686,10 +686,15 @@ def group_solutions(
     """SPARQL 1.1 aggregation (§18.5.1 Group/Aggregation) over a BGP's
     solution multiset: ``GROUP BY`` the named variables, compute each
     ``alias -> (function, variable)`` aggregate (COUNT / COUNT_DISTINCT /
-    SUM / AVG / MIN / MAX — ``COUNT`` with variable ``"*"`` counts
-    solutions), then apply the optional ``HAVING`` expression (a SQL
-    boolean over group keys and aliases). Numeric aggregates cast the
-    lexical form to double, SPARQL's simple-literal arithmetic.
+    SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT — ``COUNT`` with
+    variable ``"*"`` counts solutions; GROUP_CONCAT takes an optional
+    third tuple element, the separator, default ``" "`` per §18.5.1.7),
+    then apply the optional ``HAVING`` expression (a SQL boolean over
+    group keys and aliases). Numeric aggregates cast the lexical form to
+    double, SPARQL's simple-literal arithmetic. Two determinism choices
+    the spec leaves open: SAMPLE picks MIN (any value is conformant) and
+    GROUP_CONCAT concatenates in sorted order (the spec fixes no order) —
+    both so repeated runs and distributed re-partitions agree.
 
     Scale shape: the BGP join tree feeds ONE hash aggregate keyed on the
     group variables — partial (map-side) aggregation applies to every
@@ -703,15 +708,21 @@ def group_solutions(
     if missing:
         raise ValueError(f"GROUP BY variables {missing} not bound by the patterns")
     fns = {
-        "count": lambda c: F.count(F.lit(1)) if c == "*" else F.count(c),
-        "count_distinct": lambda c: F.count_distinct(F.col(c)),
-        "sum": lambda c: F.sum(F.col(c).cast("double")),
-        "avg": lambda c: F.avg(F.col(c).cast("double")),
-        "min": lambda c: F.min(c),
-        "max": lambda c: F.max(c),
+        "count": lambda c, sep: F.count(F.lit(1)) if c == "*" else F.count(c),
+        "count_distinct": lambda c, sep: F.count_distinct(F.col(c)),
+        "sum": lambda c, sep: F.sum(F.col(c).cast("double")),
+        "avg": lambda c, sep: F.avg(F.col(c).cast("double")),
+        "min": lambda c, sep: F.min(c),
+        "max": lambda c, sep: F.max(c),
+        "sample": lambda c, sep: F.min(c),
+        "group_concat": lambda c, sep: F.array_join(
+            F.array_sort(F.collect_list(c)), sep
+        ),
     }
     aggs = []
-    for alias, (fn, var) in aggregates.items():
+    for alias, spec in aggregates.items():
+        fn, var = spec[0], spec[1]
+        sep = spec[2] if len(spec) > 2 else " "
         key = fn.lower()
         if key not in fns:
             raise ValueError(f"unsupported aggregate {fn!r} (have {sorted(fns)})")
@@ -719,7 +730,7 @@ def group_solutions(
             raise ValueError(f"aggregate {fn!r} cannot take '*' (only count)")
         if var != "*" and var not in sol.columns:
             raise ValueError(f"aggregate variable ?{var} not bound by the patterns")
-        aggs.append(fns[key](var).alias(alias))
+        aggs.append(fns[key](var, sep).alias(alias))
     if not aggs:
         raise ValueError("group_solutions requires at least one aggregate")
     out = sol.groupBy(*group_by).agg(*aggs)
@@ -763,7 +774,16 @@ def _tokenize_expr(expr: str) -> list[tuple[str, object]]:
             toks.append(("str", "".join(out)))
             i = j + 1
         elif c.isdigit() or (
-            c in "+-" and i + 1 < n and (expr[i + 1].isdigit() or expr[i + 1] == ".")
+            c in "+-"
+            and i + 1 < n
+            and (expr[i + 1].isdigit() or expr[i + 1] == ".")
+            # '+/-' is a SIGN only when it cannot continue a value: after a
+            # variable, literal or ')' it is the binary arithmetic operator
+            # (so '?n-1' parses as ?n minus 1, not ?n followed by -1)
+            and not (
+                toks and (toks[-1][0] in ("var", "num", "str", "bool")
+                          or toks[-1] == ("op", ")"))
+            )
         ):
             m = _re.match(r"[+-]?\d*\.?\d+(?:[eE][+-]?\d+)?", expr[i:])
             toks.append(("num", float(m.group(0))))
@@ -771,7 +791,7 @@ def _tokenize_expr(expr: str) -> list[tuple[str, object]]:
         elif expr[i : i + 2] in ("&&", "||", "!=", "<=", ">="):
             toks.append(("op", expr[i : i + 2]))
             i += 2
-        elif c in "=<>!(),":
+        elif c in "=<>!(),+-*/":
             toks.append(("op", c))
             i += 1
         else:
@@ -788,11 +808,15 @@ def _tokenize_expr(expr: str) -> list[tuple[str, object]]:
 
 
 def parse_filter(expr: str):
-    """Parse a SPARQL FILTER expression (§17.2 subset) into an AST of
-    tuples. Supported: ``&& || !``, comparisons ``= != < <= > >=``,
-    ``regex(?v, pat[, flags])``, ``bound(?v)``, ``contains/strstarts/
-    strends(?v, str)``, variables, numeric/string/boolean literals, and
-    grouping parens. Precedence: ``||`` < ``&&`` < ``!`` < comparison.
+    """Parse a SPARQL FILTER / value expression (§17.2–§17.4 subset) into
+    an AST of tuples. Supported: ``&& || !``, comparisons ``= != < <= >
+    >=``, ``IN / NOT IN`` lists, arithmetic ``+ - * /``, the boolean
+    functions ``regex(?v, pat[, flags])``, ``bound(?v)``,
+    ``contains/strstarts/strends(?v, str)``, the value functions
+    ``str strlen ucase lcase concat substr replace strbefore strafter
+    abs round ceil floor if coalesce``, variables, numeric/string/boolean
+    literals, and grouping parens. Precedence: ``||`` < ``&&`` < ``!`` <
+    comparison/IN < ``+ -`` < ``* /``.
     """
     toks = _tokenize_expr(expr)
     pos = 0
@@ -829,12 +853,46 @@ def parse_filter(expr: str):
         return relational()
 
     def relational():
-        left = primary()
+        left = additive()
         kind, val = peek()
         if kind == "op" and val in ("=", "!=", "<", "<=", ">", ">="):
             take()
-            return ("cmp", val, left, primary())
+            return ("cmp", val, left, additive())
+        if (kind, val) == ("fn", "in"):
+            take()
+            return ("in", left, in_list())
+        if (kind, val) == ("fn", "not"):
+            take()
+            if peek() != ("fn", "in"):
+                raise ValueError(f"expected IN after NOT in {expr!r}")
+            take()
+            return ("not", ("in", left, in_list()))
         return left
+
+    def in_list():
+        take(("op", "("))
+        items = []
+        if peek() != ("op", ")"):
+            items.append(additive())
+            while peek() == ("op", ","):
+                take()
+                items.append(additive())
+        take(("op", ")"))
+        return items
+
+    def additive():
+        node = multiplicative()
+        while peek() in (("op", "+"), ("op", "-")):
+            _, op = take()
+            node = ("arith", op, node, multiplicative())
+        return node
+
+    def multiplicative():
+        node = primary()
+        while peek() in (("op", "*"), ("op", "/")):
+            _, op = take()
+            node = ("arith", op, node, primary())
+        return node
 
     def primary():
         kind, val = take()
@@ -864,22 +922,37 @@ def parse_filter(expr: str):
     return node
 
 
-def _compile_filter(node, columns: list[str]):
-    """Compile a parse_filter AST to a boolean Column over a solution
-    table whose variable columns hold LEXICAL FORMS (strings). SPARQL
-    numeric coercion: a comparison against a numeric literal casts the
-    variable side to double (a non-numeric lexical casts to NULL, and
-    NULL comparisons are type errors in SPARQL — FILTER drops them, which
-    is exactly Spark's NULL-filter semantics). var-vs-var comparisons are
-    lexical (string) comparisons.
+_BOOL_NODE_KINDS = ("or", "and", "not", "cmp", "in")
+_BOOL_FNS = ("regex", "bound", "contains", "strstarts", "strends")
+_VALUE_FNS = ("str", "strlen", "ucase", "lcase", "concat", "substr",
+              "replace", "strbefore", "strafter", "abs", "round", "ceil",
+              "floor", "if", "coalesce")
+
+
+class _ExprCompiler:
+    """Compile parse_filter ASTs to Columns over a solution table whose
+    variable columns hold LEXICAL FORMS (strings). SPARQL numeric
+    coercion: an arithmetic operand or a comparison against a numeric
+    value casts the variable side to double via try_cast — a non-numeric
+    lexical becomes NULL (a SPARQL type error; FILTER drops the row,
+    which is exactly Spark's NULL-filter semantics, and BIND binds the
+    error as unbound/NULL per §10.1). var-vs-var comparisons are lexical
+    (string) comparisons. Everything compiles to built-in Column
+    expressions — whole-stage codegen, never a UDF.
     """
 
-    def operand(n):
+    def __init__(self, columns: list[str]):
+        self.columns = columns
+
+    # -- value position -----------------------------------------------
+    def value(self, n):
         """-> (column, tag) where tag in var/num/str/bool."""
         kind = n[0]
         if kind == "var":
-            if n[1] not in columns:
-                raise ValueError(f"FILTER variable ?{n[1]} not bound (have {columns})")
+            if n[1] not in self.columns:
+                raise ValueError(
+                    f"FILTER variable ?{n[1]} not bound (have {self.columns})"
+                )
             return F.col(n[1]), "var"
         if kind == "num":
             v = n[1]
@@ -888,88 +961,238 @@ def _compile_filter(node, columns: list[str]):
             return F.lit(n[1]), "str"
         if kind == "bool":
             return F.lit(n[1]), "bool"
+        if kind == "arith":
+            op, ln, rn = n[1], n[2], n[3]
+            lc = self._numeric(ln)
+            rc = self._numeric(rn)
+            out = {"+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc}[op]
+            return out, "num"
         if kind == "call":
-            raise ValueError(
-                f"unsupported FILTER function {n[1]!r} in a value position "
-                "(supported functions — regex, bound, contains, strstarts, "
-                "strends — are all boolean-valued)"
-            )
+            return self._value_call(n[1], n[2])
+        if kind in _BOOL_NODE_KINDS:
+            # boolean expression used as a value (BIND(?x > 3 AS ?b))
+            return self.boolean(n), "bool"
         raise ValueError(f"expected a value operand, got {n!r}")
 
-    def compile_bool(n):
+    def _numeric(self, n):
+        c, t = self.value(n)
+        if t == "str":
+            raise ValueError(f"string literal in arithmetic: {n!r}")
+        return c.try_cast("double") if t == "var" else c
+
+    def _string(self, n):
+        c, t = self.value(n)
+        return c.cast("string") if t in ("num", "bool") else c
+
+    def _str_literal(self, n, what):
+        if n[0] != "str":
+            raise ValueError(f"{what} must be a string literal, got {n!r}")
+        return n[1]
+
+    def _value_call(self, fn, args):
+        if fn == "str":
+            (a,) = args
+            return self._string(a), "str"
+        if fn == "strlen":
+            (a,) = args
+            return F.length(self._string(a)), "num"
+        if fn in ("ucase", "lcase"):
+            (a,) = args
+            f = F.upper if fn == "ucase" else F.lower
+            return f(self._string(a)), "str"
+        if fn == "concat":
+            if not args:
+                raise ValueError("concat() needs at least one argument")
+            return F.concat(*[self._string(a) for a in args]), "str"
+        if fn == "substr":
+            if len(args) not in (2, 3):
+                raise ValueError("substr(text, start[, len]) — 1-based, like §17.4.3.3")
+            text = self._string(args[0])
+            start = self._numeric(args[1]).cast("int")
+            length = (
+                self._numeric(args[2]).cast("int")
+                if len(args) == 3
+                else F.lit(2**31 - 1)
+            )
+            return text.substr(start, length), "str"
+        if fn == "replace":
+            if len(args) != 3:
+                raise ValueError("replace(text, pattern, replacement)")
+            pat = self._str_literal(args[1], "replace pattern")
+            rep = self._str_literal(args[2], "replacement")
+            return F.regexp_replace(self._string(args[0]), pat, rep), "str"
+        if fn in ("strbefore", "strafter"):
+            if len(args) != 2:
+                raise ValueError(f"{fn}(text, string-literal)")
+            text = self._string(args[0])
+            s = self._str_literal(args[1], f"{fn} needle")
+            pos = F.instr(text, s)
+            if fn == "strbefore":
+                # substring_index returns the WHOLE string when the needle
+                # is absent; §17.4.3.4 wants "" — hence the instr guard
+                hit = F.substring_index(text, s, 1)
+            else:
+                hit = text.substr(pos + F.lit(len(s)), F.lit(2**31 - 1))
+            return F.when(pos > 0, hit).otherwise(F.lit("")), "str"
+        if fn in ("abs", "round", "ceil", "floor"):
+            (a,) = args
+            f = {"abs": F.abs, "round": F.round, "ceil": F.ceil,
+                 "floor": F.floor}[fn]
+            return f(self._numeric(a)), "num"
+        if fn == "if":
+            if len(args) != 3:
+                raise ValueError("if(condition, then, else)")
+            cond = self.boolean(args[0])
+            tc, tt = self.value(args[1])
+            ec, et = self.value(args[2])
+            # two explicit whens, not otherwise: a NULL condition (a SPARQL
+            # type error) must yield error/NULL (§17.4.1.2), not the else arm
+            out = F.when(cond, tc).when(~cond, ec)
+            return out, (tt if tt != "var" else et)
+        if fn == "coalesce":
+            if not args:
+                raise ValueError("coalesce() needs at least one argument")
+            pairs = [self.value(a) for a in args]
+            return F.coalesce(*[c for c, _ in pairs]), pairs[0][1]
+        if fn in _BOOL_FNS:
+            return self._bool_call(fn, args), "bool"
+        raise ValueError(
+            f"unsupported function {fn!r} in a value position "
+            f"(have {sorted(_VALUE_FNS + _BOOL_FNS)})"
+        )
+
+    # -- boolean position ----------------------------------------------
+    def _cmp(self, op, ln, rn):
+        lc, lt = self.value(ln)
+        rc, rt = self.value(rn)
+        if "num" in (lt, rt):
+            # try_cast: a non-numeric lexical becomes NULL (a SPARQL
+            # type error — the row is dropped), instead of an ANSI raise
+            lc = lc.try_cast("double") if lt == "var" else lc
+            rc = rc.try_cast("double") if rt == "var" else rc
+        elif "bool" in (lt, rt):
+            lc = lc.try_cast("boolean") if lt == "var" else lc
+            rc = rc.try_cast("boolean") if rt == "var" else rc
+        return {
+            "=": lc == rc,
+            "!=": lc != rc,
+            "<": lc < rc,
+            "<=": lc <= rc,
+            ">": lc > rc,
+            ">=": lc >= rc,
+        }[op]
+
+    def boolean(self, n):
         kind = n[0]
         if kind == "or":
-            return compile_bool(n[1]) | compile_bool(n[2])
+            return self.boolean(n[1]) | self.boolean(n[2])
         if kind == "and":
-            return compile_bool(n[1]) & compile_bool(n[2])
+            return self.boolean(n[1]) & self.boolean(n[2])
         if kind == "not":
-            return ~compile_bool(n[1])
+            return ~self.boolean(n[1])
         if kind == "cmp":
-            op, ln, rn = n[1], n[2], n[3]
-            lc, lt = operand(ln)
-            rc, rt = operand(rn)
-            if "num" in (lt, rt):
-                # try_cast: a non-numeric lexical becomes NULL (a SPARQL
-                # type error — the row is dropped), instead of an ANSI raise
-                lc = lc.try_cast("double") if lt == "var" else lc
-                rc = rc.try_cast("double") if rt == "var" else rc
-            elif "bool" in (lt, rt):
-                lc = lc.try_cast("boolean") if lt == "var" else lc
-                rc = rc.try_cast("boolean") if rt == "var" else rc
-            return {
-                "=": lc == rc,
-                "!=": lc != rc,
-                "<": lc < rc,
-                "<=": lc <= rc,
-                ">": lc > rc,
-                ">=": lc >= rc,
-            }[op]
+            return self._cmp(n[1], n[2], n[3])
+        if kind == "in":
+            left, items = n[1], n[2]
+            if not items:
+                return F.lit(False)  # §17.4.1.9: IN () is false
+            pred = self._cmp("=", left, items[0])
+            for item in items[1:]:
+                pred = pred | self._cmp("=", left, item)
+            return pred
         if kind == "call":
             fn, args = n[1], n[2]
-            if fn == "bound":
-                (v,) = args
-                if v[0] != "var":
-                    raise ValueError("bound() takes a variable")
-                return F.col(v[1]).isNotNull()
-            if fn == "regex":
-                if len(args) not in (2, 3):
-                    raise ValueError("regex(text, pattern[, flags])")
-                text, _ = operand(args[0])
-                if args[1][0] != "str":
-                    raise ValueError("regex pattern must be a string literal")
-                pat = args[1][1]
-                if len(args) == 3:
-                    if args[2][0] != "str":
-                        raise ValueError("regex flags must be a string literal")
-                    java_flags = "".join(f for f in args[2][1] if f in "imsx")
-                    if java_flags:
-                        pat = f"(?{java_flags}){pat}"
-                return text.rlike(pat)
-            if fn in ("contains", "strstarts", "strends"):
-                if len(args) != 2 or args[1][0] != "str":
-                    raise ValueError(f"{fn}(text, string-literal)")
-                text, _ = operand(args[0])
-                s = args[1][1]
-                return {
-                    "contains": text.contains(s),
-                    "strstarts": text.startswith(s),
-                    "strends": text.endswith(s),
-                }[fn]
+            if fn in _BOOL_FNS:
+                return self._bool_call(fn, args)
             raise ValueError(
                 f"unsupported FILTER function {fn!r} "
-                "(have regex, bound, contains, strstarts, strends)"
+                f"(boolean functions: {sorted(_BOOL_FNS)})"
             )
         raise ValueError(f"expression {n!r} is not boolean-valued")
 
-    return compile_bool(node)
+    def _bool_call(self, fn, args):
+        if fn == "bound":
+            (v,) = args
+            if v[0] != "var":
+                raise ValueError("bound() takes a variable")
+            if v[1] not in self.columns:
+                raise ValueError(f"bound(?{v[1]}): variable not in scope")
+            return F.col(v[1]).isNotNull()
+        if fn == "regex":
+            if len(args) not in (2, 3):
+                raise ValueError("regex(text, pattern[, flags])")
+            text = self._string(args[0])
+            pat = self._str_literal(args[1], "regex pattern")
+            if len(args) == 3:
+                java_flags = "".join(
+                    f for f in self._str_literal(args[2], "regex flags")
+                    if f in "imsx"
+                )
+                if java_flags:
+                    pat = f"(?{java_flags}){pat}"
+            return text.rlike(pat)
+        if fn in ("contains", "strstarts", "strends"):
+            if len(args) != 2:
+                raise ValueError(f"{fn}(text, string-literal)")
+            text = self._string(args[0])
+            s = self._str_literal(args[1], f"{fn} needle")
+            return {
+                "contains": text.contains(s),
+                "strstarts": text.startswith(s),
+                "strends": text.endswith(s),
+            }[fn]
+        raise ValueError(f"unknown boolean function {fn!r}")
+
+
+def _compile_filter(node, columns: list[str]):
+    """Compile a parse_filter AST to a boolean Column (see _ExprCompiler)."""
+    return _ExprCompiler(columns).boolean(node)
+
+
+def compile_value_expr(expr: str, columns: list[str]):
+    """Compile a SPARQL value expression (the §17.4 subset parse_filter
+    accepts) to a Column over a solution table — the engine behind BIND
+    and SELECT expressions. Arithmetic yields double, string functions
+    string, comparisons boolean; plain variables keep their lexical
+    form."""
+    node = parse_filter(expr)
+    col, _ = _ExprCompiler(columns).value(node)
+    return col
+
+
+def bgp_extend(solutions: DataFrame, assignments) -> DataFrame:
+    """SPARQL ``BIND`` — the algebra's Extend(§18.4) — over a solution
+    table: each ``(var, expression)`` adds a new column computed from the
+    bindings in scope (arithmetic, string/numeric builtins, IF/COALESCE —
+    see :func:`parse_filter`). Re-binding an in-scope variable raises,
+    per the grammar's BIND restriction (§10.1). ``assignments`` is a
+    dict or a list of pairs; entries apply in order, so later BINDs can
+    reference earlier ones.
+
+    Scale shape: compiles to Project expressions inside whole-stage
+    codegen — no UDF, no shuffle, pipelined into whatever stage already
+    produces the solutions.
+    """
+    items = assignments.items() if isinstance(assignments, dict) else assignments
+    out = solutions
+    for var, expr in items:
+        var = var.lstrip("?")
+        if var in out.columns:
+            raise ValueError(
+                f"BIND would re-bind ?{var}, already in scope {out.columns}"
+            )
+        out = out.withColumn(var, compile_value_expr(expr, out.columns))
+    return out
 
 
 def bgp_filter(solutions: DataFrame, expr: str) -> DataFrame:
-    """SPARQL ``FILTER`` over a solution table (§17.2 subset — see
+    """SPARQL ``FILTER`` over a solution table (§17.2–§17.4 subset — see
     :func:`parse_filter`): comparisons with numeric coercion, ``&& || !``,
-    ``regex()``, ``bound()``, ``contains/strstarts/strends``. Error rows
-    (e.g. a non-numeric lexical compared numerically) are dropped, per the
-    spec's effective-boolean-value rule.
+    ``IN / NOT IN``, arithmetic ``+ - * /``, ``regex()``, ``bound()``,
+    ``contains/strstarts/strends`` and the value builtins (strlen, ucase,
+    substr, if, coalesce, ...). Error rows (e.g. a non-numeric lexical
+    compared numerically) are dropped, per the spec's effective-boolean-
+    value rule.
 
     Scale shape: compiles to ONE whole-stage-codegen Filter over the
     solution columns — no UDF, no shuffle; when applied directly after a

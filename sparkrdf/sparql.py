@@ -18,7 +18,9 @@ Supported subset (raises ValueError, never silently mis-executes, on
 anything else):
 
 * ``PREFIX`` prologue; ``BASE`` is not supported.
-* ``SELECT [DISTINCT] (* | ?v ... | (AGG(?v|*) AS ?alias) ...)``,
+* ``SELECT [DISTINCT] (* | ?v ... | (AGG(?v|*) AS ?alias) |
+  (expr AS ?alias) ...)`` — SELECT expressions (§18.4.4) are value
+  expressions over the group's bindings and aggregate aliases,
   ``ASK [WHERE] { ... }`` (one row, one boolean ``ask`` column — computed
   as a global aggregate over a LIMIT-1-bounded probe, never a driver-side
   count), and ``CONSTRUCT { template } WHERE { ... }`` (template
@@ -36,11 +38,18 @@ anything else):
   ``OPTIONAL { ... }`` (well-designed, any number — applied as sequential
   left joins), ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
   ``GRAPH <g>|?g { ... }`` (compiled to quad patterns), ``VALUES``
-  (single-var and multi-var forms, ``UNDEF`` supported), and a group that
-  is entirely ``{ A } UNION { B } UNION ...``.
+  (single-var and multi-var forms, ``UNDEF`` supported),
+  ``BIND(expr AS ?v)`` (the §18.4 Extend algebra — arithmetic,
+  string/numeric builtins, IF/COALESCE; applied in textual order before
+  the group's FILTERs), ``{ SELECT ... }`` subqueries (§12 — evaluated
+  independently, only the projection visible, joined on shared
+  variables), and a group that is entirely
+  ``{ A } UNION { B } UNION ...``.
 * Solution modifiers: ``GROUP BY`` + ``HAVING`` (aggregates COUNT /
-  COUNT(DISTINCT) / SUM / AVG / MIN / MAX), ``ORDER BY [ASC|DESC](?v)``,
-  ``LIMIT``, ``OFFSET``.
+  COUNT(DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
+  GROUP_CONCAT(?v; SEPARATOR "s") — SAMPLE picks MIN and GROUP_CONCAT
+  concatenates sorted, the deterministic choices inside the spec's
+  freedom), ``ORDER BY [ASC|DESC](?v)``, ``LIMIT``, ``OFFSET``.
 * Literal patterns match the stored LEXICAL form; ``@lang`` / ``^^dt``
   qualifiers on patterns are rejected (the statements model keeps those in
   separate columns — filter on them directly when needed).
@@ -59,8 +68,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkrdf.query import (
+    bgp_extend,
     bgp_match,
     bgp_union,
+    compile_value_expr,
     order_solutions,
     parse_filter,
     path_expr,
@@ -74,10 +85,10 @@ _KEYWORDS = {
     "graph", "values", "not", "exists", "group", "by", "having", "order",
     "asc", "desc", "limit", "offset", "prefix", "as", "undef", "a",
     "count", "sum", "avg", "min", "max", "base", "reduced",
-    "ask", "construct",
+    "ask", "construct", "bind", "sample", "group_concat", "separator",
 }
 
-_AGG_FNS = {"count", "sum", "avg", "min", "max"}
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
 
 
 class _Tok:
@@ -146,9 +157,11 @@ def _tokenize(q: str) -> list[_Tok]:
             # round-trip them into parse_filter's lexer verbatim
             toks.append(_Tok("punct", q[i : i + 2]))
             i += 2
-        elif c in "{}().;,*=<>!&|/^+":
+        elif c in "{}().;,*=<>!&|/^+-":
             # FILTER expressions are re-lexed by parse_filter; here we only
-            # need structural tokens plus balanced-paren capture
+            # need structural tokens plus balanced-paren capture ('-' only
+            # reaches here as a binary operator — the sign case folds into
+            # the numeric literal branch above)
             toks.append(_Tok("punct", c))
             i += 1
         else:
@@ -328,7 +341,7 @@ class _Parser:
                     or mods["limit"] is not None or mods["offset"]):
                 raise ValueError("ASK takes no solution modifiers")
             return {"form": "ask", "distinct": False, "proj": None,
-                    "aggs": {}, "body": body, **mods}
+                    "aggs": {}, "sel_exprs": {}, "body": body, **mods}
         if self.at_kw("construct"):
             self.take()
             template = self.brace_group_triples()
@@ -341,7 +354,14 @@ class _Parser:
                 raise ValueError("CONSTRUCT does not support GROUP BY/HAVING")
             return {"form": "construct", "template": template,
                     "distinct": False, "proj": None, "aggs": {},
-                    "body": body, **mods}
+                    "sel_exprs": {}, "body": body, **mods}
+        return self.parse_select_core(sub=False)
+
+    def parse_select_core(self, sub: bool) -> dict:
+        """``SELECT ... WHERE {...} modifiers`` — the shared core of a
+        top-level query and a ``{ SELECT ... }`` subquery (§12); when
+        ``sub``, the trailing-token check is the caller's (its closing
+        brace follows the modifiers)."""
         self.expect_kw("select")
         distinct = False
         if self.at_kw("distinct"):
@@ -350,7 +370,9 @@ class _Parser:
         elif self.at_kw("reduced"):
             self.take()  # REDUCED permits (but does not require) dedup: no-op
         proj: list[str] | None = []
-        aggs: dict[str, tuple[str, str, bool]] = {}  # alias -> (fn, var, distinct)
+        # alias -> (fn, var, distinct, separator)
+        aggs: dict[str, tuple[str, str, bool, str]] = {}
+        sel_exprs: dict[str, str] = {}  # alias -> value-expression source
         if self.at_punct("*"):
             self.take()
             proj = None
@@ -361,31 +383,26 @@ class _Parser:
                     self.take()
                     proj.append(t.val)
                 elif t is not None and t.kind == "punct" and t.val == "(":
+                    nxt = (self.toks[self.pos + 1]
+                           if self.pos + 1 < len(self.toks) else None)
+                    after = (self.toks[self.pos + 2]
+                             if self.pos + 2 < len(self.toks) else None)
+                    is_agg = (
+                        nxt is not None and nxt.kind == "kw"
+                        and nxt.val in _AGG_FNS
+                        and after is not None and after.kind == "punct"
+                        and after.val == "("
+                    )
                     self.take()
-                    fn_tok = self.take()
-                    if fn_tok.kind != "kw" or fn_tok.val not in _AGG_FNS:
-                        raise ValueError(f"expected aggregate, got {fn_tok!r}")
-                    self.expect_punct("(")
-                    agg_distinct = False
-                    if self.at_kw("distinct"):
-                        self.take()
-                        agg_distinct = True
-                    if self.at_punct("*"):
-                        self.take()
-                        var = "*"
+                    if is_agg:
+                        alias, spec = self.aggregate_clause()
+                        aggs[alias] = spec
+                        proj.append(alias)
                     else:
-                        v = self.take()
-                        if v.kind != "var":
-                            raise ValueError(f"expected ?var in {fn_tok.val}()")
-                        var = v.val
-                    self.expect_punct(")")
-                    self.expect_kw("as")
-                    alias = self.take()
-                    if alias.kind != "var":
-                        raise ValueError("expected ?alias after AS")
-                    self.expect_punct(")")
-                    aggs[alias.val] = (fn_tok.val, var, agg_distinct)
-                    proj.append(alias.val)
+                        # (expr AS ?alias) — a SELECT expression (§18.4.4)
+                        src, alias = self.capture_as_expr()
+                        sel_exprs[alias] = src
+                        proj.append(alias)
                 else:
                     break
             if not proj:
@@ -393,15 +410,89 @@ class _Parser:
         if self.at_kw("where"):
             self.take()
         body = self.group()
-        mods = self.modifiers()
+        mods = self.modifiers(sub=sub)
         return {
             "form": "select",
             "distinct": distinct,
             "proj": proj,
             "aggs": aggs,
+            "sel_exprs": sel_exprs,
             "body": body,
             **mods,
         }
+
+    def aggregate_clause(self) -> tuple[str, tuple]:
+        """``AGG([DISTINCT] ?v|* [; SEPARATOR "s"]) AS ?alias)`` — the
+        open paren is already consumed, the closing one is consumed
+        here."""
+        fn_tok = self.take()
+        if fn_tok.kind != "kw" or fn_tok.val not in _AGG_FNS:
+            raise ValueError(f"expected aggregate, got {fn_tok!r}")
+        self.expect_punct("(")
+        agg_distinct = False
+        if self.at_kw("distinct"):
+            self.take()
+            agg_distinct = True
+        if self.at_punct("*"):
+            self.take()
+            var = "*"
+        else:
+            v = self.take()
+            if v.kind != "var":
+                raise ValueError(f"expected ?var in {fn_tok.val}()")
+            var = v.val
+        sep = " "  # §18.5.1.7: the default GROUP_CONCAT separator
+        if self.at_punct(";"):
+            self.take()
+            self.expect_kw("separator")
+            self.expect_punct("=")
+            s = self.take()
+            if s.kind != "str":
+                raise ValueError("SEPARATOR needs a string literal")
+            if fn_tok.val != "group_concat":
+                raise ValueError("SEPARATOR applies to GROUP_CONCAT only")
+            sep = s.val
+        self.expect_punct(")")
+        self.expect_kw("as")
+        alias = self.take()
+        if alias.kind != "var":
+            raise ValueError("expected ?alias after AS")
+        self.expect_punct(")")
+        return alias.val, (fn_tok.val, var, agg_distinct, sep)
+
+    def capture_as_expr(self) -> tuple[str, str]:
+        """Capture ``expr AS ?alias )`` (the open paren is already
+        consumed): the expression source up to the LAST depth-0 ``AS``,
+        rendered for parse_filter's lexer, plus the alias."""
+        depth = 1
+        toks: list[_Tok] = []
+        while depth:
+            t = self.take()
+            if t.kind == "punct" and t.val == "(":
+                depth += 1
+            elif t.kind == "punct" and t.val == ")":
+                depth -= 1
+                if not depth:
+                    break
+            toks.append(t)
+        depth = 0
+        as_at = None
+        for i, t in enumerate(toks):
+            if t.kind == "punct" and t.val == "(":
+                depth += 1
+            elif t.kind == "punct" and t.val == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "kw" and t.val == "as":
+                as_at = i
+        if as_at is None or as_at != len(toks) - 2:
+            raise ValueError("expected (expression AS ?alias)")
+        alias = toks[-1]
+        if alias.kind != "var":
+            raise ValueError("expected ?alias after AS")
+        src = " ".join(self.render_tok(t) for t in toks[:as_at])
+        if not src:
+            raise ValueError("empty expression before AS")
+        return src, alias.val
 
     # -- group graph pattern ----------------------------------------------
     def triples_block(self, g: str | None = None) -> list[tuple]:
@@ -467,7 +558,8 @@ class _Parser:
     def group(self) -> dict:
         """One { ... } group → {'patterns': [...], 'filters': [...],
         'optionals': [...], 'minuses': [...], 'not_exists': [...],
-        'values': (vars, rows) | None, 'union': [...] | None}."""
+        'values': (vars, rows) | None, 'union': [...] | None,
+        'binds': [(var, expr_src)], 'subqueries': [parsed query dicts]}."""
         self.expect_punct("{")
         out = {
             "patterns": [],
@@ -477,9 +569,20 @@ class _Parser:
             "not_exists": [],
             "values": None,
             "union": None,
+            "binds": [],
+            "subqueries": [],
         }
         while not self.at_punct("}"):
             if self.at_punct("{"):
+                nxt = (self.toks[self.pos + 1]
+                       if self.pos + 1 < len(self.toks) else None)
+                if nxt is not None and nxt.kind == "kw" and nxt.val == "select":
+                    # { SELECT ... } — a subquery (§12), evaluated
+                    # independently and joined on its projected variables
+                    self.take()
+                    out["subqueries"].append(self.parse_select_core(sub=True))
+                    self.expect_punct("}")
+                    continue
                 # { A } UNION { B } ... — only as the whole group body
                 branches = [self.brace_group_triples()]
                 while self.at_kw("union"):
@@ -511,6 +614,11 @@ class _Parser:
             elif self.at_kw("values"):
                 self.take()
                 out["values"] = self.values_clause()
+            elif self.at_kw("bind"):
+                self.take()
+                self.expect_punct("(")
+                src, var = self.capture_as_expr()
+                out["binds"].append((var, src))
             else:
                 out["patterns"].extend(self.triples_block_step())
         self.expect_punct("}")
@@ -586,7 +694,7 @@ class _Parser:
         raise ValueError(f"bad VALUES datum {t!r}")
 
     # -- solution modifiers -----------------------------------------------
-    def modifiers(self) -> dict:
+    def modifiers(self, sub: bool = False) -> dict:
         group_by: list[str] = []
         having: str | None = None
         order: list[str] = []
@@ -638,7 +746,7 @@ class _Parser:
             if t.kind != "num":
                 raise ValueError("OFFSET needs a number")
             offset = int(float(t.val))
-        if self.peek() is not None:
+        if not sub and self.peek() is not None:
             raise ValueError(f"trailing tokens after query: {self.peek()!r}")
         return {
             "group_by": group_by,
@@ -676,6 +784,20 @@ def sparql_query(
     docstring for the supported subset). ``numeric`` names variables whose
     ORDER BY comparison is by double value rather than lexical form."""
     q = _Parser(query).parse()
+    return _compile_query(stmts, q, numeric, s_col, p_col, o_col, g_col)
+
+
+def _compile_query(
+    stmts: DataFrame,
+    q: dict,
+    numeric: tuple,
+    s_col: str,
+    p_col: str,
+    o_col: str,
+    g_col: str,
+) -> DataFrame:
+    """Compile one parsed query dict (top-level or subquery) onto the
+    algebra operators."""
     body = q["body"]
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
 
@@ -698,8 +820,8 @@ def sparql_query(
     if body["union"] is not None:
         sol = bgp_union(stmts, body["union"], **cols)
     else:
-        if not body["patterns"]:
-            raise ValueError("the group pattern binds no triples")
+        if not body["patterns"] and not body["subqueries"]:
+            raise ValueError("the group pattern binds no solutions")
         sol = bgp_match(stmts, plain_pats, g_col=g_col, **cols) if plain_pats else None
 
     for s, (_, path_src), o in path_pats:
@@ -741,6 +863,21 @@ def sparql_query(
                 )
             sol = sol.join(rel, shared)
 
+    for subq in body["subqueries"]:
+        # a subquery evaluates independently (only its projection is
+        # visible, §12) and joins the enclosing group on shared variables —
+        # the same progressive equi-join every other pattern relation uses
+        sub = _compile_query(stmts, subq, numeric, s_col, p_col, o_col, g_col)
+        if sol is None:
+            sol = sub
+            continue
+        shared = sorted(set(sol.columns) & set(sub.columns))
+        if not shared:
+            raise ValueError(
+                "a subquery shares no variable with the enclosing group"
+            )
+        sol = sol.join(sub, shared)
+
     for opt in body["optionals"]:
         right = bgp_match(stmts, opt, g_col=g_col, **cols)
         shared = sorted(set(sol.columns) & set(right.columns))
@@ -774,6 +911,10 @@ def sparql_query(
         sol = sol.join(F.broadcast(inline), pred).drop(
             *[f"__v_{v}" for v in vars_]
         )
+    if body["binds"]:
+        # BIND extends the group's solutions in textual order; applied
+        # before FILTER, whose scope is the whole group (§17.2)
+        sol = bgp_extend(sol, body["binds"])
     for fexpr in body["filters"]:
         sol = sol.filter(_compile_filter(parse_filter(fexpr), sol.columns))
 
@@ -818,31 +959,44 @@ def sparql_query(
         return acc.dropDuplicates(["s", "p", "o"])
 
     aggs, group_by = q["aggs"], q["group_by"]
+    sel_exprs = q.get("sel_exprs") or {}
     if aggs or group_by:
         fns = {
-            "count": lambda c, d: (
+            "count": lambda c, d, sep: (
                 F.count_distinct(F.col(c)) if d
                 else (F.count(F.lit(1)) if c == "*" else F.count(c))
             ),
-            "sum": lambda c, d: F.sum(F.col(c).try_cast("double")),
-            "avg": lambda c, d: F.avg(F.col(c).try_cast("double")),
-            "min": lambda c, d: F.min(c),
-            "max": lambda c, d: F.max(c),
+            "sum": lambda c, d, sep: F.sum(F.col(c).try_cast("double")),
+            "avg": lambda c, d, sep: F.avg(F.col(c).try_cast("double")),
+            "min": lambda c, d, sep: F.min(c),
+            "max": lambda c, d, sep: F.max(c),
+            # the spec lets SAMPLE pick ANY group member — MIN so repeated
+            # runs and re-partitions agree (determinism over arbitrariness)
+            "sample": lambda c, d, sep: F.min(c),
+            # the spec fixes no GROUP_CONCAT order — sorted, same reason;
+            # still one partial-aggregatable exchange
+            "group_concat": lambda c, d, sep: F.array_join(
+                F.array_sort(F.collect_set(c) if d else F.collect_list(c)),
+                sep,
+            ),
         }
         exprs = []
-        for alias, (fn, var, dist) in aggs.items():
+        for alias, (fn, var, dist, sep) in aggs.items():
             if var == "*" and fn != "count":
                 raise ValueError(f"{fn.upper()}(*) is not valid SPARQL")
             if var != "*" and var not in sol.columns:
                 raise ValueError(f"aggregate variable ?{var} not bound")
-            if dist and fn != "count":
-                raise ValueError("DISTINCT inside aggregates supports COUNT only")
-            exprs.append(fns[fn](var, dist).alias(alias))
+            if dist and fn not in ("count", "group_concat"):
+                raise ValueError(
+                    "DISTINCT inside aggregates supports COUNT and "
+                    "GROUP_CONCAT only"
+                )
+            exprs.append(fns[fn](var, dist, sep).alias(alias))
         bad = [g for g in group_by if g not in sol.columns]
         if bad:
             raise ValueError(f"GROUP BY variables {bad} not bound")
         non_agg = [v for v in (q["proj"] or []) if v not in aggs]
-        stray = [v for v in non_agg if v not in group_by]
+        stray = [v for v in non_agg if v not in group_by and v not in sel_exprs]
         if stray:
             raise ValueError(
                 f"projected variables {stray} are neither aggregated nor "
@@ -857,6 +1011,13 @@ def sparql_query(
             )
     elif q["having"]:
         raise ValueError("HAVING requires GROUP BY / aggregates")
+
+    # SELECT expressions extend AFTER grouping (§18.4.4) so they can
+    # reference aggregate aliases; like BIND they are codegen projections
+    for alias, src in sel_exprs.items():
+        if alias in sol.columns:
+            raise ValueError(f"SELECT expression alias ?{alias} already bound")
+        sol = sol.withColumn(alias, compile_value_expr(src, sol.columns))
 
     if q["proj"] is not None:
         missing = [v for v in q["proj"] if v not in sol.columns]

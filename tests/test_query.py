@@ -745,8 +745,15 @@ def test_bgp_filter_string_comparison_and_errors(spark, stmts):
     ) == [("bob", "carol")]
     with _pytest.raises(ValueError, match="not bound"):
         bgp_filter(sol, "?zz = 1")
+    # value functions in comparisons work since round 5 (lcase of an
+    # already-lowercase name is the identity here)
+    assert sorted(
+        (r.x, r.y) for r in bgp_filter(sol, 'lcase(?y) = "carol"').collect()
+    ) == [("bob", "carol")]
     with _pytest.raises(ValueError, match="unsupported FILTER function"):
-        bgp_filter(sol, "lcase(?x) = ?y")
+        bgp_filter(sol, "nosuchfn(?x)")
+    with _pytest.raises(ValueError, match="value position"):
+        bgp_filter(sol, "nosuchfn(?x) = ?y")
     with _pytest.raises(ValueError, match="trailing tokens"):
         bgp_filter(sol, "?x = 1 ?y")
 

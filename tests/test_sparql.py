@@ -365,3 +365,185 @@ def test_plan_is_single_catalyst_plan_with_pushdown(stmts, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # both constant-p patterns compile to Filter over the cached relation
     assert "tokenCount" in plan
+
+
+# --- round 5: BIND, value expressions, subqueries, new aggregates -------
+
+
+def test_bind_arithmetic_and_string_builtins(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n2 ?tag WHERE {
+          ?d ex:tokenCount ?n .
+          BIND(?n * 2 + 1 AS ?n2)
+          BIND(concat(ucase(?d), ":", str(?n)) AS ?tag)
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [
+        ("d1", 111.0, "D1:55"),
+        ("d2", 83.0, "D2:41"),
+        ("d3", 19.0, "D3:9"),
+    ]
+
+
+def test_bind_in_scope_for_later_bind_and_filter(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?half WHERE {
+          ?d ex:tokenCount ?n .
+          BIND(?n / 2 AS ?half)
+          BIND(?half + 1 AS ?halfplus)
+          FILTER(?halfplus > 22)
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", 27.5)]
+
+
+def test_filter_in_and_not_in(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:author ?a . FILTER(?a IN ("alice", "bob")) }
+        ORDER BY ?d
+    """)
+    assert rows(got) == [("d1",), ("d2",)]
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE { ?d ex:tokenCount ?n . FILTER(?n NOT IN (55, 9)) }
+    """)
+    assert rows(got) == [("d2",)]
+
+
+def test_filter_value_functions(stmts):
+    # strlen / substr / strbefore / strafter / if / coalesce
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d (strlen(?d) AS ?len) (substr(?d, 2) AS ?num)
+               (if(?n > 40, "long", "short") AS ?bucket)
+        WHERE { ?d ex:tokenCount ?n . } ORDER BY ?d
+    """)
+    assert rows(got) == [
+        ("d1", 2, "1", "long"),
+        ("d2", 2, "2", "long"),
+        ("d3", 2, "3", "short"),
+    ]
+
+
+def test_strbefore_strafter_absent_needle_yields_empty(spark):
+    from sparkrdf.query import bgp_extend
+
+    df = spark.createDataFrame([("a:b",), ("nocolon",)], "v string")
+    out = bgp_extend(df, [
+        ("before", 'strbefore(?v, ":")'),
+        ("after", 'strafter(?v, ":")'),
+    ])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("a:b", "a", "b"), ("nocolon", "", "")}
+
+
+def test_if_null_condition_is_error_not_else(spark):
+    """§17.4.1.2: IF over a type-error condition is an error (NULL bind),
+    not the else arm."""
+    from sparkrdf.query import bgp_extend
+
+    df = spark.createDataFrame([("abc",), ("7",)], "n string")
+    out = bgp_extend(df, [("b", 'if(?n > 3, "big", "small")')])
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("abc", None), ("7", "big")}
+
+
+def test_bind_rebinding_raises(stmts):
+    with pytest.raises(ValueError, match="re-bind"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d WHERE { ?d ex:tokenCount ?n . BIND(1 AS ?n) }
+        """)
+
+
+def test_subquery_aggregate_joins_outer(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?a ?m WHERE {
+          ?d ex:author ?a .
+          { SELECT ?d (COUNT(*) AS ?m) WHERE { ?d ex:cites ?o } GROUP BY ?d }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "alice", 1), ("d2", "alice", 1)]
+
+
+def test_subquery_only_projection_visible(stmts):
+    # ?n is projected away inside the subquery: referencing it outside raises
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d ?n WHERE {
+              ?d ex:author ?a .
+              { SELECT ?d WHERE { ?d ex:tokenCount ?n } }
+            }
+        """)
+
+
+def test_subquery_disjoint_raises(stmts):
+    with pytest.raises(ValueError, match="shares no variable"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?a WHERE {
+              ?d ex:author ?a .
+              { SELECT (COUNT(*) AS ?m) WHERE { ?x ex:cites ?o } }
+            }
+        """)
+
+
+def test_group_concat_sample_and_separator(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a (GROUP_CONCAT(?d; SEPARATOR="|") AS ?ds)
+               (SAMPLE(?d) AS ?one) WHERE { ?d ex:author ?a } GROUP BY ?a
+    """)
+    assert rows(got) == [("alice", "d1|d2", "d1")]
+
+
+def test_group_concat_default_separator_is_space(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a (GROUP_CONCAT(?d) AS ?ds) WHERE { ?d ex:author ?a }
+        GROUP BY ?a
+    """)
+    assert rows(got) == [("alice", "d1 d2")]
+
+
+def test_group_concat_distinct(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (GROUP_CONCAT(DISTINCT ?a; SEPARATOR=",") AS ?as)
+        WHERE { ?d ex:author ?a } GROUP BY ?a
+    """)
+    assert rows(got) == [("alice",)]
+
+
+def test_select_expression_over_aggregate_alias(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?a (COUNT(*) AS ?c) (?c * 10 AS ?c10)
+        WHERE { ?d ex:author ?a } GROUP BY ?a
+    """)
+    assert rows(got) == [("alice", 2, 20.0)]
+
+
+def test_separator_on_non_group_concat_raises(stmts):
+    with pytest.raises(ValueError, match="GROUP_CONCAT only"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT (COUNT(?d; SEPARATOR=",") AS ?c)
+            WHERE { ?d ex:author ?a } GROUP BY ?a
+        """)
+
+
+def test_bind_plan_stays_codegen_no_udf(stmts):
+    df = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n2 WHERE {
+          ?d ex:tokenCount ?n . BIND(?n * 2 AS ?n2) FILTER(?n2 > 10)
+        }
+    """)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -89,6 +89,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)} (did the --json flag "
+                 "come first? usage is in the module docstring)")
     results = {}
     records = {}  # driver CORRECTNESS schema
     for name, fn in qs.items():
