@@ -994,17 +994,11 @@ def q_kg_bgp_graph(spark, sf_dir):
     )
 
 
-def q_kg_describe(spark, sf_dir):
-    """SPARQL DESCRIBE via Concise Bounded Description (sparkrdf/query.py
-    describe_cbd): doc mentions are remodeled as n-ary blank-node
-    structures (doc --hasMention--> _:m --entity/surface--> ...), and the
-    German-language documents are described — their own statements plus,
-    recursively, their mention bnodes' statements; IRI objects stop the
-    recursion per the CBD spec. Frontier semi-joins per round, one final
-    left-semi against the accumulated subject set. Oracle: the de-doc
-    rows + their bnode rows spelled directly in DuckDB."""
-    from sparkrdf.query import describe_cbd
-
+def _nary_mention_stmts(spark, sf_dir):
+    """Doc-KG statements with mentions remodeled as n-ary blank-node
+    structures (doc --hasMention--> _:m --entity/surface--> ...) — the
+    bnode-bearing fixture the DESCRIBE queries recurse over. Returns
+    (statements, docs)."""
     docs = _docs(spark, sf_dir)
     stmts = dockg.doc_triples(spark, docs)
     men = stmts.filter(F.col("p") == dockg.P_MENTIONS)
@@ -1037,10 +1031,60 @@ def q_kg_describe(spark, sf_dir):
         )
     )
     all_stmts = stmts.filter(F.col("p") != dockg.P_MENTIONS).unionByName(nary)
+    return all_stmts, docs
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE via Concise Bounded Description (sparkrdf/query.py
+    describe_cbd): doc mentions are remodeled as n-ary blank-node
+    structures (doc --hasMention--> _:m --entity/surface--> ...), and the
+    German-language documents are described — their own statements plus,
+    recursively, their mention bnodes' statements; IRI objects stop the
+    recursion per the CBD spec. Frontier semi-joins per round, one final
+    left-semi against the accumulated subject set. Oracle: the de-doc
+    rows + their bnode rows spelled directly in DuckDB."""
+    from sparkrdf.query import describe_cbd
+
+    all_stmts, docs = _nary_mention_stmts(spark, sf_dir)
     seeds = docs.filter(F.col("lang") == "de").select(
         F.concat(F.lit(dockg.DOC_PREFIX), F.col("doc_id").cast("string")).alias("n")
     )
     return describe_cbd(all_stmts, seeds).select("s", "p", "o_kind", "o")
+
+
+def q_kg_sparql_describe(spark, sf_dir):
+    """``DESCRIBE ?d WHERE {...}`` via the string front end
+    (sparkrdf/sparql.py → sparkrdf/query.py describe_cbd): the seed set
+    comes from the WHERE group's DISTINCT ?d bindings (the de-language
+    docs), then the same CBD bnode recursion q_kg_describe drives
+    programmatically. Oracle: identical to kg_describe — string-level
+    parse ≡ programmatic evaluation."""
+    from sparkrdf.sparql import sparql_query
+
+    all_stmts, _ = _nary_mention_stmts(spark, sf_dir)
+    out = sparql_query(all_stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        DESCRIBE ?d WHERE {{ ?d kgp:lang "de" }}
+    """)
+    return out.select("s", "p", "o_kind", "o")
+
+
+def q_kg_sparql_exists(spark, sf_dir):
+    """``FILTER EXISTS`` via the string front end: documents that DO have
+    an Operator-class mention — a left-semi join of the lang solutions
+    against the deduped exists-group bindings (the positive twin of
+    kg_bgp_not_exists' anti-join). Oracle: WHERE EXISTS in DuckDB."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?l WHERE {{
+          ?d kgp:lang ?l .
+          FILTER EXISTS {{ ?d kgp:mentions ?e .
+                           ?e a <{dockg.class_iri("Operator")}> }}
+        }}
+    """)
 
 
 def q_kg_table_triples(spark, sf_dir):
@@ -2587,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_expr_select": q_kg_sparql_expr_select,
+        "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_exists": q_kg_sparql_exists,
         "kg_bgp_extend": q_kg_bgp_extend,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_ask": q_kg_sparql_ask,
@@ -4713,6 +4759,14 @@ WHERE d.lang NOT IN ('zz')
   AND TRY_CAST(d.ntok AS DOUBLE) / LENGTH(d.s) >= 0
 """
 
+    # string-front-end FILTER EXISTS — the positive semi-join twin
+    sql["kg_sparql_exists"] = f"""
+WITH {_DOC_CTES}
+SELECT d.s AS d, d.lang AS l FROM docs d
+WHERE EXISTS (SELECT 1 FROM mentions m
+              WHERE m.s = d.s AND m.cls = '{dockg.class_iri("Operator")}')
+"""
+
     # string-front-end ASK — restated as EXISTS over the mentions CTE
     sql["kg_sparql_ask"] = f"""
 WITH {_DOC_CTES}
@@ -4808,7 +4862,7 @@ UNION ALL SELECT url, s, 'https://schema.org/balance', bal FROM b
     # DESCRIBE (concise bounded description) of the German docs: their own
     # statement rows plus their mention-bnode rows; entity IRIs stop the
     # recursion, so entity-class rows never appear
-    sql["kg_describe"] = f"""
+    sql["kg_sparql_describe"] = sql["kg_describe"] = f"""
 WITH {_DOC_CTES},
 de AS (SELECT s, lang, ntok FROM docs WHERE lang = 'de'),
 dm AS (SELECT m.s, m.ent FROM mentions m JOIN de ON de.s = m.s)

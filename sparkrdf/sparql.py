@@ -27,7 +27,10 @@ anything else):
   instantiated once per solution, unbound instantiations dropped,
   duplicates collapsed — §16.2 graph semantics; the template may use any
   group feature the SELECT path supports, a superset of the programmatic
-  :func:`sparkrdf.query.construct_triples` which takes plain BGPs).
+  :func:`sparkrdf.query.construct_triples` which takes plain BGPs), and
+  ``DESCRIBE <iri>|?v ... [WHERE { ... }]`` (concise bounded description
+  via :func:`sparkrdf.query.describe_cbd` — seed statements plus their
+  blank-node closures; the full statements schema comes back).
 * Group graph pattern with: triple patterns (IRIs, prefixed names, the
   ``a`` keyword, plain/numeric literals, variables), property-path
   predicates (§9.1: ``^`` inverse, ``/`` sequence, ``|`` alternative,
@@ -36,7 +39,8 @@ anything else):
   variables; top-level required group only), ``FILTER(expr)``
   (the :func:`sparkrdf.query.parse_filter` expression subset),
   ``OPTIONAL { ... }`` (well-designed, any number — applied as sequential
-  left joins), ``MINUS { ... }``, ``FILTER NOT EXISTS { ... }``,
+  left joins), ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``
+  (anti/semi joins on the shared variables),
   ``GRAPH <g>|?g { ... }`` (compiled to quad patterns), ``VALUES``
   (single-var and multi-var forms, ``UNDEF`` supported),
   ``BIND(expr AS ?v)`` (the §18.4 Extend algebra — arithmetic,
@@ -72,6 +76,7 @@ from sparkrdf.query import (
     bgp_match,
     bgp_union,
     compile_value_expr,
+    describe_cbd,
     order_solutions,
     parse_filter,
     path_expr,
@@ -86,6 +91,7 @@ _KEYWORDS = {
     "asc", "desc", "limit", "offset", "prefix", "as", "undef", "a",
     "count", "sum", "avg", "min", "max", "base", "reduced",
     "ask", "construct", "bind", "sample", "group_concat", "separator",
+    "describe",
 }
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -342,6 +348,40 @@ class _Parser:
                 raise ValueError("ASK takes no solution modifiers")
             return {"form": "ask", "distinct": False, "proj": None,
                     "aggs": {}, "sel_exprs": {}, "body": body, **mods}
+        if self.at_kw("describe"):
+            self.take()
+            seeds_const: list[str] = []
+            seeds_vars: list[str] = []
+            while True:
+                t = self.peek()
+                if t is not None and t.kind == "var":
+                    self.take()
+                    seeds_vars.append(t.val)
+                elif t is not None and t.kind == "iri":
+                    self.take()
+                    seeds_const.append(t.val)
+                elif t is not None and t.kind == "pname":
+                    self.take()
+                    seeds_const.append(self.expand(t.val))
+                else:
+                    break
+            if not seeds_const and not seeds_vars:
+                raise ValueError("DESCRIBE needs at least one IRI or variable")
+            body = None
+            if self.at_kw("where") or self.at_punct("{"):
+                if self.at_kw("where"):
+                    self.take()
+                body = self.group()
+            mods = self.modifiers()
+            if (mods["group_by"] or mods["having"] or mods["order"]
+                    or mods["limit"] is not None or mods["offset"]):
+                raise ValueError("DESCRIBE takes no solution modifiers")
+            if seeds_vars and body is None:
+                raise ValueError("DESCRIBE ?var requires a WHERE group")
+            return {"form": "describe", "seeds_const": seeds_const,
+                    "seeds_vars": seeds_vars, "distinct": False,
+                    "proj": None, "aggs": {}, "sel_exprs": {},
+                    "body": body, **mods}
         if self.at_kw("construct"):
             self.take()
             template = self.brace_group_triples()
@@ -567,6 +607,7 @@ class _Parser:
             "optionals": [],
             "minuses": [],
             "not_exists": [],
+            "exists": [],
             "values": None,
             "union": None,
             "binds": [],
@@ -599,6 +640,9 @@ class _Parser:
                     self.take()
                     self.expect_kw("exists")
                     out["not_exists"].append(self.brace_group_triples())
+                elif self.at_kw("exists"):
+                    self.take()
+                    out["exists"].append(self.brace_group_triples())
                 else:
                     out["filters"].append(self.capture_parens())
             elif self.at_kw("optional"):
@@ -771,6 +815,22 @@ def _anti_compatible(left: DataFrame, right: DataFrame, spec: str) -> DataFrame:
     return left.join(right.select(*shared).dropDuplicates(shared), shared, "left_anti")
 
 
+def _semi_compatible(left: DataFrame, right: DataFrame) -> DataFrame:
+    """FILTER EXISTS: keep solutions with a compatible row in ``right`` —
+    a left-semi join on the shared variables (deduped right side, so
+    multiplicities never inflate); with no shared variable it degrades to
+    a broadcast 1-row non-emptiness probe, like its NOT EXISTS twin."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if not shared:
+        probe = right.limit(1).select(F.lit(1).alias("_pe"))
+        return (
+            left.join(F.broadcast(probe), how="left")
+            .filter(F.col("_pe").isNotNull())
+            .drop("_pe")
+        )
+    return left.join(right.select(*shared).dropDuplicates(shared), shared, "left_semi")
+
+
 def sparql_query(
     stmts: DataFrame,
     query: str,
@@ -787,6 +847,47 @@ def sparql_query(
     return _compile_query(stmts, q, numeric, s_col, p_col, o_col, g_col)
 
 
+def _compile_describe(
+    stmts: DataFrame,
+    q: dict,
+    numeric: tuple,
+    s_col: str,
+    p_col: str,
+    o_col: str,
+    g_col: str,
+) -> DataFrame:
+    """``DESCRIBE <iri>|?var ... [WHERE {...}]`` — seeds from the constant
+    IRIs plus each variable's bindings in the (DISTINCT-projected) group
+    solution, then :func:`sparkrdf.query.describe_cbd`: the seeds'
+    statements plus, recursively, their blank-node objects' statements.
+    A statements table without an ``o_kind`` column has no identifiable
+    blank nodes, so the description is exactly the seeds' outgoing rows."""
+    seeds = None
+    if q["seeds_vars"]:
+        sel = {
+            "form": "select", "distinct": True, "proj": q["seeds_vars"],
+            "aggs": {}, "sel_exprs": {}, "body": q["body"],
+            "group_by": [], "having": None, "order": [],
+            "limit": None, "offset": None,
+        }
+        sol = _compile_query(stmts, sel, numeric, s_col, p_col, o_col, g_col)
+        for v in q["seeds_vars"]:
+            part = sol.select(F.col(v).alias("n"))
+            seeds = part if seeds is None else seeds.unionAll(part)
+    if q["seeds_const"]:
+        const = stmts.sparkSession.createDataFrame(
+            [(c,) for c in q["seeds_const"]], "n string"
+        )
+        seeds = const if seeds is None else seeds.unionAll(const)
+    added_kind = "o_kind" not in stmts.columns
+    work = (
+        stmts.withColumn("o_kind", F.lit(None).cast("string"))
+        if added_kind else stmts
+    )
+    out = describe_cbd(work, seeds.dropDuplicates(), s_col=s_col, o_col=o_col)
+    return out.drop("o_kind") if added_kind else out
+
+
 def _compile_query(
     stmts: DataFrame,
     q: dict,
@@ -798,13 +899,15 @@ def _compile_query(
 ) -> DataFrame:
     """Compile one parsed query dict (top-level or subquery) onto the
     algebra operators."""
-    body = q["body"]
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
+    if q["form"] == "describe":
+        return _compile_describe(stmts, q, numeric, s_col, p_col, o_col, g_col)
+    body = q["body"]
 
     path_pats = [p for p in body["patterns"] if isinstance(p[1], tuple)]
     plain_pats = [p for p in body["patterns"] if not isinstance(p[1], tuple)]
     for grp in (body["optionals"] + body["minuses"] + body["not_exists"]
-                + (body["union"] or [])):
+                + body["exists"] + (body["union"] or [])):
         if any(isinstance(p[1], tuple) for p in grp):
             raise ValueError(
                 "property paths are supported only in the required "
@@ -893,6 +996,8 @@ def _compile_query(
         sol = _anti_compatible(
             sol, bgp_match(stmts, ne, g_col=g_col, **cols), "not_exists"
         )
+    for ex in body["exists"]:
+        sol = _semi_compatible(sol, bgp_match(stmts, ex, g_col=g_col, **cols))
     if body["values"]:
         rows = body["values"]
         vars_ = sorted({k for row in rows for k in row})

@@ -547,3 +547,55 @@ def test_bind_plan_stays_codegen_no_udf(stmts):
     """)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_exists_semi_join(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:tokenCount ?n .
+          FILTER EXISTS { ?d ex:cites ?o }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d2", "41")]
+
+
+def test_filter_exists_does_not_inflate_multiplicity(spark):
+    st = spark.createDataFrame(
+        [("a", "p", "x", None), ("x", "q", "1", None), ("x", "q", "2", None)],
+        "s string, p string, o string, sub_graph string")
+    got = sparql_query(st, """
+        SELECT ?s WHERE { ?s <p> ?x . FILTER EXISTS { ?x <q> ?v } }
+    """)
+    assert rows(got) == [("a",)]  # two q-rows, still ONE solution
+
+
+def test_describe_constant_and_var_seeds(spark):
+    st = spark.createDataFrame(
+        [
+            ("d1", "lang", "de", "Literal"),
+            ("d1", "ref", "_:b", "BNode"),
+            ("_:b", "val", "7", "Literal"),
+            ("d2", "lang", "en", "Literal"),
+        ],
+        "s string, p string, o string, o_kind string")
+    got = sparql_query(st, 'DESCRIBE ?d WHERE { ?d <lang> "de" }')
+    assert sorted(r.s for r in got.collect()) == ["_:b", "d1", "d1"]
+    got = sparql_query(st, "DESCRIBE <d2>")
+    assert rows(got.select("s", "p", "o")) == [("d2", "lang", "en")]
+
+
+def test_describe_without_o_kind_yields_outgoing_only(spark):
+    st = spark.createDataFrame(
+        [("d1", "ref", "_:b"), ("_:b", "val", "7")],
+        "s string, p string, o string")
+    got = sparql_query(st, "DESCRIBE <d1>")
+    assert rows(got) == [("d1", "ref", "_:b")]
+    assert got.columns == ["s", "p", "o"]  # injected o_kind dropped again
+
+
+def test_describe_rejects_modifiers_and_bare_var(stmts):
+    with pytest.raises(ValueError, match="no solution modifiers"):
+        sparql_query(stmts, "DESCRIBE <d1> LIMIT 3")
+    with pytest.raises(ValueError, match="requires a WHERE"):
+        sparql_query(stmts, "DESCRIBE ?d")
