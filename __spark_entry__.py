@@ -1432,6 +1432,26 @@ def q_kg_sparql_expr_select(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL 1.1 Update (sparkrdf/sparql.py sparql_update): a
+    DELETE/INSERT WHERE predicate migration (tokenCount → sizeTokens for
+    long documents) followed by an INSERT DATA — functional graph
+    maintenance: one anti-join for the delete, one insert-if-absent
+    anti-join + union per insert, statements never rewritten in place.
+    Oracle: the migrated statement set spelled as unions in DuckDB."""
+    from sparkrdf.sparql import sparql_update
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    out = sparql_update(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        DELETE {{ ?d kgp:tokenCount ?n }}
+        INSERT {{ ?d kgp:sizeTokens ?n }}
+        WHERE {{ ?d kgp:tokenCount ?n . FILTER(?n > 40) }} ;
+        INSERT DATA {{ <{dockg.KG}meta> kgp:version 2 }}
+    """)
+    return out.select("s", "p", "o")
+
+
 def q_kg_bgp_extend(spark, sf_dir):
     """Programmatic BIND — the §18.4 Extend algebra operator
     (sparkrdf/query.py bgp_extend): a numeric density expression and a
@@ -2633,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_expr_select": q_kg_sparql_expr_select,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_exists": q_kg_sparql_exists,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_bgp_extend": q_kg_bgp_extend,
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_ask": q_kg_sparql_ask,
@@ -4757,6 +4778,22 @@ SELECT d.s AS d, d.ntok AS n, d.lang AS l,
 FROM docs d
 WHERE d.lang NOT IN ('zz')
   AND TRY_CAST(d.ntok AS DOUBLE) / LENGTH(d.s) >= 0
+"""
+
+    # SPARQL Update: the tokenCount rows split on the migration predicate,
+    # everything else unchanged, plus the one inserted ground triple
+    sql["kg_sparql_update"] = f"""
+WITH {_DOC_CTES}
+SELECT s, p, o FROM (
+  SELECT s, '{dockg.P_MENTIONS}' AS p, ent AS o FROM mentions
+  UNION ALL SELECT s, '{_RDF_TYPE}', '{dockg.CLS_DOCUMENT}' FROM docs
+  UNION ALL SELECT s, '{dockg.P_LANG}', lang FROM docs
+  UNION ALL SELECT s, '{dockg.P_TOKENS}', ntok FROM docs
+    WHERE NOT TRY_CAST(ntok AS DOUBLE) > 40
+  UNION ALL SELECT s, '{dockg.KG}prop/sizeTokens', ntok FROM docs
+    WHERE TRY_CAST(ntok AS DOUBLE) > 40
+  UNION ALL SELECT DISTINCT ent, '{_RDF_TYPE}', cls FROM mentions
+  UNION ALL SELECT '{dockg.KG}meta', '{dockg.KG}prop/version', '2')
 """
 
     # string-front-end FILTER EXISTS — the positive semi-join twin

@@ -310,6 +310,16 @@ class SparkRDF:
 
         return sparql_query(stmts, sparql, **kwargs)
 
+    def update(self, stmts: DataFrame, sparql: str, **kwargs) -> DataFrame:
+        """Apply a SPARQL 1.1 Update string (INSERT/DELETE DATA, DELETE
+        WHERE, DELETE/INSERT WHERE) and return the NEW statements
+        DataFrame — functional graph maintenance the caller materializes
+        through the idempotent-merge sink (sparkrdf.io) or a streaming
+        foreachBatch; delegates to :func:`sparkrdf.sparql.sparql_update`."""
+        from sparkrdf.sparql import sparql_update
+
+        return sparql_update(stmts, sparql, **kwargs)
+
     # -- meta ontologies -----------------------------------------------------
     def load_meta_ontology(self, meta_dir: str | None = None) -> DataFrame | None:
         """Vendored OWL/RDF/RDFS meta-ontology statements (the reference's

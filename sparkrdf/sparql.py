@@ -91,7 +91,7 @@ _KEYWORDS = {
     "asc", "desc", "limit", "offset", "prefix", "as", "undef", "a",
     "count", "sum", "avg", "min", "max", "base", "reduced",
     "ask", "construct", "bind", "sample", "group_concat", "separator",
-    "describe",
+    "describe", "insert", "delete", "data",
 }
 
 _AGG_FNS = {"count", "sum", "avg", "min", "max", "sample", "group_concat"}
@@ -325,7 +325,7 @@ class _Parser:
         return "<" + iri + ">", iri
 
     # -- prologue + select -----------------------------------------------
-    def parse(self) -> dict:
+    def prologue(self):
         while self.at_kw("prefix"):
             self.take()
             t = self.take()
@@ -337,6 +337,9 @@ class _Parser:
             self.prefixes[t.val[:-1]] = iri.val
         if self.at_kw("base"):
             raise ValueError("BASE is not supported")
+
+    def parse(self) -> dict:
+        self.prologue()
         if self.at_kw("ask"):
             self.take()
             if self.at_kw("where"):
@@ -533,6 +536,107 @@ class _Parser:
         if not src:
             raise ValueError("empty expression before AS")
         return src, alias.val
+
+    # -- update operations (SPARQL 1.1 Update subset) ----------------------
+    def parse_update(self) -> list[dict]:
+        """``INSERT DATA`` / ``DELETE DATA`` / ``DELETE WHERE`` /
+        ``DELETE {t} [INSERT {t}] WHERE {g}`` / ``INSERT {t} WHERE {g}``,
+        ';'-separated, applied in order."""
+        self.prologue()
+        ops: list[dict] = []
+        while True:
+            if self.at_kw("insert"):
+                self.take()
+                if self.at_kw("data"):
+                    self.take()
+                    ops.append({"op": "insert_data",
+                                "triples": self.update_block(const=True)})
+                else:
+                    tmpl = self.update_block(const=False)
+                    self.expect_kw("where")
+                    ops.append({"op": "modify", "delete": None,
+                                "insert": tmpl, "body": self.group()})
+            elif self.at_kw("delete"):
+                self.take()
+                if self.at_kw("data"):
+                    self.take()
+                    ops.append({"op": "delete_data",
+                                "triples": self.update_block(const=True)})
+                elif self.at_kw("where"):
+                    # DELETE WHERE: the pattern IS the delete template
+                    self.take()
+                    pats = self.update_block(const=False)
+                    ops.append({"op": "modify", "delete": pats,
+                                "insert": None, "body": _group_of(pats)})
+                else:
+                    dt = self.update_block(const=False)
+                    ins = None
+                    if self.at_kw("insert"):
+                        self.take()
+                        ins = self.update_block(const=False)
+                    self.expect_kw("where")
+                    ops.append({"op": "modify", "delete": dt,
+                                "insert": ins, "body": self.group()})
+            elif self.at_punct(";"):
+                self.take()
+            elif self.peek() is None:
+                break
+            else:
+                raise ValueError(f"expected an update operation, got "
+                                 f"{self.peek()!r}")
+        if not ops:
+            raise ValueError("empty update request")
+        return ops
+
+    def kinded_term(self, position: str) -> tuple[str, str]:
+        """One update-block term → (value, kind) with kind iri/lit/var
+        (variables encoded ``?name`` like bgp_match patterns)."""
+        t = self.take()
+        if t.kind == "var":
+            return "?" + t.val, "var"
+        if t.kind == "iri":
+            return t.val, "iri"
+        if t.kind == "pname":
+            return self.expand(t.val), "iri"
+        if t.kind == "kw" and t.val == "a" and position == "p":
+            return RDF_TYPE, "iri"
+        if t.kind in ("str", "num") and position == "o":
+            return t.val, "lit"
+        raise ValueError(f"unexpected term {t!r} in {position} position")
+
+    def update_block(self, const: bool) -> list[tuple]:
+        """``{ triples }`` for update data/templates: each entry is
+        ``((s, kind), (p, kind), (o, kind))``; with ``const`` variables
+        are rejected (INSERT/DELETE DATA take ground triples only)."""
+        self.expect_punct("{")
+        out: list[tuple] = []
+        while not self.at_punct("}"):
+            s = self.kinded_term("s")
+            while True:
+                p = self.kinded_term("p")
+                if p[1] == "lit":
+                    raise ValueError("literal in predicate position")
+                while True:
+                    o = self.kinded_term("o")
+                    out.append((s, p, o))
+                    if self.at_punct(","):
+                        self.take()
+                        continue
+                    break
+                if self.at_punct(";"):
+                    self.take()
+                    if self.at_punct(".") or self.at_punct("}"):
+                        break
+                    continue
+                break
+            if self.at_punct("."):
+                self.take()
+        self.take()  # closing brace
+        if not out:
+            raise ValueError("empty update triple block")
+        if const and any(k == "var" for t in out for _, k in t):
+            raise ValueError("INSERT/DELETE DATA take ground triples only")
+        return out
 
     # -- group graph pattern ----------------------------------------------
     def triples_block(self, g: str | None = None) -> list[tuple]:
@@ -1142,3 +1246,175 @@ def _compile_query(
         if q["limit"] is not None:
             sol = sol.limit(q["limit"])
     return sol
+
+
+# --- SPARQL 1.1 Update (a functional subset) ---------------------------
+
+
+def _group_of(kinded: list[tuple]) -> dict:
+    """A bare group dict holding just these patterns (DELETE WHERE)."""
+    return {
+        "patterns": [tuple(v for v, _ in t) for t in kinded],
+        "filters": [], "optionals": [], "minuses": [], "not_exists": [],
+        "exists": [], "values": None, "union": None, "binds": [],
+        "subqueries": [],
+    }
+
+
+def _instantiate(sol: DataFrame, template: list[tuple]) -> DataFrame:
+    """Instantiate a kinded update template once per solution: one
+    zero-shuffle projection per template triple (constants as literals,
+    variables from the solution columns), unbound (NULL) instantiations
+    dropped per the spec, then ONE distinct. Columns: _s/_p/_o plus
+    _sk/_ok (URIRef/Literal for constants, NULL for variable-bound terms
+    — lexical forms don't carry their kind)."""
+    outs = []
+    for s, p, o in template:
+        cols = []
+        for name, (val, kind) in zip(("_s", "_p", "_o"), (s, p, o)):
+            if kind == "var":
+                var = val[1:]
+                if var not in sol.columns:
+                    raise ValueError(
+                        f"template variable ?{var} not bound by the WHERE group"
+                    )
+                cols.append(F.col(var).alias(name))
+            else:
+                cols.append(F.lit(val).alias(name))
+        for name, (val, kind) in zip(("_sk", "_ok"), (s, o)):
+            if kind == "var":
+                cols.append(F.lit(None).cast("string").alias(name))
+            else:
+                cols.append(F.lit("URIRef" if kind == "iri" else "Literal")
+                            .alias(name))
+        outs.append(sol.select(*cols).filter(
+            F.col("_s").isNotNull() & F.col("_p").isNotNull()
+            & F.col("_o").isNotNull()
+        ))
+    acc = outs[0]
+    for nxt in outs[1:]:
+        acc = acc.unionByName(nxt)
+    return acc.dropDuplicates(["_s", "_p", "_o"])
+
+
+def _const_rows(spark, triples: list[tuple]) -> DataFrame:
+    rows = [
+        (s[0], p[0], o[0],
+         "URIRef" if s[1] == "iri" else "Literal",
+         "URIRef" if o[1] == "iri" else "Literal")
+        for s, p, o in triples
+    ]
+    return spark.createDataFrame(
+        rows, "_s string, _p string, _o string, _sk string, _ok string"
+    )
+
+
+def _into_schema(stmts: DataFrame, rows: DataFrame,
+                 s_col: str, p_col: str, o_col: str) -> DataFrame:
+    """Project _s/_p/_o/_sk/_ok rows into the statements schema: term
+    columns filled, kind columns (s_kind/o_kind, when present) from the
+    inferred kinds, every other column NULL of the right type (the graph
+    column too — inserts target the default graph)."""
+    cols = []
+    for f in stmts.schema.fields:
+        if f.name == s_col:
+            cols.append(F.col("_s").alias(f.name))
+        elif f.name == p_col:
+            cols.append(F.col("_p").alias(f.name))
+        elif f.name == o_col:
+            cols.append(F.col("_o").alias(f.name))
+        elif f.name == "s_kind":
+            cols.append(F.col("_sk").alias(f.name))
+        elif f.name == "o_kind":
+            cols.append(F.col("_ok").alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return rows.select(*cols)
+
+
+def sparql_update(
+    stmts: DataFrame,
+    update: str,
+    numeric: tuple = (),
+    s_col: str = "s",
+    p_col: str = "p",
+    o_col: str = "o",
+    g_col: str = "sub_graph",
+) -> DataFrame:
+    """Apply a SPARQL 1.1 Update string to a statements table and return
+    the NEW statements DataFrame — functional, because Spark DataFrames
+    are immutable: an update is a transformation the caller materializes
+    (idempotent-merge sink, overwrite, streaming foreachBatch), exactly
+    how a lakehouse pipeline consumes graph maintenance.
+
+    Supported operations (';'-separated, applied in order; each WHERE
+    evaluates against the running state left by the previous operation,
+    while DELETE and INSERT templates of ONE operation both use the same
+    pre-operation bindings, per the spec's semantics):
+
+    * ``INSERT DATA { triples }`` / ``DELETE DATA { triples }`` — ground
+      triples only.
+    * ``DELETE WHERE { patterns }`` — the pattern is the delete template.
+    * ``DELETE { t } [INSERT { t }] WHERE { group }`` /
+      ``INSERT { t } WHERE { group }`` — the WHERE group supports the
+      full SELECT feature set (FILTER, OPTIONAL, BIND, subqueries, ...).
+
+    Model notes, consistent with the engine's documented union-default-
+    graph convention: deletes match rows on (s, p, o) across ALL graphs;
+    inserts target the default graph (NULL graph column). Inserted rows
+    carry inferred s_kind/o_kind for constant terms (URIRef/Literal) when
+    those columns exist; variable-bound terms get NULL kinds (a lexical
+    form does not carry its kind). Set semantics: an insert adds a
+    statement only if no row with its (s, p, o, graph) key exists —
+    existing rows are never rewritten or deduped.
+
+    Scale shape: every delete is ONE left-anti join of the statements
+    table against a (typically small) instantiated key set; every insert
+    is one left-anti (insert-if-absent) + union. Nothing rewrites rows in
+    place; the statements scan is never widened.
+    """
+    ops = _Parser(update).parse_update()
+    df = stmts
+    key = [s_col, p_col, o_col]
+    spark = stmts.sparkSession
+    for op in ops:
+        if op["op"] == "insert_data":
+            rows = _const_rows(spark, op["triples"])
+        elif op["op"] == "delete_data":
+            rows = _const_rows(spark, op["triples"])
+        else:
+            sel = {
+                "form": "select", "distinct": False, "proj": None,
+                "aggs": {}, "sel_exprs": {}, "body": op["body"],
+                "group_by": [], "having": None, "order": [],
+                "limit": None, "offset": None,
+            }
+            sol = _compile_query(df, sel, numeric, s_col, p_col, o_col, g_col)
+            if op["delete"]:
+                dk = (_instantiate(sol, op["delete"])
+                      .select(F.col("_s").alias(s_col),
+                              F.col("_p").alias(p_col),
+                              F.col("_o").alias(o_col)))
+                new_df = df.join(dk.dropDuplicates(key), key, "left_anti")
+            else:
+                new_df = df
+            if op["insert"]:
+                ins = _into_schema(df, _instantiate(sol, op["insert"]),
+                                   s_col, p_col, o_col)
+                new_df = new_df.unionByName(
+                    ins.join(df.select(*key).dropDuplicates(key), key,
+                             "left_anti")
+                )
+            df = new_df
+            continue
+        keyed = rows.select(F.col("_s").alias(s_col),
+                            F.col("_p").alias(p_col),
+                            F.col("_o").alias(o_col))
+        if op["op"] == "delete_data":
+            df = df.join(keyed, key, "left_anti")
+        else:
+            ins = _into_schema(df, rows, s_col, p_col, o_col)
+            df = df.unionByName(
+                ins.join(df.select(*key).dropDuplicates(key), key, "left_anti")
+            )
+    return df

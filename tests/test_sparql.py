@@ -599,3 +599,92 @@ def test_describe_rejects_modifiers_and_bare_var(stmts):
         sparql_query(stmts, "DESCRIBE <d1> LIMIT 3")
     with pytest.raises(ValueError, match="requires a WHERE"):
         sparql_query(stmts, "DESCRIBE ?d")
+
+
+# --- SPARQL 1.1 Update -----------------------------------------------
+
+
+@pytest.fixture()
+def upd_stmts(spark):
+    from sparkrdf.sparql import sparql_update  # noqa: F401 (import check)
+    return spark.createDataFrame(
+        [
+            ("d1", EX + "tokens", "55", "URIRef", "Literal", None),
+            ("d2", EX + "tokens", "41", "URIRef", "Literal", None),
+            ("d3", EX + "tokens", "9", "URIRef", "Literal", None),
+            ("d1", EX + "lang", "de", "URIRef", "Literal", None),
+        ],
+        "s string, p string, o string, s_kind string, o_kind string, "
+        "sub_graph string",
+    )
+
+
+def spo(df):
+    return sorted((r.s, r.p, r.o) for r in df.collect())
+
+
+def test_insert_data_is_set_semantics(upd_stmts):
+    from sparkrdf.sparql import sparql_update
+
+    out = sparql_update(upd_stmts, f"""
+        PREFIX ex: <{EX}>
+        INSERT DATA {{ <d4> ex:tokens 100 . <d1> ex:lang "de" . <d4> a ex:Doc }}
+    """)
+    assert out.count() == 6  # the duplicate <d1> lang row is not re-added
+    got = {(r.s, r.o_kind) for r in out.filter("s = 'd4'").collect()}
+    assert got == {("d4", "Literal"), ("d4", "URIRef")}  # inferred kinds
+
+
+def test_delete_data_and_delete_where(upd_stmts):
+    from sparkrdf.sparql import sparql_update
+
+    out = sparql_update(upd_stmts, f'DELETE DATA {{ <d3> <{EX}tokens> 9 }}')
+    assert out.count() == 3
+    out = sparql_update(upd_stmts, f'DELETE WHERE {{ ?d <{EX}tokens> ?n }}')
+    assert spo(out) == [("d1", EX + "lang", "de")]
+
+
+def test_delete_insert_where_predicate_migration(upd_stmts):
+    from sparkrdf.sparql import sparql_update
+
+    out = sparql_update(upd_stmts, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?d ex:tokens ?n }}
+        INSERT {{ ?d ex:size ?n }}
+        WHERE {{ ?d ex:tokens ?n . FILTER(?n > 40) }}
+    """)
+    assert spo(out) == [
+        ("d1", EX + "lang", "de"),
+        ("d1", EX + "size", "55"),
+        ("d2", EX + "size", "41"),
+        ("d3", EX + "tokens", "9"),
+    ]
+
+
+def test_sequential_ops_see_prior_state(upd_stmts):
+    from sparkrdf.sparql import sparql_update
+
+    out = sparql_update(upd_stmts, f"""
+        PREFIX ex: <{EX}>
+        DELETE DATA {{ <d1> ex:lang "de" }} ;
+        INSERT {{ ?d ex:lang "und" }}
+        WHERE {{ ?d ex:tokens ?n .
+                 FILTER NOT EXISTS {{ ?d ex:lang ?l }} }}
+    """)
+    # after the delete, NO doc has a lang — all three get "und"
+    assert out.filter(f"p = '{EX}lang' and o = 'und'").count() == 3
+
+
+def test_update_rejections(upd_stmts):
+    from sparkrdf.sparql import sparql_update
+
+    for bad, msg in [
+        ("INSERT DATA { ?d <p> 1 }", "ground triples only"),
+        ("DELETE { ?d <p> ?x } WHERE { ?d <p> ?n }", "not bound"),
+        ("", "empty update"),
+        ("INSERT DATA { }", "empty update triple block"),
+        ("INSERT DATA { <s> 5 <o> }", "in p position"),
+        ("SELECT ?d WHERE { ?d <p> ?o }", "update operation"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_update(upd_stmts, bad).count()
