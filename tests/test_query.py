@@ -796,3 +796,38 @@ def test_order_solutions_unbound_lowest_and_tiebreak(spark, stmts):
         order_solutions(sol, ["?nope"])
     with _pytest.raises(ValueError, match="bad ORDER BY"):
         order_solutions(sol, ["max(?x)"])
+
+
+def test_value_expression_matches_python_reference(spark):
+    """One wide consistency check: the codegen value-expression engine
+    against a plain-Python evaluation over 300 pseudorandom rows
+    (deterministic seed), covering arithmetic precedence, IN, strlen,
+    if, and numeric-coercion drops of non-numeric lexicals."""
+    import random
+
+    from sparkrdf.query import bgp_extend, bgp_filter
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        a = rng.randint(-50, 50)
+        b = rng.choice([str(rng.randint(1, 9)), "junk"])  # sometimes non-numeric
+        lang = rng.choice(["en", "de", "fr", "zz"])
+        rows.append((f"d{i}", str(a), b, lang))
+    df = spark.createDataFrame(rows, "d string, a string, b string, l string")
+
+    expr = '?a * 2 + strlen(?l) - ?b / 2 > 0 && ?l IN ("en", "de", "fr")'
+    got = {r.d for r in bgp_filter(df, expr).collect()}
+
+    expected = set()
+    for d, a, b, lang in rows:
+        if b == "junk":
+            continue  # numeric coercion of 'junk' is a type error: row drops
+        if int(a) * 2 + len(lang) - int(b) / 2 > 0 and lang in ("en", "de", "fr"):
+            expected.add(d)
+    assert got == expected
+
+    out = bgp_extend(df, [("score", "?a * 10 + strlen(?l)")])
+    got_scores = {r.d: r.score for r in out.collect()}
+    for d, a, b, lang in rows:
+        assert got_scores[d] == int(a) * 10 + len(lang)
