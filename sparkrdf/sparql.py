@@ -743,18 +743,18 @@ class _Parser:
                 if self.at_kw("not"):
                     self.take()
                     self.expect_kw("exists")
-                    out["not_exists"].append(self.brace_group_triples())
+                    out["not_exists"].append(self.group())
                 elif self.at_kw("exists"):
                     self.take()
-                    out["exists"].append(self.brace_group_triples())
+                    out["exists"].append(self.group())
                 else:
                     out["filters"].append(self.capture_parens())
             elif self.at_kw("optional"):
                 self.take()
-                out["optionals"].append(self.brace_group_triples())
+                out["optionals"].append(self.group())
             elif self.at_kw("minus"):
                 self.take()
-                out["minuses"].append(self.brace_group_triples())
+                out["minuses"].append(self.group())
             elif self.at_kw("graph"):
                 self.take()
                 g = self.term("s")  # graph term: IRI, pname or var
@@ -1003,26 +1003,43 @@ def _compile_query(
 ) -> DataFrame:
     """Compile one parsed query dict (top-level or subquery) onto the
     algebra operators."""
-    cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
     if q["form"] == "describe":
         return _compile_describe(stmts, q, numeric, s_col, p_col, o_col, g_col)
-    body = q["body"]
-
-    path_pats = [p for p in body["patterns"] if isinstance(p[1], tuple)]
-    plain_pats = [p for p in body["patterns"] if not isinstance(p[1], tuple)]
-    for grp in (body["optionals"] + body["minuses"] + body["not_exists"]
-                + body["exists"] + (body["union"] or [])):
-        if any(isinstance(p[1], tuple) for p in grp):
-            raise ValueError(
-                "property paths are supported only in the required "
-                "top-level group"
-            )
-    if any(len(p) == 4 for p in path_pats):
-        raise ValueError("property paths inside GRAPH are not supported")
     if q["form"] == "construct" and any(
         isinstance(p[1], tuple) for p in q["template"]
     ):
         raise ValueError("property paths are not allowed in a CONSTRUCT template")
+    sol = _compile_group(stmts, q["body"], numeric, s_col, p_col, o_col, g_col)
+
+    if q["form"] == "ask":
+        # LIMIT-1 bounds the probe (Spark stops scanning after one row);
+        # the keyless aggregate yields exactly one row even on empty input
+        return sol.limit(1).agg((F.count(F.lit(1)) > F.lit(0)).alias("ask"))
+    return _apply_forms(stmts, q, sol, numeric)
+
+
+def _compile_group(
+    stmts: DataFrame,
+    body: dict,
+    numeric: tuple,
+    s_col: str,
+    p_col: str,
+    o_col: str,
+    g_col: str,
+) -> DataFrame:
+    """Compile one group graph pattern to its solution relation:
+    required patterns (incl. property paths and GRAPH quads), subqueries,
+    then OPTIONAL / MINUS / FILTER [NOT] EXISTS sub-groups — each a FULL
+    group compiled RECURSIVELY (so FILTER/BIND/paths/nested OPTIONAL work
+    inside them) — then VALUES, BIND, FILTER."""
+    cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
+    path_pats = [p for p in body["patterns"] if isinstance(p[1], tuple)]
+    plain_pats = [p for p in body["patterns"] if not isinstance(p[1], tuple)]
+    for grp in body["union"] or []:
+        if any(isinstance(p[1], tuple) for p in grp):
+            raise ValueError("property paths are not supported in UNION branches")
+    if any(len(p) == 4 for p in path_pats):
+        raise ValueError("property paths inside GRAPH are not supported")
 
     if body["union"] is not None:
         sol = bgp_union(stmts, body["union"], **cols)
@@ -1086,7 +1103,7 @@ def _compile_query(
         sol = sol.join(sub, shared)
 
     for opt in body["optionals"]:
-        right = bgp_match(stmts, opt, g_col=g_col, **cols)
+        right = _compile_group(stmts, opt, numeric, s_col, p_col, o_col, g_col)
         shared = sorted(set(sol.columns) & set(right.columns))
         if not shared:
             raise ValueError(
@@ -1095,13 +1112,19 @@ def _compile_query(
             )
         sol = sol.join(right, shared, "left")
     for mn in body["minuses"]:
-        sol = _anti_compatible(sol, bgp_match(stmts, mn, g_col=g_col, **cols), "minus")
+        sol = _anti_compatible(
+            sol, _compile_group(stmts, mn, numeric, s_col, p_col, o_col, g_col),
+            "minus",
+        )
     for ne in body["not_exists"]:
         sol = _anti_compatible(
-            sol, bgp_match(stmts, ne, g_col=g_col, **cols), "not_exists"
+            sol, _compile_group(stmts, ne, numeric, s_col, p_col, o_col, g_col),
+            "not_exists",
         )
     for ex in body["exists"]:
-        sol = _semi_compatible(sol, bgp_match(stmts, ex, g_col=g_col, **cols))
+        sol = _semi_compatible(
+            sol, _compile_group(stmts, ex, numeric, s_col, p_col, o_col, g_col)
+        )
     if body["values"]:
         rows = body["values"]
         vars_ = sorted({k for row in rows for k in row})
@@ -1126,12 +1149,13 @@ def _compile_query(
         sol = bgp_extend(sol, body["binds"])
     for fexpr in body["filters"]:
         sol = sol.filter(_compile_filter(parse_filter(fexpr), sol.columns))
+    return sol
 
-    if q["form"] == "ask":
-        # LIMIT-1 bounds the probe (Spark stops scanning after one row);
-        # the keyless aggregate yields exactly one row even on empty input
-        return sol.limit(1).agg((F.count(F.lit(1)) > F.lit(0)).alias("ask"))
 
+def _apply_forms(stmts: DataFrame, q: dict, sol: DataFrame,
+                 numeric: tuple) -> DataFrame:
+    """CONSTRUCT templating / aggregation / projection / solution
+    modifiers over a compiled group solution."""
     if q["form"] == "construct":
         if q["order"]:
             sol = order_solutions(

@@ -259,18 +259,30 @@ def test_path_zero_or_one_and_constant_endpoints(stmts):
     assert rows(got) == []
 
 
-def test_path_rejected_outside_required_group(stmts):
-    with pytest.raises(ValueError, match="top-level group"):
-        sparql_query(stmts, """
-            PREFIX ex: <http://ex.org/>
-            SELECT ?d WHERE {
-              ?d a ex:Doc . OPTIONAL { ?d ex:cites+ ?y }
-            }
-        """)
+def test_path_inside_optional_works_since_r5(stmts):
+    # nested groups compile recursively, so a closure path inside
+    # OPTIONAL left-joins like any sub-group
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?y WHERE {
+          ?d a ex:Doc . OPTIONAL { ?d ex:cites+ ?y }
+        } ORDER BY ?d ?y
+    """)
+    assert rows(got) == [("d1", "d2"), ("d1", "d3"), ("d2", "d3")]
+
+
+def test_path_rejected_inside_graph_and_union(stmts):
     with pytest.raises(ValueError, match="GRAPH"):
         sparql_query(stmts, """
             PREFIX ex: <http://ex.org/>
             SELECT ?d WHERE { GRAPH ?g { ?d ex:cites+ ?y } }
+        """)
+    with pytest.raises(ValueError, match="UNION"):
+        sparql_query(stmts, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?d WHERE {
+              { ?d ex:cites+ ?y } UNION { ?d a ex:Doc }
+            }
         """)
 
 
@@ -688,3 +700,64 @@ def test_update_rejections(upd_stmts):
     ]:
         with pytest.raises(ValueError, match=msg):
             sparql_update(upd_stmts, bad).count()
+
+
+# --- round 5: nested group graph patterns -------------------------------
+
+
+def test_optional_with_inner_filter(stmts):
+    # the classic idiom: OPTIONAL binds only when its inner FILTER holds
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d a ex:Doc .
+          OPTIONAL { ?d ex:tokenCount ?n . FILTER(?n > 50) }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d2", None)]
+
+
+def test_optional_with_inner_bind(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?big WHERE {
+          ?d a ex:Doc .
+          OPTIONAL { ?d ex:tokenCount ?n . BIND(?n * 2 AS ?big)
+                     FILTER(?big > 100) }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", 110.0), ("d2", None)]
+
+
+def test_minus_with_inner_filter(stmts):
+    # remove docs whose tokenCount exceeds 50 — only via the inner filter
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d a ex:Doc .
+          MINUS { ?d ex:tokenCount ?n . FILTER(?n > 50) }
+        }
+    """)
+    assert rows(got) == [("d2",)]
+
+
+def test_not_exists_with_inner_filter(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          ?d ex:tokenCount ?m .
+          FILTER NOT EXISTS { ?d ex:cites ?y . FILTER(?y = "d3") }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1",), ("d3",)]
+
+
+def test_nested_optional_inside_optional(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?y ?m WHERE {
+          ?d a ex:Doc .
+          OPTIONAL { ?d ex:cites ?y . OPTIONAL { ?y ex:tokenCount ?m } }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "d2", "41"), ("d2", "d3", "9")]
