@@ -26,3 +26,4 @@ __version__ = "0.1.0"
 
 from sparkrdf.hashing import fingerprint64, farmhash_key  # noqa: F401
 from sparkrdf.api import SparkRDF  # noqa: F401
+from sparkrdf.sparql import sparql_query, sparql_update  # noqa: F401
