@@ -1298,6 +1298,27 @@ def q_kg_sparql_path(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_union(spark, sf_dir):
+    """UNION joined with surrounding triples in the SPARQL string front
+    end (sparkrdf/sparql.py group() → _compile_group): each branch a FULL
+    recursively-compiled group (round-5 upgrade from triples-only,
+    whole-body-only branches), multiset-unioned zero-shuffle and
+    equi-joined with the enclosing mention pattern on the shared ?e.
+    Oracle: mention pairs whose entity class is either branch's class."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT DISTINCT ?d ?e WHERE {{
+          ?d kgp:mentions ?e .
+          {{ ?e a <{dockg.class_iri("Operator")}> }}
+          UNION
+          {{ ?e a <{dockg.class_iri("Structure")}> }}
+        }}
+    """)
+
+
 def q_kg_sparql_ask(spark, sf_dir):
     """SPARQL ASK via the string front end (sparkrdf/sparql.py): is there
     any document mentioning an Operator-class entity? Plans as a
@@ -2658,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_graph": q_kg_sparql_graph,
         "kg_sparql_ask": q_kg_sparql_ask,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_warc_records": q_kg_warc_records,
         "kg_warc_gz": q_kg_warc_gz,
@@ -4802,6 +4824,15 @@ WITH {_DOC_CTES}
 SELECT d.s AS d, d.lang AS l FROM docs d
 WHERE EXISTS (SELECT 1 FROM mentions m
               WHERE m.s = d.s AND m.cls = '{dockg.class_iri("Operator")}')
+"""
+
+    # string-front-end UNION joined with the mention pattern — the branch
+    # union restated as a class IN-list over the mentions CTE
+    sql["kg_sparql_union"] = f"""
+WITH {_DOC_CTES}
+SELECT DISTINCT m.s AS d, m.ent AS e FROM mentions m
+WHERE m.cls IN ('{dockg.class_iri("Operator")}',
+                '{dockg.class_iri("Structure")}')
 """
 
     # string-front-end ASK — restated as EXISTS over the mentions CTE

@@ -36,7 +36,10 @@ anything else):
   predicates (§9.1: ``^`` inverse, ``/`` sequence, ``|`` alternative,
   ``* + ?`` closures, ``!p`` / ``!(p1|p2)`` negated sets, grouping —
   evaluated via :func:`sparkrdf.query.path_expr` and joined on shared
-  variables; top-level required group only), ``FILTER(expr)``
+  variables; usable in any group incl. UNION branches and
+  OPTIONAL/MINUS/EXISTS bodies, and inside ``GRAPH <g>`` with a CONSTANT
+  graph term — a variable graph term over a path is rejected),
+  ``FILTER(expr)``
   (the :func:`sparkrdf.query.parse_filter` expression subset),
   ``OPTIONAL { ... }`` (well-designed, any number — applied as sequential
   left joins), ``MINUS { ... }``, ``FILTER [NOT] EXISTS { ... }``
@@ -47,8 +50,12 @@ anything else):
   string/numeric builtins, IF/COALESCE; applied in textual order before
   the group's FILTERs), ``{ SELECT ... }`` subqueries (§12 — evaluated
   independently, only the projection visible, joined on shared
-  variables), and a group that is entirely
-  ``{ A } UNION { B } UNION ...``.
+  variables), ``{ A } UNION { B } UNION ...`` blocks (each branch a FULL
+  group pattern — paths, FILTER, OPTIONAL, GRAPH, nested groups all work
+  inside — multiset-additive per §18.5 with absent variables NULL-padded;
+  the block joins the rest of the group on shared variables, so triples
+  may surround it), and lone nested group graph patterns ``{ ... }``
+  (the 1-branch case).
 * Solution modifiers: ``GROUP BY`` + ``HAVING`` (aggregates COUNT /
   COUNT(DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
   GROUP_CONCAT(?v; SEPARATOR "s") — SAMPLE picks MIN and GROUP_CONCAT
@@ -74,7 +81,6 @@ from pyspark.sql import functions as F
 from sparkrdf.query import (
     bgp_extend,
     bgp_match,
-    bgp_union,
     compile_value_expr,
     describe_cbd,
     order_solutions,
@@ -702,7 +708,7 @@ class _Parser:
     def group(self) -> dict:
         """One { ... } group → {'patterns': [...], 'filters': [...],
         'optionals': [...], 'minuses': [...], 'not_exists': [...],
-        'values': (vars, rows) | None, 'union': [...] | None,
+        'values': (vars, rows) | None, 'unions': [[group, ...], ...],
         'binds': [(var, expr_src)], 'subqueries': [parsed query dicts]}."""
         self.expect_punct("{")
         out = {
@@ -713,7 +719,7 @@ class _Parser:
             "not_exists": [],
             "exists": [],
             "values": None,
-            "union": None,
+            "unions": [],
             "binds": [],
             "subqueries": [],
         }
@@ -728,16 +734,15 @@ class _Parser:
                     out["subqueries"].append(self.parse_select_core(sub=True))
                     self.expect_punct("}")
                     continue
-                # { A } UNION { B } ... — only as the whole group body
-                branches = [self.brace_group_triples()]
+                # { A } UNION { B } ... — each branch a FULL group pattern
+                # (paths / FILTER / OPTIONAL / GRAPH / nested groups all
+                # work inside); a lone braced group is the 1-branch case,
+                # i.e. a nested group graph pattern joined with the rest
+                branches = [self.group()]
                 while self.at_kw("union"):
                     self.take()
-                    branches.append(self.brace_group_triples())
-                if out["patterns"] or len(branches) < 2:
-                    raise ValueError(
-                        "UNION is supported only as the entire group body"
-                    )
-                out["union"] = branches
+                    branches.append(self.group())
+                out["unions"].append(branches)
             elif self.at_kw("filter"):
                 self.take()
                 if self.at_kw("not"):
@@ -770,9 +775,6 @@ class _Parser:
             else:
                 out["patterns"].extend(self.triples_block_step())
         self.expect_punct("}")
-        if out["union"] is not None and out["patterns"]:
-            # triples AFTER the union would otherwise be dropped silently
-            raise ValueError("UNION is supported only as the entire group body")
         return out
 
     def triples_block_step(self) -> list[tuple]:
@@ -1029,30 +1031,37 @@ def _compile_group(
 ) -> DataFrame:
     """Compile one group graph pattern to its solution relation:
     required patterns (incl. property paths and GRAPH quads), subqueries,
-    then OPTIONAL / MINUS / FILTER [NOT] EXISTS sub-groups — each a FULL
-    group compiled RECURSIVELY (so FILTER/BIND/paths/nested OPTIONAL work
-    inside them) — then VALUES, BIND, FILTER."""
+    UNION blocks, then OPTIONAL / MINUS / FILTER [NOT] EXISTS sub-groups —
+    each a FULL group compiled RECURSIVELY (so FILTER/BIND/paths/nested
+    OPTIONAL/UNION work inside them) — then VALUES, BIND, FILTER."""
     cols = dict(s_col=s_col, p_col=p_col, o_col=o_col)
     path_pats = [p for p in body["patterns"] if isinstance(p[1], tuple)]
     plain_pats = [p for p in body["patterns"] if not isinstance(p[1], tuple)]
-    for grp in body["union"] or []:
-        if any(isinstance(p[1], tuple) for p in grp):
-            raise ValueError("property paths are not supported in UNION branches")
-    if any(len(p) == 4 for p in path_pats):
-        raise ValueError("property paths inside GRAPH are not supported")
 
-    if body["union"] is not None:
-        sol = bgp_union(stmts, body["union"], **cols)
-    else:
-        if not body["patterns"] and not body["subqueries"]:
-            raise ValueError("the group pattern binds no solutions")
-        sol = bgp_match(stmts, plain_pats, g_col=g_col, **cols) if plain_pats else None
+    if not body["patterns"] and not body["subqueries"] and not body["unions"]:
+        raise ValueError("the group pattern binds no solutions")
+    sol = bgp_match(stmts, plain_pats, g_col=g_col, **cols) if plain_pats else None
 
-    for s, (_, path_src), o in path_pats:
+    for pat in path_pats:
         # each path pattern evaluates to its (s, o) endpoint relation —
         # pushed-down pred-leaf scans, iterative-doubling closures — then
         # joins the solution on its shared variables like any BGP pattern
-        rel = path_expr(stmts, path_src, **cols)
+        if len(pat) == 4:
+            # GRAPH <g> { ... path ... }: a CONSTANT graph restricts the
+            # path's statement universe to that graph (a pushed-down
+            # pre-filter on the scan); a variable graph term would need
+            # one closure per graph binding and is rejected instead
+            s, (_, path_src), o, g = pat
+            if g.startswith("?"):
+                raise ValueError(
+                    "property paths inside GRAPH with a variable graph "
+                    "term are not supported (use a constant graph IRI)"
+                )
+            path_stmts = stmts.filter(F.col(g_col) == g)
+        else:
+            s, (_, path_src), o = pat
+            path_stmts = stmts
+        rel = path_expr(path_stmts, path_src, **cols)
         if s.startswith("?"):
             rel = rel.withColumnRenamed("s", s[1:])
             if o == s:
@@ -1101,6 +1110,43 @@ def _compile_group(
                 "a subquery shares no variable with the enclosing group"
             )
         sol = sol.join(sub, shared)
+
+    for branches in body["unions"]:
+        # { A } UNION { B } ... — each branch a full recursively-compiled
+        # group; the union is multiset-additive (§18.5, duplicates KEPT)
+        # with variables absent from a branch NULL-padded (the spec's
+        # unbound semantics). The union itself is a zero-shuffle
+        # unionByName; it then joins the enclosing group's solutions on
+        # the shared variables like any other pattern relation.
+        rels = [
+            _compile_group(stmts, b, numeric, s_col, p_col, o_col, g_col)
+            for b in branches
+        ]
+        urel = rels[0]
+        for nxt in rels[1:]:
+            urel = urel.unionByName(nxt, allowMissingColumns=True)
+        if sol is None:
+            sol = urel
+            continue
+        shared = sorted(set(sol.columns) & set(urel.columns))
+        if not shared:
+            raise ValueError(
+                "a UNION block shares no variable with the rest of the group"
+            )
+        # the equi-join below is only SPARQL-correct when every branch
+        # BINDS the shared variables — a branch leaving one unbound
+        # (NULL-padded) would be compatible with anything per §18.5 but
+        # a NULL never equi-joins; raise instead of silently dropping
+        for b_rel in rels:
+            missing = [v for v in shared if v not in b_rel.columns]
+            if missing:
+                raise ValueError(
+                    f"UNION branch leaves {missing} unbound but the "
+                    "enclosing group joins on them (unbound-compatible "
+                    "joins are not supported — bind the variable in every "
+                    "branch or restructure)"
+                )
+        sol = sol.join(urel, shared)
 
     for opt in body["optionals"]:
         right = _compile_group(stmts, opt, numeric, s_col, p_col, o_col, g_col)
@@ -1280,7 +1326,7 @@ def _group_of(kinded: list[tuple]) -> dict:
     return {
         "patterns": [tuple(v for v, _ in t) for t in kinded],
         "filters": [], "optionals": [], "minuses": [], "not_exists": [],
-        "exists": [], "values": None, "union": None, "binds": [],
+        "exists": [], "values": None, "unions": [], "binds": [],
         "subqueries": [],
     }
 

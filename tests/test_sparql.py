@@ -271,28 +271,76 @@ def test_path_inside_optional_works_since_r5(stmts):
     assert rows(got) == [("d1", "d2"), ("d1", "d3"), ("d2", "d3")]
 
 
-def test_path_rejected_inside_graph_and_union(stmts):
+def test_path_rejected_inside_variable_graph(stmts):
     with pytest.raises(ValueError, match="GRAPH"):
         sparql_query(stmts, """
             PREFIX ex: <http://ex.org/>
             SELECT ?d WHERE { GRAPH ?g { ?d ex:cites+ ?y } }
         """)
+
+
+def test_path_inside_constant_graph(stmts):
+    # g/1 holds only d1→d2, so the closure restricted to it cannot reach d3
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?y WHERE { GRAPH <http://g/1> { ?d ex:cites+ ?y } }
+    """)
+    assert sorted(rows(got)) == [("d1", "d2")]
+
+
+def test_path_inside_union_branch(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d WHERE {
+          { ?d ex:cites+ ?y } UNION { ?d a ex:Page }
+        }
+    """)
+    # cites+ from d1: d2, d3; from d2: d3 → three path rows, plus d3 a Page
+    assert sorted(rows(got)) == [("d1",), ("d1",), ("d2",), ("d3",)]
+
+
+def test_union_joined_with_surrounding_triples(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          { ?d a ex:Doc } UNION { ?d a ex:Page }
+          ?d ex:tokenCount ?n .
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "55"), ("d2", "41"), ("d3", "9")]
+
+
+def test_union_branch_with_filter_and_optional(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?a WHERE {
+          { ?d ex:tokenCount ?n . FILTER(?n > 50)
+            OPTIONAL { ?d ex:author ?a } }
+          UNION
+          { ?d a ex:Page }
+        } ORDER BY ?d
+    """)
+    assert rows(got) == [("d1", "alice"), ("d3", None)]
+
+
+def test_lone_nested_group_joins(stmts):
+    got = sparql_query(stmts, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?d ?n WHERE {
+          ?d ex:tokenCount ?n .
+          { ?d a ex:Doc . FILTER(?d != "d2") }
+        }
+    """)
+    assert rows(got) == [("d1", "55")]
+
+
+def test_union_block_sharing_no_variable_raises(stmts):
     with pytest.raises(ValueError, match="UNION"):
         sparql_query(stmts, """
             PREFIX ex: <http://ex.org/>
             SELECT ?d WHERE {
-              { ?d ex:cites+ ?y } UNION { ?d a ex:Doc }
-            }
-        """)
-
-
-def test_union_followed_by_triples_raises(stmts):
-    with pytest.raises(ValueError, match="entire group body"):
-        sparql_query(stmts, """
-            PREFIX ex: <http://ex.org/>
-            SELECT ?d WHERE {
-              { ?d a ex:Doc } UNION { ?d a ex:Page }
               ?d ex:tokenCount ?n .
+              { ?x a ex:Doc } UNION { ?x a ex:Page }
             }
         """)
 
