@@ -1087,6 +1087,42 @@ def q_kg_sparql_exists(spark, sf_dir):
     """)
 
 
+def q_kg_rdfxml_triples(spark, sf_dir):
+    """RDF/XML document ingestion (sparkrdf/rdfxml.py rdfxml_statements):
+    per-part RDF/XML documents are rendered in-query (deterministic
+    fixture covering typed nodes, xml:lang literals, rdf:resource links,
+    rdf:datatype literals, and a parseType="Resource" blank node), then
+    the from-scratch parser recovers the statement rows inside
+    mapInPandas — zero shuffle, one Arrow-batched map per file split,
+    per-document bnode prefixes derived from the url so labels are
+    collision-free with no coordination (the reference ingests this
+    format via rdflib Graph.parse, arango_rdf/main.py load_rdf family).
+    Oracle: the statement rows written directly from the part columns,
+    including the deterministic bnode labels."""
+    from sparkrdf.rdfxml import rdfxml_statements
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    key = F.col("p_partkey").cast("string")
+    xml = F.concat(
+        F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+              ' xmlns:kgp="http://kg.example.org/prop/"'
+              ' xmlns:kgc="http://kg.example.org/class/">'
+              '<kgc:Part rdf:about="urn:part:'), key,
+        F.lit('"><kgp:name xml:lang="en">'), F.col("p_name"),
+        F.lit('</kgp:name><kgp:brand rdf:resource="urn:brand:'),
+        F.col("p_brand"),
+        F.lit('"/><kgp:dims rdf:parseType="Resource">'
+              '<kgp:size rdf:datatype="http://www.w3.org/2001/XMLSchema'
+              '#integer">'), F.col("p_size").cast("string"),
+        F.lit("</kgp:size></kgp:dims></kgc:Part></rdf:RDF>"),
+    )
+    docs = part.select(
+        F.concat(F.lit("https://data.example.org/part/"), key).alias("url"),
+        xml.alias("xml"),
+    )
+    return rdfxml_statements(docs)
+
+
 def q_kg_table_triples(spark, sf_dir):
     """Web-table relational fact extraction (sparkrdf/extract/tables.py
     table_triples): per-nation HTML pages are rendered in-query from the
@@ -2661,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_describe": q_kg_describe,
         "kg_table_triples": q_kg_table_triples,
         "kg_jsonld_triples": q_kg_jsonld_triples,
+        "kg_rdfxml_triples": q_kg_rdfxml_triples,
         "kg_page_meta": q_kg_page_meta,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -4896,6 +4933,34 @@ SELECT m.s AS d, m.ent AS e, 'graph://' || dd.lang AS g, et.cls AS c
 FROM mentions m
 JOIN docs dd ON dd.s = m.s
 JOIN et ON et.ent = m.ent
+"""
+
+    # RDF/XML ingestion inverts the deterministic render: four asserted
+    # statements per part plus the parseType="Resource" bnode pair; the
+    # per-document bnode prefix is a pure function of the url (rdfxml.py
+    # rdfxml_statements), so even blank-node labels are SQL-reproducible
+    sql["kg_rdfxml_triples"] = f"""
+WITH b AS (
+  SELECT 'https://data.example.org/part/' || CAST(p_partkey AS VARCHAR) AS url,
+         'urn:part:' || CAST(p_partkey AS VARCHAR) AS s,
+         'bhttps_data_example_org_part_' || CAST(p_partkey AS VARCHAR)
+           || '_0' AS bn,
+         p_name, p_brand, CAST(p_size AS VARCHAR) AS sz
+  FROM part)
+SELECT url, s_kind, s, p, o_kind, o, o_lang, o_datatype,
+       CAST(NULL AS VARCHAR) AS sub_graph FROM (
+  SELECT url, 'URIRef' AS s_kind, s, '{_RDF_TYPE}' AS p,
+         'URIRef' AS o_kind, 'http://kg.example.org/class/Part' AS o,
+         CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_datatype
+  FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/name',
+    'Literal', p_name, 'en', NULL FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/brand',
+    'URIRef', 'urn:brand:' || p_brand, NULL, NULL FROM b
+  UNION ALL SELECT url, 'BNode', bn, 'http://kg.example.org/prop/size',
+    'Literal', sz, NULL, 'http://www.w3.org/2001/XMLSchema#integer' FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/dims',
+    'BNode', bn, NULL, NULL FROM b)
 """
 
     # web-table extraction inverts the deterministic render: the recovered

@@ -1,0 +1,412 @@
+"""RDF/XML reader → statement rows, plus a writer and a distributed wrapper.
+
+The reference ingests RDF through ``rdflib.Graph.parse`` (arango_rdf/main.py
+``load_rdf`` family), whose default/most common wire format for published
+ontologies is RDF/XML (``format="xml"``).  rdflib is not available in this
+environment, so — like :mod:`sparkrdf.ttl` — this is a from-scratch reader
+for the W3C RDF/XML 1.1 grammar (https://www.w3.org/TR/rdf-syntax-grammar/),
+built on the stdlib ``xml.etree.ElementTree``:
+
+* node elements: ``rdf:Description`` and typed nodes (→ ``rdf:type``),
+* subject addressing: ``rdf:about``, ``rdf:ID`` (→ ``base#ID``),
+  ``rdf:nodeID``, anonymous blank nodes,
+* property elements: ``rdf:resource``, nested node elements, literal
+  content with ``xml:lang`` / ``rdf:datatype``,
+* ``rdf:parseType="Resource" | "Collection" | "Literal"`` (XML literals
+  keep their inner markup as the lexical form, datatype rdf:XMLLiteral),
+* container membership ``rdf:li`` → ``rdf:_1, rdf:_2, ...`` (per subject
+  element, per the spec's li counter),
+* property attributes on node and (empty) property elements,
+* statement reification via ``rdf:ID`` on a property element,
+* ``xml:base`` scoping with RFC 3986 reference resolution, ``xml:lang``
+  inheritance.
+
+Output rows use the canonical statement schema
+(:data:`sparkrdf.ttl.STATEMENT_COLUMNS`): ``(s_kind, s, p, o_kind, o,
+o_lang, o_datatype, sub_graph)`` with ``sub_graph`` always NULL — RDF/XML
+has no named-graph syntax.  Blank-node labels are deterministic per parse
+(counter under a caller-supplied prefix; ``rdf:nodeID`` labels are kept
+under a distinct ``{prefix}n_`` namespace), which is what makes the
+distributed wrapper oracle-checkable: a fixture whose per-document prefix
+is a pure function of the row key yields bnode labels ANSI SQL can
+reproduce.
+
+Scale design: one document = one row; :func:`rdfxml_statements` parses
+Arrow batches inside ``mapInPandas`` so a 10^9-document crawl parses
+map-only with zero shuffle, and per-document bnode prefixes keep labels
+collision-free across documents without any coordination.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from urllib.parse import urljoin
+
+from sparkrdf.ttl import RDF_NS, RDF_TYPE, RDF_FIRST, RDF_REST, RDF_NIL, XSD
+
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+RDF_STATEMENT = RDF_NS + "Statement"
+RDF_SUBJECT = RDF_NS + "subject"
+RDF_PREDICATE = RDF_NS + "predicate"
+RDF_OBJECT = RDF_NS + "object"
+RDF_XMLLITERAL = RDF_NS + "XMLLiteral"
+
+_RDF = "{" + RDF_NS + "}"
+_XML = "{" + XML_NS + "}"
+
+# rdf:-namespace attributes that are syntax, not property attributes
+_SYNTAX_ATTRS = {
+    _RDF + "about", _RDF + "ID", _RDF + "nodeID", _RDF + "resource",
+    _RDF + "datatype", _RDF + "parseType", _RDF + "RDF", _RDF + "li",
+}
+# old-style syntax names sometimes used unqualified; the spec reserves them
+_UNQUALIFIED_SYNTAX = {"about", "ID", "nodeID", "resource", "datatype", "parseType"}
+
+
+def _tag_uri(tag: str) -> str:
+    """ElementTree ``{ns}local`` → concatenated IRI (RDF/XML's QName rule)."""
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    raise ValueError(f"rdfxml: element {tag!r} has no namespace (QName required)")
+
+
+class RdfXmlParser:
+    """Single-document RDF/XML → list of statement tuples.
+
+    Mirrors :class:`sparkrdf.ttl.TurtleParser`'s contract: deterministic
+    per-parse blank-node labels, statement tuples in STATEMENT_COLUMNS
+    order, ``ValueError`` on malformed input (the distributed wrapper maps
+    that to an error row instead of killing the job).
+    """
+
+    def __init__(self, text: str, base: str | None = None, bnode_prefix: str = "b"):
+        self.text = text
+        self.base = base or ""
+        self.prefix = bnode_prefix
+        self._n = 0
+        self.rows: list[tuple] = []
+
+    # -- term helpers -----------------------------------------------------
+    def _bnode(self) -> tuple:
+        lbl = f"{self.prefix}{self._n}"
+        self._n += 1
+        return ("BNode", lbl)
+
+    def _named_bnode(self, label: str) -> tuple:
+        return ("BNode", f"{self.prefix}n_{label}")
+
+    def _resolve(self, ref: str, base: str) -> str:
+        if ref == "":
+            # RFC 3986: empty reference = base without fragment
+            return base.split("#", 1)[0] if base else ref
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+            return ref  # already absolute
+        return urljoin(base, ref) if base else ref
+
+    def _emit(self, s: tuple, p: str, o: tuple) -> None:
+        if o[0] == "Literal":
+            _, lex, lang, dt = o
+            self.rows.append((s[0], s[1], p, "Literal", lex, lang, dt, None))
+        else:
+            self.rows.append((s[0], s[1], p, o[0], o[1], None, None, None))
+
+    # -- grammar ----------------------------------------------------------
+    def parse(self) -> list[tuple]:
+        try:
+            root = ET.fromstring(self.text)
+        except ET.ParseError as e:
+            raise ValueError(f"rdfxml: XML parse error: {e}") from e
+        lang = root.get(_XML + "lang")
+        base = self._scoped_base(root, self.base)
+        if root.tag == _RDF + "RDF":
+            for child in root:
+                self._node_element(child, lang, base)
+        else:
+            self._node_element(root, lang, base)
+        return self.rows
+
+    def _scoped_base(self, e, base: str) -> str:
+        xb = e.get(_XML + "base")
+        if xb is not None:
+            # a new base is itself resolved against the outer one, then
+            # stripped of any fragment (RFC 3986 §5.1)
+            base = self._resolve(xb, base).split("#", 1)[0]
+        return base
+
+    def _subject_of(self, e, base: str) -> tuple:
+        about = e.get(_RDF + "about")
+        rid = e.get(_RDF + "ID")
+        nid = e.get(_RDF + "nodeID")
+        if sum(x is not None for x in (about, rid, nid)) > 1:
+            raise ValueError("rdfxml: rdf:about / rdf:ID / rdf:nodeID are exclusive")
+        if about is not None:
+            return ("URIRef", self._resolve(about, base))
+        if rid is not None:
+            return ("URIRef", self._resolve("#" + rid, base))
+        if nid is not None:
+            return self._named_bnode(nid)
+        return self._bnode()
+
+    def _node_element(self, e, lang: str | None, base: str) -> tuple:
+        """Production ``nodeElement``: returns the subject term."""
+        base = self._scoped_base(e, base)
+        lang = e.get(_XML + "lang", lang)
+        subj = self._subject_of(e, base)
+        tag = _tag_uri(e.tag)
+        if tag != RDF_NS + "Description":
+            self._emit(subj, RDF_TYPE, ("URIRef", tag))
+        # property attributes
+        for k, v in e.attrib.items():
+            if k in _SYNTAX_ATTRS or k.startswith(_XML):
+                continue
+            if not k.startswith("{"):
+                if k in _UNQUALIFIED_SYNTAX:
+                    continue  # reserved unqualified syntax names
+                raise ValueError(f"rdfxml: unnamespaced attribute {k!r}")
+            uri = _tag_uri(k)
+            if uri == RDF_TYPE:
+                self._emit(subj, RDF_TYPE, ("URIRef", self._resolve(v, base)))
+            else:
+                self._emit(subj, uri, ("Literal", v, lang, None))
+        li = [1]  # the spec's li-counter is per node element
+        for child in e:
+            self._property_element(child, subj, lang, base, li)
+        return subj
+
+    def _property_element(self, e, subj: tuple, lang: str | None, base: str,
+                          li: list) -> None:
+        base = self._scoped_base(e, base)
+        lang = e.get(_XML + "lang", lang)
+        pred = _tag_uri(e.tag)
+        if pred == RDF_NS + "li":
+            pred = f"{RDF_NS}_{li[0]}"
+            li[0] += 1
+        reify_id = e.get(_RDF + "ID")
+        parse_type = e.get(_RDF + "parseType")
+        resource = e.get(_RDF + "resource")
+        node_id = e.get(_RDF + "nodeID")
+        datatype = e.get(_RDF + "datatype")
+        prop_attrs = [
+            (k, v) for k, v in e.attrib.items()
+            if k not in _SYNTAX_ATTRS and not k.startswith(_XML)
+            and k.startswith("{")
+        ]
+        children = list(e)
+        text = (e.text or "")
+
+        if parse_type == "Resource":
+            obj = self._bnode()
+            inner_li = [1]
+            for child in children:
+                self._property_element(child, obj, lang, base, inner_li)
+        elif parse_type == "Collection":
+            items = [self._node_element(c, lang, base) for c in children]
+            cells = [self._bnode() for _ in items]
+            obj = cells[0] if cells else ("URIRef", RDF_NIL)
+            for i, (cell, item) in enumerate(zip(cells, items)):
+                self._emit(cell, RDF_FIRST, item)
+                rest = cells[i + 1] if i + 1 < len(cells) else ("URIRef", RDF_NIL)
+                self._emit(cell, RDF_REST, rest)
+        elif parse_type is not None:
+            # "Literal" and any unknown parseType: XML literal (spec §7.2.17)
+            parts = [text]
+            for c in children:
+                parts.append(ET.tostring(c, encoding="unicode"))
+            obj = ("Literal", "".join(parts), None, RDF_XMLLITERAL)
+        elif children:
+            if len(children) != 1 or text.strip():
+                raise ValueError(
+                    f"rdfxml: property element <{pred}> must contain exactly "
+                    "one node element")
+            obj = self._node_element(children[0], lang, base)
+        elif resource is not None or node_id is not None or prop_attrs:
+            if text.strip():
+                raise ValueError(
+                    f"rdfxml: property element <{pred}> mixes a resource "
+                    "object with text content")
+            if resource is not None and node_id is not None:
+                raise ValueError("rdfxml: rdf:resource and rdf:nodeID are exclusive")
+            if resource is not None:
+                obj = ("URIRef", self._resolve(resource, base))
+            elif node_id is not None:
+                obj = self._named_bnode(node_id)
+            else:
+                obj = self._bnode()
+            for k, v in prop_attrs:
+                uri = _tag_uri(k)
+                if uri == RDF_TYPE:
+                    self._emit(obj, RDF_TYPE, ("URIRef", self._resolve(v, base)))
+                else:
+                    self._emit(obj, uri, ("Literal", v, lang, None))
+        else:
+            # literal property element (possibly empty text)
+            obj = ("Literal", text, None if datatype else lang, datatype)
+
+        self._emit(subj, pred, obj)
+        if reify_id is not None:
+            st = ("URIRef", self._resolve("#" + reify_id, base))
+            self._emit(st, RDF_TYPE, ("URIRef", RDF_STATEMENT))
+            self._emit(st, RDF_SUBJECT, subj)
+            self._emit(st, RDF_PREDICATE, ("URIRef", pred))
+            self._emit(st, RDF_OBJECT, obj)
+
+
+def parse_rdfxml(text: str, base: str | None = None,
+                 bnode_prefix: str = "b") -> list[tuple]:
+    """Parse one RDF/XML document → statement rows (STATEMENT_COLUMNS)."""
+    return RdfXmlParser(text, base=base, bnode_prefix=bnode_prefix).parse()
+
+
+# ---------------------------------------------------------------------------
+# Writer (for interchange + round-trip testing; the reference serializes RDF
+# back out via rdflib — main.py's export path)
+# ---------------------------------------------------------------------------
+
+_NCNAME_SPLIT = re.compile(r"^(.*?)([A-Za-z_][\w.\-]*)$")
+_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _xml_escape(s: str) -> str:
+    return "".join(_XML_ESC.get(ch, ch) for ch in s)
+
+
+def _split_qname(iri: str) -> tuple[str, str]:
+    """Split an IRI into (namespace, NCName local part) for element names."""
+    m = _NCNAME_SPLIT.match(iri)
+    if not m or not m.group(1):
+        raise ValueError(f"rdfxml: cannot form a QName for predicate {iri!r}")
+    ns, local = m.group(1), m.group(2)
+    # local may not contain '.' per NCName-in-QName practice? NCName allows
+    # '.', keep it; but a namespace must not end mid-scheme
+    return ns, local
+
+
+def serialize_rdfxml(stmts, default_graph_only: bool = True) -> str:
+    """Statement rows (DataFrame or row list) → RDF/XML text.
+
+    Groups statements by subject into ``rdf:Description`` blocks; objects
+    render as ``rdf:resource`` / ``rdf:nodeID`` / literal property elements
+    with ``xml:lang`` / ``rdf:datatype``.  Named-graph rows are rejected by
+    default — RDF/XML cannot express quads (callers export those via
+    :func:`sparkrdf.ttl.nquads_lines`).
+    """
+    if hasattr(stmts, "collect"):
+        rows = [tuple(r) for r in stmts.collect()]
+    else:
+        rows = [tuple(r) for r in stmts]
+    ns_map: dict[str, str] = {RDF_NS: "rdf"}
+
+    def prefix_for(ns: str) -> str:
+        if ns not in ns_map:
+            ns_map[ns] = f"ns{len(ns_map)}"
+        return ns_map[ns]
+
+    by_subj: dict[tuple, list] = {}
+    order: list[tuple] = []
+    for r in rows:
+        s_kind, s, p, o_kind, o, o_lang, o_dt, g = r
+        if g is not None:
+            if default_graph_only:
+                raise ValueError("rdfxml: named-graph statement not expressible")
+            continue
+        key = (s_kind, s)
+        if key not in by_subj:
+            by_subj[key] = []
+            order.append(key)
+        by_subj[key].append((p, o_kind, o, o_lang, o_dt))
+
+    body: list[str] = []
+    for (s_kind, s) in order:
+        attr = (f'rdf:nodeID="{_xml_escape(s)}"' if s_kind == "BNode"
+                else f'rdf:about="{_xml_escape(s)}"')
+        props: list[str] = []
+        for (p, o_kind, o, o_lang, o_dt) in by_subj[(s_kind, s)]:
+            if p == RDF_NS + "li":
+                # rdf:li is RDF/XML *syntax* (it parses back as rdf:_n), so a
+                # graph using it as a real predicate is not expressible —
+                # same contract as rdflib's XML serializer
+                raise ValueError("rdfxml: predicate rdf:li not expressible")
+            ns, local = _split_qname(p)
+            q = f"{prefix_for(ns)}:{local}"
+            if o_kind == "URIRef":
+                props.append(f'    <{q} rdf:resource="{_xml_escape(o)}"/>')
+            elif o_kind == "BNode":
+                props.append(f'    <{q} rdf:nodeID="{_xml_escape(o)}"/>')
+            else:
+                extra = ""
+                if o_lang:
+                    extra = f' xml:lang="{_xml_escape(o_lang)}"'
+                elif o_dt:
+                    extra = f' rdf:datatype="{_xml_escape(o_dt)}"'
+                props.append(f"    <{q}{extra}>{_xml_escape(o or '')}</{q}>")
+        body.append(f"  <rdf:Description {attr}>\n" + "\n".join(props)
+                    + "\n  </rdf:Description>")
+
+    decls = "".join(
+        f'\n    xmlns:{pfx}="{_xml_escape(ns)}"' for ns, pfx in ns_map.items())
+    return (f"<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<rdf:RDF{decls}>\n"
+            + "\n".join(body) + "\n</rdf:RDF>\n")
+
+
+# ---------------------------------------------------------------------------
+# Distributed wrapper
+# ---------------------------------------------------------------------------
+
+
+def rdfxml_statements(df, xml_col: str = "xml", url_col: str = "url",
+                      keep_url: bool = True, on_error: str = "row"):
+    """Parse a DataFrame of RDF/XML documents into statement rows, map-only.
+
+    One input row = one document; documents parse independently inside
+    ``mapInPandas`` (Arrow batches), so the operator is a zero-shuffle
+    projection that scales linearly with executors — the same contract as
+    the WARC splitter (sparkrdf/warc.py).  ``url_col`` doubles as the
+    ``xml:base`` for relative-IRI resolution and (hashed) as the per-document
+    blank-node prefix, so labels are deterministic AND collision-free across
+    documents with zero coordination.
+
+    ``on_error="row"`` (default) converts a malformed document into a single
+    error statement row ``(URIRef url, kgc:parseError, Literal message)`` —
+    one bad page in a trillion must not kill the job.  ``on_error="raise"``
+    re-raises (for tests).
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sparkrdf.session import ensure_pyfiles
+    from sparkrdf.ttl import STATEMENT_COLUMNS
+
+    # the mapInPandas closure imports sparkrdf on executors — ship the
+    # package for sessions launched without --py-files
+    ensure_pyfiles(df.sparkSession)
+
+    out_cols = (["url"] if keep_url else []) + STATEMENT_COLUMNS
+    schema = StructType([StructField(c, StringType(), True) for c in out_cols])
+    err_pred = "http://kg.example.org/prop/parseError"
+
+    def run(batches):
+        import pandas as pd
+
+        from sparkrdf.rdfxml import parse_rdfxml  # executor-side import
+
+        for pdf in batches:
+            out = []
+            for url, xml in zip(pdf[url_col], pdf[xml_col]):
+                if isinstance(xml, (bytes, bytearray)):
+                    xml = xml.decode("utf-8", errors="replace")
+                prefix = "b" + re.sub(r"\W+", "_", str(url)) + "_"
+                try:
+                    rows = parse_rdfxml(xml, base=str(url), bnode_prefix=prefix)
+                except ValueError as e:
+                    if on_error == "raise":
+                        raise
+                    rows = [("URIRef", str(url), err_pred,
+                             "Literal", str(e), None, None, None)]
+                if keep_url:
+                    out.extend((str(url),) + r for r in rows)
+                else:
+                    out.extend(rows)
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return df.select(url_col, xml_col).mapInPandas(run, schema)
