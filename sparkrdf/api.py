@@ -320,6 +320,40 @@ class SparkRDF:
 
         return sparql_update(stmts, sparql, **kwargs)
 
+    # -- RDF document ingestion -----------------------------------------------
+    def read_rdf(self, path: str, format: str | None = None) -> DataFrame:
+        """Read one RDF document file into a statements DataFrame — the
+        facade twin of the reference's ``rdflib.Graph().parse(file)`` step
+        that precedes every ``rdf_to_arangodb_*`` call.  ``format`` is
+        inferred from the extension when omitted: ``.ttl/.turtle → turtle``,
+        ``.trig → trig``, ``.nt/.nq/.nquads → nquads``,
+        ``.rdf/.owl/.xml → xml`` (rdflib's own extension map).  For bulk
+        crawl-scale ingestion use the distributed per-row readers instead
+        (:func:`sparkrdf.rdfxml.rdfxml_statements`, the pages pipeline)."""
+        from sparkrdf.rdfxml import parse_rdfxml
+        from sparkrdf.ttl import parse_nquads, parse_ttl_file, statements_df
+
+        if format is None:
+            ext = path.rsplit(".", 1)[-1].lower()
+            format = {
+                "ttl": "turtle", "turtle": "turtle", "trig": "trig",
+                "nt": "nquads", "nq": "nquads", "nquads": "nquads",
+                "rdf": "xml", "owl": "xml", "xml": "xml",
+            }.get(ext)
+            if format is None:
+                raise ValueError(f"read_rdf: cannot infer format from {path!r}")
+        if format in ("turtle", "trig"):
+            rows = parse_ttl_file(path)
+        elif format == "nquads":
+            with open(path, encoding="utf-8") as f:
+                rows = parse_nquads(f.read())
+        elif format == "xml":
+            with open(path, encoding="utf-8") as f:
+                rows = parse_rdfxml(f.read(), base=f"file://{path}")
+        else:
+            raise ValueError(f"read_rdf: unknown format {format!r}")
+        return statements_df(self.spark, rows)
+
     # -- meta ontologies -----------------------------------------------------
     def load_meta_ontology(self, meta_dir: str | None = None) -> DataFrame | None:
         """Vendored OWL/RDF/RDFS meta-ontology statements (the reference's

@@ -494,6 +494,71 @@ def write_nquads(stmts, path: str) -> None:
     nquads_lines(stmts).write.mode("overwrite").text(path)
 
 
+def parse_nquads(text: str) -> list[tuple]:
+    """Parse N-Quads / N-Triples text → statement rows (STATEMENT_COLUMNS).
+
+    The reading twin of :func:`nquads_lines` / :func:`write_nquads`.
+    N-Quads is NOT a TriG subset — a bare 4th graph term after the object
+    is invalid TriG, so :func:`parse_ttl` rejects it; this reader accepts
+    both 3-term (N-Triples) and 4-term statements.  Blank-node labels are
+    kept VERBATIM (``nquads_lines`` writes stored labels verbatim, so the
+    write→read pair is the identity; unlike Turtle, N-Quads has no
+    anonymous bnodes for labels to collide with); IRIs/literals unescape
+    ``\\uXXXX``.
+    """
+    toks = _tokenize(text)
+    i = 0
+    rows: list[tuple] = []
+
+    def term() -> tuple:
+        nonlocal i
+        if i >= len(toks):
+            raise ValueError("nquads: unexpected end of input")
+        t = toks[i]
+        i += 1
+        if t.kind == "iri":
+            return ("URIRef", _unescape(t.val[1:-1]))
+        if t.kind == "blank":
+            return ("BNode", t.val[2:])
+        if t.kind == "str":
+            lex = _unescape(t.val[1:-1])
+            lang = dt = None
+            if i < len(toks) and toks[i].kind == "lang":
+                lang = toks[i].val[1:]
+                i += 1
+            elif i < len(toks) and toks[i].kind == "dtsep":
+                i += 1
+                if i >= len(toks) or toks[i].kind != "iri":
+                    raise ValueError("nquads: ^^ must be followed by an IRI")
+                dt = _unescape(toks[i].val[1:-1])
+                i += 1
+            return ("Literal", lex, lang, dt)
+        raise ValueError(f"nquads: unexpected token {t!r}")
+
+    while i < len(toks):
+        s = term()
+        p = term()
+        o = term()
+        g = None
+        if i < len(toks) and toks[i].val != ".":
+            gt = term()
+            if gt[0] == "Literal":
+                raise ValueError("nquads: graph label cannot be a literal")
+            g = gt[1]
+        if i >= len(toks) or toks[i].val != ".":
+            raise ValueError(f"nquads: statement not '.'-terminated @tok{i}")
+        i += 1
+        if s[0] == "Literal":
+            raise ValueError("nquads: literal subject")
+        if p[0] != "URIRef":
+            raise ValueError("nquads: predicate must be an IRI")
+        if o[0] == "Literal":
+            rows.append((s[0], s[1], p[1], "Literal", o[1], o[2], o[3], g))
+        else:
+            rows.append((s[0], s[1], p[1], o[0], o[1], None, None, g))
+    return rows
+
+
 def serialize_turtle(stmts, prefixes: dict[str, str] | None = None) -> str:
     """Driver-side Turtle/TriG serialization with prefix compression —
     parity with the reference's rdflib ``serialize`` after prefix binding

@@ -169,3 +169,38 @@ def test_query_string_surface(spark):
     assert out.columns == ["s", "o"] and len(out.collect()) == 5
     ask = adb.query(stmts, "ASK { ?s ?p ?o }")
     assert [tuple(r) for r in ask.collect()] == [(True,)]
+
+
+def test_read_rdf_formats(spark, tmp_path):
+    """read_rdf dispatches on extension/format and yields the identical
+    statement set across turtle, nquads, and RDF/XML renderings (the
+    facade twin of rdflib Graph.parse feeding rdf_to_arangodb_*)."""
+    from sparkrdf.api import SparkRDF
+    from sparkrdf.rdfxml import serialize_rdfxml
+    from sparkrdf.ttl import nquads_lines, parse_ttl, statements_df
+
+    src = """
+@prefix ex: <http://example.com/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:name "Sam"@en ; ex:age "3"^^xsd:integer ; ex:knows ex:b .
+"""
+    rows = parse_ttl(src)
+    df = statements_df(spark, rows)
+    ttl_p = tmp_path / "g.ttl"
+    ttl_p.write_text(src, encoding="utf-8")
+    nq_p = tmp_path / "g.nq"
+    nq_p.write_text(
+        "\n".join(r.value for r in nquads_lines(df).collect()), encoding="utf-8")
+    xml_p = tmp_path / "g.rdf"
+    xml_p.write_text(serialize_rdfxml(rows), encoding="utf-8")
+
+    adapter = SparkRDF(spark)
+    expect = set(rows)
+    for p in (ttl_p, nq_p, xml_p):
+        got = {tuple(r) for r in adapter.read_rdf(str(p)).collect()}
+        assert got == expect, p
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infer"):
+        adapter.read_rdf(str(tmp_path / "g.unknown"))

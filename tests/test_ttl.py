@@ -263,3 +263,38 @@ def test_rdf_star_flows_through_reify(spark):
     assert ("http://ex.org/alice", "http://ex.org/knows", "http://ex.org/bob") in got
     # no reification plumbing rows survive
     assert not any(p.startswith(_RDF) and p != _RDF + "type" for _, p, _ in got)
+
+
+def test_parse_nquads_round_trip(spark):
+    """nquads_lines → parse_nquads is the identity on statement rows —
+    including named graphs, bnode labels, langs, datatypes and escapes.
+    (N-Quads is not a TriG subset, so parse_ttl cannot read it back.)"""
+    from sparkrdf.ttl import nquads_lines, parse_nquads, parse_ttl, statements_df
+
+    src = """
+@prefix ex: <http://example.com/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:name "Sam"@en .
+ex:a ex:age "3"^^xsd:integer .
+ex:a ex:note "line\\nbreak \\"q\\"" .
+ex:a ex:knows _:friend .
+ex:g1 { ex:b ex:name "J" . }
+"""
+    rows = parse_ttl(src)
+    lines = "\n".join(
+        r.value for r in nquads_lines(statements_df(spark, rows)).collect()
+    )
+    assert set(parse_nquads(lines)) == set(rows)
+
+
+def test_parse_nquads_rejects_malformed():
+    from sparkrdf.ttl import parse_nquads
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="terminated"):
+        parse_nquads('<http://a> <http://p> "v"')
+    with _pytest.raises(ValueError, match="literal"):
+        parse_nquads('<http://a> <http://p> <http://o> "g" .')
+    with _pytest.raises(ValueError, match="predicate"):
+        parse_nquads('<http://a> _:p <http://o> .')
