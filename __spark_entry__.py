@@ -1123,6 +1123,41 @@ def q_kg_rdfxml_triples(spark, sf_dir):
     return rdfxml_statements(docs)
 
 
+def q_kg_jsonld_doc_triples(spark, sf_dir):
+    """Standalone JSON-LD document ingestion (sparkrdf/jsonldoc.py
+    jsonld_statements): per-order JSON-LD documents with an inline
+    @context are rendered in-query (deterministic fixture covering term
+    definitions, @type:"@id" coercion, compact IRIs, JSON-native integer
+    typing, a nested @id node object, and a nested ANONYMOUS node whose
+    bnode label is a pure function of the url), then the expansion-core
+    parser recovers statement rows inside mapInPandas — zero shuffle
+    (the reference ingests the format via rdflib Graph.parse
+    format="json-ld"). Oracle: the statement rows written directly from
+    the orders columns, including the deterministic bnode labels."""
+    from sparkrdf.jsonldoc import jsonld_statements
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = F.col("o_orderkey").cast("string")
+    j = F.concat(
+        F.lit('{"@context":{"kg":"http://kg.example.org/prop/",'
+              '"status":"kg:status",'
+              '"cust":{"@id":"kg:customer","@type":"@id"}},'
+              '"@id":"urn:order:'), key,
+        F.lit('","@type":"http://kg.example.org/class/Order",'
+              '"status":"'), F.col("o_orderstatus"),
+        F.lit('","cust":{"@id":"urn:cust:'),
+        F.col("o_custkey").cast("string"),
+        F.lit('","kg:prio":'), key,
+        F.lit('},"kg:meta":{"kg:priority":"'), F.col("o_orderpriority"),
+        F.lit('"}}'),
+    )
+    docs = orders.select(
+        F.concat(F.lit("https://data.example.org/order/"), key).alias("url"),
+        j.alias("json"),
+    )
+    return jsonld_statements(docs)
+
+
 def q_kg_table_triples(spark, sf_dir):
     """Web-table relational fact extraction (sparkrdf/extract/tables.py
     table_triples): per-nation HTML pages are rendered in-query from the
@@ -2698,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_table_triples": q_kg_table_triples,
         "kg_jsonld_triples": q_kg_jsonld_triples,
         "kg_rdfxml_triples": q_kg_rdfxml_triples,
+        "kg_jsonld_doc_triples": q_kg_jsonld_doc_triples,
         "kg_page_meta": q_kg_page_meta,
         "kg_bgp_not_exists": q_kg_bgp_not_exists,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -4960,6 +4996,37 @@ SELECT url, s_kind, s, p, o_kind, o, o_lang, o_datatype,
   UNION ALL SELECT url, 'BNode', bn, 'http://kg.example.org/prop/size',
     'Literal', sz, NULL, 'http://www.w3.org/2001/XMLSchema#integer' FROM b
   UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/dims',
+    'BNode', bn, NULL, NULL FROM b)
+"""
+
+    # standalone JSON-LD ingestion inverts the deterministic render: six
+    # statements per order — typed node, term literal, @type:"@id"-coerced
+    # edge, nested @id node's integer property, and the anonymous nested
+    # node whose bnode label is a pure function of the url
+    sql["kg_jsonld_doc_triples"] = f"""
+WITH b AS (
+  SELECT 'https://data.example.org/order/' || CAST(o_orderkey AS VARCHAR) AS url,
+         'urn:order:' || CAST(o_orderkey AS VARCHAR) AS s,
+         'urn:cust:' || CAST(o_custkey AS VARCHAR) AS cust,
+         'bhttps_data_example_org_order_' || CAST(o_orderkey AS VARCHAR)
+           || '_0' AS bn,
+         o_orderstatus, CAST(o_orderkey AS VARCHAR) AS prio, o_orderpriority
+  FROM orders)
+SELECT url, s_kind, s, p, o_kind, o, o_lang, o_datatype,
+       CAST(NULL AS VARCHAR) AS sub_graph FROM (
+  SELECT url, 'URIRef' AS s_kind, s, '{_RDF_TYPE}' AS p,
+         'URIRef' AS o_kind, 'http://kg.example.org/class/Order' AS o,
+         CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_datatype
+  FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/status',
+    'Literal', o_orderstatus, NULL, NULL FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/customer',
+    'URIRef', cust, NULL, NULL FROM b
+  UNION ALL SELECT url, 'URIRef', cust, 'http://kg.example.org/prop/prio',
+    'Literal', prio, NULL, 'http://www.w3.org/2001/XMLSchema#integer' FROM b
+  UNION ALL SELECT url, 'BNode', bn, 'http://kg.example.org/prop/priority',
+    'Literal', o_orderpriority, NULL, NULL FROM b
+  UNION ALL SELECT url, 'URIRef', s, 'http://kg.example.org/prop/meta',
     'BNode', bn, NULL, NULL FROM b)
 """
 

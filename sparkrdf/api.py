@@ -327,7 +327,8 @@ class SparkRDF:
         that precedes every ``rdf_to_arangodb_*`` call.  ``format`` is
         inferred from the extension when omitted: ``.ttl/.turtle → turtle``,
         ``.trig → trig``, ``.nt/.nq/.nquads → nquads``,
-        ``.rdf/.owl/.xml → xml`` (rdflib's own extension map).  For bulk
+        ``.rdf/.owl/.xml → xml``, ``.jsonld/.json → json-ld``
+        (rdflib's own extension map).  For bulk
         crawl-scale ingestion use the distributed per-row readers instead
         (:func:`sparkrdf.rdfxml.rdfxml_statements`, the pages pipeline)."""
         from sparkrdf.rdfxml import parse_rdfxml
@@ -339,6 +340,7 @@ class SparkRDF:
                 "ttl": "turtle", "turtle": "turtle", "trig": "trig",
                 "nt": "nquads", "nq": "nquads", "nquads": "nquads",
                 "rdf": "xml", "owl": "xml", "xml": "xml",
+                "jsonld": "json-ld", "json": "json-ld",
             }.get(ext)
             if format is None:
                 raise ValueError(f"read_rdf: cannot infer format from {path!r}")
@@ -350,6 +352,11 @@ class SparkRDF:
         elif format == "xml":
             with open(path, encoding="utf-8") as f:
                 rows = parse_rdfxml(f.read(), base=f"file://{path}")
+        elif format == "json-ld":
+            from sparkrdf.jsonldoc import parse_jsonld
+
+            with open(path, encoding="utf-8") as f:
+                rows = parse_jsonld(f.read())
         else:
             raise ValueError(f"read_rdf: unknown format {format!r}")
         return statements_df(self.spark, rows)
