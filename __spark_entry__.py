@@ -1468,6 +1468,31 @@ def q_kg_sparql_bind(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_term_fns(spark, sf_dir):
+    """SPARQL term functions via the string front end (sparkrdf/query.py
+    bgp_match term_meta + _ExprCompiler): isBlank/isIRI/isLiteral kind
+    tests, isNumeric, datatype() and lang() accessors and langMatches —
+    evaluated against hidden per-variable term-metadata columns the BGP
+    binds only when a group's FILTER/BIND needs them (and strips before
+    solutions leave the group). All codegen Filter/Project expressions,
+    zero UDFs. Oracle: the mention-bnode rows with the constant
+    datatype/lang values spelled directly."""
+    from sparkrdf.sparql import sparql_query
+
+    all_stmts, _ = _nary_mention_stmts(spark, sf_dir)
+    return sparql_query(all_stmts, f"""
+        SELECT ?d ?m ?dt ?lv WHERE {{
+          ?d <{dockg.P_HAS_MENTION}> ?m .
+          ?d <{dockg.P_TOKENS}> ?n .
+          ?d <{dockg.P_LANG}> ?l .
+          FILTER (isblank(?m) && isiri(?d) && !isliteral(?d)
+                  && isnumeric(?n) && !langmatches(lang(?l), "*"))
+          BIND(datatype(?n) AS ?dt)
+          BIND(lang(?l) AS ?lv)
+        }}
+    """)
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL subquery (§12) via the string front end: an inner
     ``{ SELECT ?d (COUNT(*) AS ?m) ... GROUP BY ?d }`` evaluated
@@ -2743,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_term_fns": q_kg_sparql_term_fns,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_expr_select": q_kg_sparql_expr_select,
         "kg_sparql_describe": q_kg_sparql_describe,
@@ -4837,6 +4863,17 @@ WHERE d.lang IN ('en', 'de')
 
     # string-front-end subquery: the inner aggregate joined to the outer
     # lang binding, filtered on the count
+    # term functions: every mention row passes the kind tests (hasMention
+    # objects ARE bnodes, subjects ARE IRIs, tokenCount IS numeric, lang
+    # IS a plain literal with empty lang tag) — the constants invert the
+    # datatype()/lang() accessors exactly
+    sql["kg_sparql_term_fns"] = f"""
+WITH {_DOC_CTES}
+SELECT m.s AS d, 'm:' || m.s || '|' || m.ent AS m,
+       'http://www.w3.org/2001/XMLSchema#integer' AS dt, '' AS lv
+FROM mentions m
+"""
+
     sql["kg_sparql_subquery"] = f"""
 WITH {_DOC_CTES}
 SELECT d.s AS d, d.lang AS l, mm.m AS m

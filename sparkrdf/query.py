@@ -18,6 +18,11 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+#: hidden per-variable term-metadata column suffixes bound by
+#: ``bgp_match(term_meta=True)`` and consumed by the SPARQL term functions
+META_SUFFIXES = ("__kind", "__lang", "__dt")
+
+
 def bgp_match(
     stmts: DataFrame,
     patterns: list[tuple],
@@ -25,6 +30,7 @@ def bgp_match(
     p_col: str = "p",
     o_col: str = "o",
     g_col: str = "sub_graph",
+    term_meta: bool = False,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern (SPARQL BGP semantics, bag
     solutions) against a statements table. Each pattern term is either a
@@ -53,11 +59,30 @@ def bgp_match(
     bindings is a cartesian blow-up and raises instead of silently
     crossJoining; a pattern with NO variables acts as an existence gate
     (broadcast 1-row semi-filter), not a multiplier.
+
+    ``term_meta=True`` additionally binds, per variable, the hidden term
+    metadata columns ``{var}__kind`` / ``{var}__lang`` / ``{var}__dt``
+    (from the canonical statement schema's s_kind / o_kind / o_lang /
+    o_datatype columns; predicate- and graph-position variables are always
+    IRIs) — what the SPARQL term functions ``lang() datatype() isIRI()
+    isBlank() isLiteral() isNumeric() sameTerm()`` evaluate against.  On a
+    shared variable the FIRST binding pattern's metadata wins (joins stay
+    on the lexical form — the engine's existing join semantics, unchanged).
     """
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
 
     cols = {"s": s_col, "p": p_col, "o": o_col, "g": g_col}
+
+    def meta_exprs(var: str, pos: str) -> list:
+        if pos == "s":
+            src = [F.col("s_kind"), F.lit(None), F.lit(None)]
+        elif pos == "o":
+            src = [F.col("o_kind"), F.col("o_lang"), F.col("o_datatype")]
+        else:  # p, g positions are always IRIs
+            src = [F.lit("URIRef"), F.lit(None), F.lit(None)]
+        return [c.cast("string").alias(f"{var}{m}")
+                for c, m in zip(src, META_SUFFIXES)]
 
     def project(pat):
         if len(pat) not in (3, 4):
@@ -81,6 +106,8 @@ def bgp_match(
                 else:
                     seen[var] = col
                     out.append(F.col(col).alias(var))
+                    if term_meta:
+                        out.extend(meta_exprs(var, pos))
         return df.select(*out), set(seen)
 
     def pat_vars(pat):
@@ -114,6 +141,11 @@ def bgp_match(
         if acc is None:
             acc, bound = proj, vars_
         else:
+            if term_meta:
+                # first-binding-wins: an already-bound shared variable keeps
+                # the accumulated side's metadata columns
+                dup = [f"{v}{m}" for v in (bound & vars_) for m in META_SUFFIXES]
+                proj = proj.drop(*dup)
             acc = acc.join(proj, on=sorted(bound & vars_))
             bound |= vars_
     gates = [project(g)[0] for g in gates]
@@ -923,10 +955,29 @@ def parse_filter(expr: str):
 
 
 _BOOL_NODE_KINDS = ("or", "and", "not", "cmp", "in")
-_BOOL_FNS = ("regex", "bound", "contains", "strstarts", "strends")
+_BOOL_FNS = ("regex", "bound", "contains", "strstarts", "strends",
+             "isiri", "isuri", "isblank", "isliteral", "isnumeric",
+             "langmatches", "sameterm")
 _VALUE_FNS = ("str", "strlen", "ucase", "lcase", "concat", "substr",
               "replace", "strbefore", "strafter", "abs", "round", "ceil",
-              "floor", "if", "coalesce")
+              "floor", "if", "coalesce", "lang", "datatype")
+
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+_XSD_NUMERIC = (
+    "http://www.w3.org/2001/XMLSchema#integer",
+    "http://www.w3.org/2001/XMLSchema#decimal",
+    "http://www.w3.org/2001/XMLSchema#double",
+    "http://www.w3.org/2001/XMLSchema#float",
+    "http://www.w3.org/2001/XMLSchema#int",
+    "http://www.w3.org/2001/XMLSchema#long",
+    "http://www.w3.org/2001/XMLSchema#short",
+    "http://www.w3.org/2001/XMLSchema#byte",
+    "http://www.w3.org/2001/XMLSchema#nonNegativeInteger",
+    "http://www.w3.org/2001/XMLSchema#positiveInteger",
+    "http://www.w3.org/2001/XMLSchema#unsignedInt",
+    "http://www.w3.org/2001/XMLSchema#unsignedLong",
+)
 
 
 class _ExprCompiler:
@@ -989,7 +1040,37 @@ class _ExprCompiler:
             raise ValueError(f"{what} must be a string literal, got {n!r}")
         return n[1]
 
+    def _meta(self, n, suffix, fn):
+        """Resolve a variable's hidden term-metadata column (term_meta)."""
+        if n[0] != "var":
+            raise ValueError(f"{fn}() takes a variable, got {n!r}")
+        col = f"{n[1]}{suffix}"
+        if col not in self.columns:
+            raise ValueError(
+                f"{fn}(?{n[1]}) needs term metadata — match the pattern "
+                "with bgp_match(term_meta=True)"
+            )
+        return F.col(col)
+
     def _value_call(self, fn, args):
+        if fn == "lang":
+            # §17.4.4.4: lang of a plain/typed literal is ""; of a
+            # non-literal a type error (NULL — FILTER drops the row)
+            (a,) = args
+            kind = self._meta(a, "__kind", "lang")
+            lang = self._meta(a, "__lang", "lang")
+            return F.when(kind == "Literal", F.coalesce(lang, F.lit(""))), "str"
+        if fn == "datatype":
+            # §17.4.4.7: plain literal → xsd:string, lang-tagged →
+            # rdf:langString, typed → its datatype; non-literal → error
+            (a,) = args
+            kind = self._meta(a, "__kind", "datatype")
+            lang = self._meta(a, "__lang", "datatype")
+            dt = self._meta(a, "__dt", "datatype")
+            return F.when(kind == "Literal", F.coalesce(
+                dt,
+                F.when(lang.isNotNull(), F.lit(_RDF_LANGSTRING))
+                 .otherwise(F.lit(_XSD_STRING)))), "str"
         if fn == "str":
             (a,) = args
             return self._string(a), "str"
@@ -1141,6 +1222,43 @@ class _ExprCompiler:
                 "strstarts": text.startswith(s),
                 "strends": text.endswith(s),
             }[fn]
+        if fn in ("isiri", "isuri", "isblank", "isliteral"):
+            (a,) = args
+            kind = self._meta(a, "__kind", fn)
+            want = {"isiri": "URIRef", "isuri": "URIRef",
+                    "isblank": "BNode", "isliteral": "Literal"}[fn]
+            return kind == want
+        if fn == "isnumeric":
+            # §17.4.2.4: a literal with a numeric datatype and a valid
+            # lexical form; plain/lang literals and non-literals are false
+            (a,) = args
+            kind = self._meta(a, "__kind", fn)
+            dt = self._meta(a, "__dt", fn)
+            val = self.value(a)[0]
+            return ((kind == "Literal") & dt.isin(*_XSD_NUMERIC)
+                    & val.try_cast("double").isNotNull())
+        if fn == "langmatches":
+            # §17.4.4.5 / RFC 4647 basic filtering: "*" matches any
+            # non-empty tag; otherwise the range equals the tag or is a
+            # prefix of it at a '-' boundary, case-insensitively
+            if len(args) != 2:
+                raise ValueError('langmatches(lang(?v), "range")')
+            tag = F.lower(self._string(args[0]))
+            rng = self._str_literal(args[1], "langmatches range").lower()
+            if rng == "*":
+                return tag != ""
+            return (tag == rng) | tag.startswith(rng + "-")
+        if fn == "sameterm":
+            # §17.4.1.8: RDF term identity — lexical form AND kind AND
+            # lang AND datatype (null-safe on the optional components)
+            if len(args) != 2 or args[0][0] != "var" or args[1][0] != "var":
+                raise ValueError("sameterm(?a, ?b) takes two variables")
+            a, b = args
+            pred = self.value(a)[0] == self.value(b)[0]
+            for suf in ("__kind", "__lang", "__dt"):
+                pred = pred & self._meta(a, suf, "sameterm").eqNullSafe(
+                    self._meta(b, suf, "sameterm"))
+            return pred
         raise ValueError(f"unknown boolean function {fn!r}")
 
 

@@ -79,6 +79,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkrdf.query import (
+    META_SUFFIXES,
     bgp_extend,
     bgp_match,
     compile_value_expr,
@@ -90,6 +91,13 @@ from sparkrdf.query import (
 )
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+#: expressions whose evaluation needs the hidden per-variable term-metadata
+#: columns (bgp_match term_meta) — matched against a group's FILTER/BIND text
+_META_FN_RE = re.compile(
+    r"(?i)\b(lang|datatype|isiri|isuri|isblank|isliteral|isnumeric"
+    r"|langmatches|sameterm)\s*\("
+)
 
 _KEYWORDS = {
     "select", "distinct", "where", "filter", "optional", "minus", "union",
@@ -1040,7 +1048,18 @@ def _compile_group(
 
     if not body["patterns"] and not body["subqueries"] and not body["unions"]:
         raise ValueError("the group pattern binds no solutions")
-    sol = bgp_match(stmts, plain_pats, g_col=g_col, **cols) if plain_pats else None
+    # SPARQL term functions (lang/datatype/isIRI/...) read per-variable
+    # term metadata; bind the hidden columns only when this group's own
+    # FILTER/BIND expressions need them, and strip them before the
+    # solutions leave the group (metadata never escapes into joins,
+    # projections or aggregates)
+    meta_needed = any(
+        _META_FN_RE.search(e)
+        for e in list(body["filters"]) + [src for _, src in body["binds"]]
+    )
+    sol = (bgp_match(stmts, plain_pats, g_col=g_col, term_meta=meta_needed,
+                     **cols)
+           if plain_pats else None)
 
     for pat in path_pats:
         # each path pattern evaluates to its (s, o) endpoint relation —
@@ -1195,6 +1214,8 @@ def _compile_group(
         sol = bgp_extend(sol, body["binds"])
     for fexpr in body["filters"]:
         sol = sol.filter(_compile_filter(parse_filter(fexpr), sol.columns))
+    if meta_needed:
+        sol = sol.drop(*[c for c in sol.columns if c.endswith(META_SUFFIXES)])
     return sol
 
 

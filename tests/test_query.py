@@ -831,3 +831,58 @@ def test_value_expression_matches_python_reference(spark):
     got_scores = {r.d: r.score for r in out.collect()}
     for d, a, b, lang in rows:
         assert got_scores[d] == int(a) * 10 + len(lang)
+
+
+def test_term_meta_functions(spark):
+    """bgp_match(term_meta=True) binds hidden kind/lang/datatype columns;
+    the §17.4 term functions (lang, datatype, isIRI, isBlank, isLiteral,
+    isNumeric, langMatches, sameTerm) evaluate against them — all codegen
+    expressions, no UDF."""
+    from sparkrdf.query import bgp_filter, bgp_match
+    from sparkrdf.ttl import XSD, parse_ttl, statements_df
+
+    rows = parse_ttl(
+        """
+        @prefix ex: <http://e.com/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:a ex:label "hello"@en .
+        ex:a ex:label "hallo"@de-AT .
+        ex:a ex:label "plain" .
+        ex:a ex:n "5"^^xsd:integer .
+        ex:a ex:link ex:b .
+        ex:a ex:bn _:x .
+        """
+    )
+    stmts = statements_df(spark, rows)
+    sol = bgp_match(stmts, [("?s", "?p", "?o")], term_meta=True)
+    assert "o__kind" in sol.columns and "s__kind" in sol.columns
+
+    def vals(expr):
+        return sorted(r.o for r in bgp_filter(sol, expr).collect())
+
+    assert vals("isiri(?o)") == ["http://e.com/b"]
+    assert vals("isblank(?o)") == ["l_x"]
+    assert vals("isliteral(?o)") == ["5", "hallo", "hello", "plain"]
+    assert vals("isnumeric(?o)") == ["5"]
+    assert vals('lang(?o) = "en"') == ["hello"]
+    # §17.4.4.4: any literal WITHOUT a tag (plain or typed) has lang ""
+    assert vals('lang(?o) = ""') == ["5", "plain"]
+    assert vals('langmatches(lang(?o), "de")') == ["hallo"]  # de-AT matches
+    assert vals('langmatches(lang(?o), "*")') == ["hallo", "hello"]
+    assert vals(f'datatype(?o) = "{XSD}integer"') == ["5"]
+    assert vals('datatype(?o) = '
+                '"http://www.w3.org/2001/XMLSchema#string"') == ["plain"]
+    # sameTerm: lang tags distinguish identical lexicals
+    pair = bgp_match(
+        stmts,
+        [("?s", "http://e.com/label", "?a"), ("?s", "http://e.com/label", "?b")],
+        term_meta=True,
+    )
+    assert bgp_filter(pair, "sameterm(?a, ?b)").count() == 3  # diagonal only
+
+    # without term_meta the functions raise a clear error, never mis-run
+    plain = bgp_match(stmts, [("?s", "?p", "?o")])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="term metadata"):
+        bgp_filter(plain, "isiri(?o)")

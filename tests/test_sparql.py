@@ -809,3 +809,48 @@ def test_nested_optional_inside_optional(stmts):
         } ORDER BY ?d
     """)
     assert rows(got) == [("d1", "d2", "41"), ("d2", "d3", "9")]
+
+
+def test_sparql_term_functions(spark):
+    """Term functions through the string front end: the group binds the
+    hidden metadata columns only when its FILTER/BIND needs them and
+    strips them before solutions leave the group — projections never see
+    kind/lang/dt columns."""
+    from sparkrdf.sparql import sparql_query
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(spark, parse_ttl(
+        """
+        @prefix ex: <http://e.com/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:a ex:label "hello"@en .
+        ex:a ex:label "plain" .
+        ex:a ex:n "5"^^xsd:integer .
+        ex:a ex:link ex:b .
+        """
+    ))
+    out = sparql_query(stmts, """
+        PREFIX ex: <http://e.com/>
+        SELECT ?o WHERE {
+          ?s ex:label ?o . FILTER (langmatches(lang(?o), "*"))
+        }""")
+    assert out.columns == ["o"]
+    assert [r.o for r in out.collect()] == ["hello"]
+
+    out = sparql_query(stmts, """
+        PREFIX ex: <http://e.com/>
+        SELECT ?s ?dt WHERE {
+          ?s ex:n ?v . FILTER (isnumeric(?v)) BIND(datatype(?v) AS ?dt)
+        }""")
+    (row,) = out.collect()
+    assert row.dt == "http://www.w3.org/2001/XMLSchema#integer"
+
+    # isIRI inside an OPTIONAL body (nested groups bind their own meta)
+    out = sparql_query(stmts, """
+        PREFIX ex: <http://e.com/>
+        SELECT ?s ?t WHERE {
+          ?s ex:n ?v .
+          OPTIONAL { ?s ex:link ?t . FILTER (isiri(?t)) }
+        }""")
+    (row,) = out.collect()
+    assert row.t == "http://e.com/b"
