@@ -1493,6 +1493,25 @@ def q_kg_sparql_term_fns(spark, sf_dir):
     """)
 
 
+def q_kg_sparql_hash_fns(spark, sf_dir):
+    """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
+    over document IRIs — the deterministic IRI-minting/skolemization
+    primitive (mint a stable key from any lexical) — plus STRLEN; all
+    JVM builtins inside one codegen Project, zero UDFs, zero shuffles
+    beyond the BGP itself. Oracle: DuckDB's own md5()/sha256()."""
+    from sparkrdf.sparql import sparql_query
+
+    stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
+    return sparql_query(stmts, f"""
+        PREFIX kgp: <{dockg.KG}prop/>
+        SELECT ?d ?h ?h2 WHERE {{
+          ?d kgp:lang ?l .
+          BIND(md5(?d) AS ?h)
+          BIND(sha256(concat(?d, "|", ?l)) AS ?h2)
+        }}
+    """)
+
+
 def q_kg_sparql_subquery(spark, sf_dir):
     """SPARQL subquery (§12) via the string front end: an inner
     ``{ SELECT ?d (COUNT(*) AS ?m) ... GROUP BY ?d }`` evaluated
@@ -2769,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bind": q_kg_sparql_bind,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_term_fns": q_kg_sparql_term_fns,
+        "kg_sparql_hash_fns": q_kg_sparql_hash_fns,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_expr_select": q_kg_sparql_expr_select,
         "kg_sparql_describe": q_kg_sparql_describe,
@@ -4872,6 +4892,12 @@ WITH {_DOC_CTES}
 SELECT m.s AS d, 'm:' || m.s || '|' || m.ent AS m,
        'http://www.w3.org/2001/XMLSchema#integer' AS dt, '' AS lv
 FROM mentions m
+"""
+
+    # hash functions: DuckDB's own md5()/sha256() over the same lexicals
+    sql["kg_sparql_hash_fns"] = f"""
+WITH {_DOC_CTES}
+SELECT s AS d, md5(s) AS h, sha256(s || '|' || lang) AS h2 FROM docs
 """
 
     sql["kg_sparql_subquery"] = f"""

@@ -960,7 +960,8 @@ _BOOL_FNS = ("regex", "bound", "contains", "strstarts", "strends",
              "langmatches", "sameterm")
 _VALUE_FNS = ("str", "strlen", "ucase", "lcase", "concat", "substr",
               "replace", "strbefore", "strafter", "abs", "round", "ceil",
-              "floor", "if", "coalesce", "lang", "datatype")
+              "floor", "if", "coalesce", "lang", "datatype",
+              "md5", "sha1", "sha256", "encode_for_uri")
 
 _RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
 _XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
@@ -1074,6 +1075,25 @@ class _ExprCompiler:
         if fn == "str":
             (a,) = args
             return self._string(a), "str"
+        if fn in ("md5", "sha1", "sha256"):
+            # §17.5 hash functions — lowercase hex, the IRI-minting
+            # workhorses; all JVM builtins
+            (a,) = args
+            s = self._string(a)
+            out = {"md5": F.md5(s), "sha1": F.sha1(s),
+                   "sha256": F.sha2(s, 256)}[fn]
+            return out, "str"
+        if fn == "encode_for_uri":
+            # §17.4.3.10: RFC 3986 percent-encoding keeping only the
+            # unreserved set; Java's URLEncoder (F.url_encode) differs in
+            # exactly three ways — space→'+', '*' kept, '~' encoded —
+            # patched here so the result matches the SPARQL definition
+            (a,) = args
+            enc = F.url_encode(self._string(a))
+            enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+            enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+            enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+            return enc, "str"
         if fn == "strlen":
             (a,) = args
             return F.length(self._string(a)), "num"

@@ -854,3 +854,28 @@ def test_sparql_term_functions(spark):
         }""")
     (row,) = out.collect()
     assert row.t == "http://e.com/b"
+
+
+def test_sparql_hash_and_encode_functions(spark):
+    """§17.5 MD5/SHA1/SHA256 (bit-exact vs hashlib) and §17.4.3.10
+    ENCODE_FOR_URI (RFC 3986 percent-encoding, unreserved set kept) —
+    all codegen builtins, the IRI-minting primitives."""
+    import hashlib
+
+    from sparkrdf.sparql import sparql_query
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(spark, parse_ttl(
+        '@prefix ex: <http://e.com/> . ex:a ex:label "a b~c*d/e" .'))
+    (row,) = sparql_query(stmts, """
+        PREFIX ex: <http://e.com/>
+        SELECT ?h ?s1 ?s2 ?e WHERE {
+          ?x ex:label ?v .
+          BIND(md5(?v) AS ?h) BIND(sha1(?v) AS ?s1)
+          BIND(sha256(?v) AS ?s2) BIND(encode_for_uri(?v) AS ?e)
+        }""").collect()
+    v = b"a b~c*d/e"
+    assert row.h == hashlib.md5(v).hexdigest()
+    assert row.s1 == hashlib.sha1(v).hexdigest()
+    assert row.s2 == hashlib.sha256(v).hexdigest()
+    assert row.e == "a%20b~c%2Ad%2Fe"
