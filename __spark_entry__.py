@@ -1493,6 +1493,23 @@ def q_kg_sparql_term_fns(spark, sf_dir):
     """)
 
 
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the DIRECTED host link graph
+    (sparkrdf/graphops.py scc — Forward-Backward-Trim coloring): the web
+    bow-tie decomposition's core primitive, the directed companion to
+    graph_wcc. Trim peels the IN/OUT tendrils as singleton SCCs, forward
+    min-label coloring partitions the remainder, per-class backward
+    reachability from each root collects exact SCCs. Oracle: a DuckDB
+    recursive-CTE pairwise reachability closure + mutual-reachability
+    MIN — the independent textbook definition."""
+    from sparkrdf.graphops import scc
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return scc(g.select("src_host", "dst_host"),
+               src="src_host", dst="dst_host")
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2758,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "graph_coreness": q_graph_coreness,
         "graph_wcc": q_graph_wcc,
+        "graph_scc": q_graph_scc,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4321,6 +4339,25 @@ FROM orders
     # weakly-connected components: recursive reachability closure + MIN —
     # independent of the hash-to-min formulation
     _links_recursive = "WITH RECURSIVE" + _links_base.split("WITH", 1)[1]
+    # SCC: pairwise directed reachability closure, mutual pairs, MIN id —
+    # the one-edge-at-a-time textbook definition the FB-Trim coloring
+    # algorithm must agree with exactly
+    sql["graph_scc"] = _links_recursive + """,
+de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
+       WHERE src_host <> dst_host),
+dn AS (SELECT s AS n FROM de UNION SELECT t FROM de),
+reach(a, b) AS (
+  SELECT s, t FROM de
+  UNION
+  SELECT reach.a, de.t FROM reach JOIN de ON de.s = reach.b),
+mutual AS (
+  SELECT n AS a, n AS b FROM dn
+  UNION
+  SELECT r1.a, r1.b FROM reach r1 JOIN reach r2
+    ON r1.a = r2.b AND r1.b = r2.a)
+SELECT a AS n, MIN(b) AS scc FROM mutual GROUP BY a
+"""
+
     sql["graph_wcc"] = _links_recursive + """,
 wue AS (SELECT DISTINCT least(src_host, dst_host) AS u,
   greatest(src_host, dst_host) AS v FROM edges),

@@ -1125,3 +1125,46 @@ def test_coreness_vs_peeling_reference_fuzz(spark):
         assert got == core_ref(edges)
 
     check()
+
+
+def test_scc_hand_graphs(spark):
+    """Forward-Backward-Trim SCC (graphops.scc) on hand graphs: two
+    cycles joined by a bridge, tendrils, a pure chain (all singletons),
+    and nested cycles sharing a node (one SCC)."""
+    from sparkrdf.graphops import scc
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "u string, v string")
+        return {r.n: r.scc for r in scc(df).collect()}
+
+    out = run([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+               ("d", "e"), ("e", "d"), ("e", "f"), ("g", "h")])
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["d"] == out["e"] == "d"
+    assert out["f"] == "f" and out["g"] == "g" and out["h"] == "h"
+    assert len(out) == 8
+
+    # pure chain: every node its own SCC (trim peels everything)
+    chain = run([("a", "b"), ("b", "c"), ("c", "d")])
+    assert chain == {"a": "a", "b": "b", "c": "c", "d": "d"}
+
+    # two cycles sharing a node form ONE SCC (mutual through the shared
+    # node); self-loops are ignored
+    shared = run([("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+                  ("c", "c"), ("d", "a")])
+    assert shared["a"] == shared["b"] == shared["c"] == "a"
+    assert shared["d"] == "d"
+
+
+def test_scc_directed_vs_wcc(spark):
+    """A directed 2-path is ONE weak component but TWO SCCs — the
+    direction-sensitivity gate."""
+    from sparkrdf.dedupe import connected_components
+    from sparkrdf.graphops import scc
+
+    df = spark.createDataFrame([("a", "b")], "u string, v string")
+    s = {r.n: r.scc for r in scc(df).collect()}
+    assert s == {"a": "a", "b": "b"}
+    w = {r.node for r in connected_components(
+        df.selectExpr("u as id_a", "v as id_b")).collect()}
+    assert w == {"a", "b"}  # one component, two nodes
