@@ -342,3 +342,56 @@ def test_merge_sql_engine_parsed_and_identifier_quoting(spark):
     with pytest.raises(Exception, match="UNSUPPORTED_FEATURE|does not support MERGE"):
         spark.sql(merge_sql("merge_probe_tgt", "merge_probe_src"))
     spark.sql("DROP TABLE IF EXISTS merge_probe_tgt")
+
+
+def test_stream_rdf_documents_to_statements(spark, tmp_path):
+    """Crawl batches of RDF documents landing as parquet stream through
+    the distributed readers unchanged — rdfxml_statements / jsonld
+    jsonld_statements are plain mapInPandas projections, so the SAME
+    operator runs batch and streaming (the kg-construction loop closes:
+    readStream → parse → statements → merge sink), and a malformed
+    document in the stream yields its error row instead of killing the
+    query."""
+    from sparkrdf.jsonldoc import jsonld_statements
+    from sparkrdf.rdfxml import rdfxml_statements
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xml = (f'<rdf:RDF xmlns:rdf="{RDF}" xmlns:ex="http://e.org/">'
+           f'<ex:T rdf:about="#i"><ex:v>1</ex:v></ex:T></rdf:RDF>')
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [("http://h/a", xml), ("http://h/bad", "<broken")],
+        "url string, xml string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("url string, xml string").parquet(src)
+    q = (
+        rdfxml_statements(stream)
+        .writeStream.format("memory")
+        .queryName("rdfxml_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rdfxml_stream").collect()
+    assert {r.url for r in rows} == {"http://h/a", "http://h/bad"}
+    assert any(r.p.endswith("parseError") for r in rows)
+    assert any(r.s == "http://h/a#i" for r in rows)
+
+    jsrc = str(tmp_path / "jl")
+    spark.createDataFrame(
+        [("http://h/j", '{"@id": "#x", "http://p/v": 7}')],
+        "url string, json string",
+    ).write.parquet(jsrc)
+    q2 = (
+        jsonld_statements(
+            spark.readStream.schema("url string, json string").parquet(jsrc)
+        )
+        .writeStream.format("memory")
+        .queryName("jsonld_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from jsonld_stream").collect()
+    assert len(rows) == 1 and rows[0].s == "http://h/j#x"
