@@ -1510,6 +1510,25 @@ def q_graph_scc(spark, sf_dir):
                src="src_host", dst="dst_host")
 
 
+def q_kg_skolemized(spark, sf_dir):
+    """Skolemization (sparkrdf/terms.py skolemize — rdflib
+    Graph.skolemize parity, RDF 1.1 §3.5): every blank node of the n-ary
+    mention structures becomes a stable
+    ``/.well-known/genid/`` IRI — the transform that lets bnodes survive
+    exports, MERGE sinks and snapshot diffs; deskolemize inverts it
+    exactly (pytest). One codegen projection, zero shuffle. Oracle: the
+    mention rows with the Skolem prefix concatenated directly."""
+    from sparkrdf.terms import skolemize
+
+    all_stmts, _ = _nary_mention_stmts(spark, sf_dir)
+    nary = all_stmts.filter(
+        F.col("p").isin(dockg.P_HAS_MENTION, dockg.P_ENT, dockg.P_SURFACE)
+    )
+    return skolemize(nary).select(
+        "s_kind", "s", "p", "o_kind", "o"
+    )
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2807,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_term_fns": q_kg_sparql_term_fns,
         "kg_sparql_hash_fns": q_kg_sparql_hash_fns,
+        "kg_skolemized": q_kg_skolemized,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_expr_select": q_kg_sparql_expr_select,
         "kg_sparql_describe": q_kg_sparql_describe,
@@ -4929,6 +4949,20 @@ WITH {_DOC_CTES}
 SELECT m.s AS d, 'm:' || m.s || '|' || m.ent AS m,
        'http://www.w3.org/2001/XMLSchema#integer' AS dt, '' AS lv
 FROM mentions m
+"""
+
+    # skolemization: the n-ary mention rows with every bnode label
+    # prefixed into the /.well-known/genid/ namespace, kinds flipped
+    sql["kg_skolemized"] = f"""
+WITH {_DOC_CTES},
+gen AS (SELECT 'https://sparkrdf.example.org/.well-known/genid/m:'
+          || s || '|' || ent AS bn, s, ent FROM mentions)
+SELECT s_kind, s, p, o_kind, o FROM (
+  SELECT 'URIRef' AS s_kind, s, '{dockg.P_HAS_MENTION}' AS p,
+         'URIRef' AS o_kind, bn AS o FROM gen
+  UNION ALL SELECT 'URIRef', bn, '{dockg.P_ENT}', 'URIRef', ent FROM gen
+  UNION ALL SELECT 'URIRef', bn, '{dockg.P_SURFACE}', 'Literal',
+    regexp_extract(ent, 'entity/(.*)$', 1) FROM gen)
 """
 
     # hash functions: DuckDB's own md5()/sha256() over the same lexicals

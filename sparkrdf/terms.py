@@ -157,3 +157,47 @@ def literal_value_json(lex_col: Column, datatype_col: Column) -> Column:
         )
         .otherwise(quoted)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skolemization (rdflib Graph.skolemize / de_skolemize parity — RDF 1.1
+# §3.5 "Replacing Blank Nodes with IRIs"; the reference's rdflib graphs
+# offer exactly this pair, and the stable-IRI form is what lets blank
+# nodes survive system boundaries like exports, MERGE sinks and diffs)
+# ---------------------------------------------------------------------------
+
+GENID_PATH = "/.well-known/genid/"
+
+
+def skolemize(stmts, authority: str = "https://sparkrdf.example.org"):
+    """Replace every blank node with a Skolem IRI
+    ``<authority>/.well-known/genid/<label>`` (RDF 1.1 §3.5) — a pure
+    codegen projection, zero shuffle; :func:`deskolemize` inverts it
+    exactly because bnode labels are deterministic per parse."""
+    base = authority.rstrip("/") + GENID_PATH
+    s_b = F.col("s_kind") == "BNode"
+    o_b = F.col("o_kind") == "BNode"
+    return stmts.withColumns({
+        "s_kind": F.when(s_b, F.lit("URIRef")).otherwise(F.col("s_kind")),
+        "s": F.when(s_b, F.concat(F.lit(base), F.col("s"))).otherwise(F.col("s")),
+        "o_kind": F.when(o_b, F.lit("URIRef")).otherwise(F.col("o_kind")),
+        "o": F.when(o_b, F.concat(F.lit(base), F.col("o"))).otherwise(F.col("o")),
+    })
+
+
+def deskolemize(stmts, authority: str = "https://sparkrdf.example.org"):
+    """Inverse of :func:`skolemize`: Skolem IRIs under the authority's
+    ``/.well-known/genid/`` path become blank nodes again (rdflib
+    ``de_skolemize``); foreign IRIs pass through untouched."""
+    base = authority.rstrip("/") + GENID_PATH
+    n = len(base) + 1
+    s_sk = (F.col("s_kind") == "URIRef") & F.col("s").startswith(base)
+    o_sk = (F.col("o_kind") == "URIRef") & F.col("o").startswith(base)
+    return stmts.withColumns({
+        "s_kind": F.when(s_sk, F.lit("BNode")).otherwise(F.col("s_kind")),
+        "s": F.when(s_sk, F.col("s").substr(F.lit(n), F.lit(2**31 - 1)))
+             .otherwise(F.col("s")),
+        "o_kind": F.when(o_sk, F.lit("BNode")).otherwise(F.col("o_kind")),
+        "o": F.when(o_sk, F.col("o").substr(F.lit(n), F.lit(2**31 - 1)))
+             .otherwise(F.col("o")),
+    })

@@ -1168,3 +1168,37 @@ def test_scc_directed_vs_wcc(spark):
     w = {r.node for r in connected_components(
         df.selectExpr("u as id_a", "v as id_b")).collect()}
     assert w == {"a", "b"}  # one component, two nodes
+
+
+def test_skolemize_round_trip(spark):
+    """terms.skolemize/deskolemize (rdflib Graph.skolemize parity, RDF
+    1.1 §3.5): bnodes become /.well-known/genid/ IRIs and back exactly;
+    foreign IRIs, literals and named graphs pass through untouched."""
+    from sparkrdf.terms import deskolemize, skolemize
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    rows = parse_ttl(
+        """
+        @prefix ex: <http://e.com/> .
+        ex:a ex:p _:x .
+        _:x ex:q "v"@en .
+        ex:a ex:r ex:b .
+        ex:g { _:y ex:s "w" . }
+        """
+    )
+    df = statements_df(spark, rows)
+    sk = skolemize(df, authority="https://auth.example")
+    got = [tuple(r) for r in sk.collect()]
+    assert all(r[0] != "BNode" and r[3] != "BNode" for r in got)
+    assert any(
+        r[4] == "https://auth.example/.well-known/genid/l_x" for r in got)
+    # named-graph bnode skolemized too, graph column untouched
+    assert any(r[7] == "http://e.com/g" and
+               r[1].startswith("https://auth.example/.well-known/genid/")
+               for r in got)
+    back = sorted(tuple(r) for r in deskolemize(
+        sk, authority="https://auth.example").collect())
+    assert back == sorted(rows)
+    # a foreign authority's skolem IRIs are NOT deskolemized
+    other = deskolemize(sk, authority="https://other.example")
+    assert all(r.s_kind != "BNode" for r in other.collect())
