@@ -1529,6 +1529,26 @@ def q_kg_skolemized(spark, sf_dir):
     )
 
 
+def q_graph_nf(spark, sf_dir):
+    """Neighborhood function of the directed host graph (sparkrdf/
+    graphops.py neighborhood_function — HyperANF/HyperBall, Boldi-Vigna):
+    ordered pairs within distance t, the basis of effective-diameter
+    measurement. This query runs the EXACT frontier-BFS verification
+    config the sketch path is pinned against (pytest asserts the
+    HLL mode within tolerance of this); the scale path carries one
+    mergeable O(2^lg_k)-byte HLL sketch per node and one edge join +
+    hll_union_agg per round. Oracle: DuckDB recursive min-distance
+    closure with cumulative counts."""
+    from sparkrdf.graphops import neighborhood_function
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return neighborhood_function(
+        g.select("src_host", "dst_host"),
+        src="src_host", dst="dst_host", max_t=4, exact=True,
+    )
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2795,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": q_graph_coreness,
         "graph_wcc": q_graph_wcc,
         "graph_scc": q_graph_scc,
+        "graph_nf": q_graph_nf,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4376,6 +4397,23 @@ mutual AS (
   SELECT r1.a, r1.b FROM reach r1 JOIN reach r2
     ON r1.a = r2.b AND r1.b = r2.a)
 SELECT a AS n, MIN(b) AS scc FROM mutual GROUP BY a
+"""
+
+    # neighborhood function: recursive bounded-depth BFS, min distance per
+    # ordered pair, cumulative pair counts at each observed distance
+    sql["graph_nf"] = _links_recursive + """,
+de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
+       WHERE src_host <> dst_host),
+dn AS (SELECT s AS n FROM de UNION SELECT t FROM de),
+bfs(a, b, d) AS (
+  SELECT n, n, 0 FROM dn
+  UNION
+  SELECT bfs.a, de.t, bfs.d + 1 FROM bfs JOIN de ON de.s = bfs.b
+  WHERE bfs.d < 4),
+md AS (SELECT a, b, MIN(d) AS d FROM bfs GROUP BY a, b)
+SELECT CAST(g.d AS INTEGER) AS t, COUNT(*)::BIGINT AS pairs
+FROM (SELECT DISTINCT d FROM md) g JOIN md m ON m.d <= g.d
+GROUP BY g.d
 """
 
     sql["graph_wcc"] = _links_recursive + """,

@@ -1428,3 +1428,96 @@ def scc(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"scc not converged after {max_rounds} rounds")
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_t: int = 8,
+    exact: bool = False,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Neighborhood function of a directed graph — ``(t, pairs)`` where
+    ``pairs`` = number of ordered (a, b) pairs with dist(a → b) ≤ t, for
+    t = 0..max_t — the basis of effective-diameter / distance-distribution
+    measurement on web graphs (HyperANF/HyperBall, Boldi-Vigna WWW 2011).
+
+    ``exact=False`` (the scale path) is HyperBall on Spark's DataSketches
+    HLL builtins: each node carries one mergeable sketch of its radius-t
+    ball, per round ONE edge join + one ``hll_union_agg`` — state is
+    O(|V|·2^lg_k) bytes total regardless of how dense the balls get, and
+    ``pairs`` is the summed sketch estimate (±~1.6%/√2^lg_k standard
+    HLL error at the default lg_k=12 ⇒ ~2.5%). ``exact=True`` is the
+    verification config: frontier BFS materializing every (a, b, dist)
+    pair — exact but Σ|ball| memory, the config the DuckDB oracle and
+    pytest pin the sketch path against (same two-mode discipline as
+    sim_knn_join).
+
+    The iteration stops early once a round adds nothing (every ball
+    saturated), so max_t bounds but does not force work.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("s").alias("n"))
+        .unionByName(e.select(F.col("t").alias("n")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    if exact:
+        dist = nodes.select(
+            F.col("n").alias("a"), F.col("n").alias("b"), F.lit(0).alias("d")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for t in range(1, max_t + 1):
+            nxt = (
+                frontier.join(e, frontier["b"] == e["s"])
+                .select("a", F.col("t").alias("b"))
+                .distinct()
+                .join(dist.select("a", "b"), ["a", "b"], "left_anti")
+                .withColumn("d", F.lit(t))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        per_d = dist.groupBy("d").agg(F.count("*").alias("c"))
+        w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            per_d.select(
+                F.col("d").alias("t"),
+                F.sum("c").over(w).cast("long").alias("pairs"),
+            )
+            .orderBy("t")
+        )
+    # HyperBall: one sketch per node, grown by neighbor-union per round
+    sk = nodes.groupBy("n").agg(F.hll_sketch_agg("n", F.lit(lg_k)).alias("sk"))
+    sk = sk.localCheckpoint(eager=True)
+    est = [
+        sk.agg(F.sum(F.hll_sketch_estimate("sk")).cast("long").alias("p"))
+        .collect()[0]["p"]
+    ]
+    for t in range(1, max_t + 1):
+        nbr = e.join(sk, e["t"] == sk["n"]).select(F.col("s").alias("n"), "sk")
+        new = (
+            sk.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        p = new.agg(
+            F.sum(F.hll_sketch_estimate("sk")).cast("long").alias("p")
+        ).collect()[0]["p"]
+        sk = new
+        if p == est[-1]:
+            break
+        est.append(p)
+    return spark.createDataFrame(
+        list(enumerate(est)), "t int, pairs long"
+    )

@@ -1202,3 +1202,26 @@ def test_skolemize_round_trip(spark):
     # a foreign authority's skolem IRIs are NOT deskolemized
     other = deskolemize(sk, authority="https://other.example")
     assert all(r.s_kind != "BNode" for r in other.collect())
+
+
+def test_neighborhood_function_exact_and_hyperball(spark):
+    """graphops.neighborhood_function: the exact frontier-BFS mode on a
+    hand graph (path + 2-cycle), and the HyperBall sketch mode pinned
+    within HLL tolerance of it — the two-mode discipline the oracle and
+    the scale path share."""
+    from sparkrdf.graphops import neighborhood_function
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")],
+        "u string, v string")
+    ex = {r.t: r.pairs for r in
+          neighborhood_function(df, exact=True).collect()}
+    # t0: 6 self-pairs; t1: +5 edges; t2: +a→c, b→d; t3: +a→d
+    assert ex == {0: 6, 1: 11, 2: 13, 3: 14}
+    hl = {r.t: r.pairs for r in
+          neighborhood_function(df, exact=False).collect()}
+    assert set(hl) == set(ex)
+    for t, v in ex.items():
+        assert abs(hl[t] - v) <= max(1, 0.1 * v)
+    # early stop: max_t far beyond saturation adds no rows
+    assert max(ex) == 3
