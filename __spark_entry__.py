@@ -1549,6 +1549,25 @@ def q_graph_nf(spark, sf_dir):
     )
 
 
+def q_graph_harmonic(spark, sf_dir):
+    """Harmonic centrality of the directed host graph (sparkrdf/
+    graphops.py harmonic_centrality — Boldi-Vigna "Axioms for
+    centrality": Σ 1/d over incoming distances, depth-capped; the
+    centrality that stays well-defined on disconnected web graphs).
+    Exact verification config here (frontier BFS over the reversed
+    graph); the scale path is HyperBall in-ball sketches with the
+    per-round increment /t accumulation, pinned by pytest. Oracle: the
+    same Σ 1/d over a DuckDB recursive min-distance closure."""
+    from sparkrdf.graphops import harmonic_centrality
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return harmonic_centrality(
+        g.select("src_host", "dst_host"),
+        src="src_host", dst="dst_host", max_t=4, exact=True,
+    )
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2816,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wcc": q_graph_wcc,
         "graph_scc": q_graph_scc,
         "graph_nf": q_graph_nf,
+        "graph_harmonic": q_graph_harmonic,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4386,7 +4406,8 @@ FROM orders
     sql["graph_scc"] = _links_recursive + """,
 de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
        WHERE src_host <> dst_host),
-dn AS (SELECT s AS n FROM de UNION SELECT t FROM de),
+dn AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
 reach(a, b) AS (
   SELECT s, t FROM de
   UNION
@@ -4404,7 +4425,8 @@ SELECT a AS n, MIN(b) AS scc FROM mutual GROUP BY a
     sql["graph_nf"] = _links_recursive + """,
 de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
        WHERE src_host <> dst_host),
-dn AS (SELECT s AS n FROM de UNION SELECT t FROM de),
+dn AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
 bfs(a, b, d) AS (
   SELECT n, n, 0 FROM dn
   UNION
@@ -4414,6 +4436,25 @@ md AS (SELECT a, b, MIN(d) AS d FROM bfs GROUP BY a, b)
 SELECT CAST(g.d AS INTEGER) AS t, COUNT(*)::BIGINT AS pairs
 FROM (SELECT DISTINCT d FROM md) g JOIN md m ON m.d <= g.d
 GROUP BY g.d
+"""
+
+    # harmonic centrality: sum of reciprocal in-distances per node over
+    # the same bounded min-distance closure; unreached nodes score 0
+    sql["graph_harmonic"] = _links_recursive + """,
+de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
+       WHERE src_host <> dst_host),
+dn AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM de UNION ALL SELECT t FROM de)),
+bfs(a, b, d) AS (
+  SELECT n, n, 0 FROM dn
+  UNION
+  SELECT bfs.a, de.t, bfs.d + 1 FROM bfs JOIN de ON de.s = bfs.b
+  WHERE bfs.d < 4),
+md AS MATERIALIZED (SELECT a, b, MIN(d) AS d FROM bfs GROUP BY a, b)
+SELECT dn.n,
+       ROUND(COALESCE(SUM(CAST(1.0 AS DOUBLE) / md.d), 0), 6) AS centrality
+FROM dn LEFT JOIN md ON md.b = dn.n AND md.d > 0
+GROUP BY dn.n
 """
 
     sql["graph_wcc"] = _links_recursive + """,

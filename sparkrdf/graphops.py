@@ -1521,3 +1521,98 @@ def neighborhood_function(
     return spark.createDataFrame(
         list(enumerate(est)), "t int, pairs long"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_t: int = 8,
+    exact: bool = False,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Harmonic centrality ``H(v) = Σ_{u≠v, d(u→v)<∞} 1/d(u → v)`` over
+    incoming distances, depth-bounded at ``max_t`` — Boldi-Vigna's
+    "Axioms for centrality" (2014) pick for web graphs (well-defined on
+    disconnected graphs, unlike closeness).
+
+    ``exact=False`` runs HyperBall on the REVERSED graph: per node one
+    mergeable HLL sketch of the radius-t in-ball; the round-t increment
+    ``(|B(v,t)| − |B(v,t−1)|)/t`` accumulates H(v) — O(|V|·2^lg_k)
+    state, one edge join + ``hll_union_agg`` per round.  ``exact=True``
+    materializes the in-distance pairs by frontier BFS (Σ|ball| memory)
+    — the verification config the oracle and pytest pin the sketch
+    path against. Returns ``(n, centrality)`` rounded to 6 places (the
+    increment arithmetic is order-independent at that precision).
+    """
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    if exact:
+        # in-distances of v = out-distances on the reversed graph
+        e = (
+            rev.filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            e.select(F.col("u").alias("n"))
+            .unionByName(e.select(F.col("v").alias("n")))
+            .distinct()
+        )
+        dist = nodes.select(
+            F.col("n").alias("a"), F.col("n").alias("b"), F.lit(0).alias("d")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for t in range(1, max_t + 1):
+            nxt = (
+                frontier.join(e, frontier["b"] == e["u"])
+                .select("a", F.col("v").alias("b"))
+                .distinct()
+                .join(dist.select("a", "b"), ["a", "b"], "left_anti")
+                .withColumn("d", F.lit(t))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        h = (
+            dist.filter(F.col("d") > 0)
+            .groupBy(F.col("a").alias("n"))
+            .agg(F.sum(1.0 / F.col("d")).alias("h"))
+        )
+        # nodes nothing reaches score 0.0 (same contract as the sketch mode)
+        return nodes.join(h, "n", "left").select(
+            "n", F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).alias("centrality")
+        )
+    sk = (
+        rev.select(F.col("u").alias("n"))
+        .unionByName(rev.select(F.col("v").alias("n")))
+        .distinct()
+        .groupBy("n")
+        .agg(F.hll_sketch_agg("n", F.lit(lg_k)).alias("sk"))
+        .localCheckpoint(eager=True)
+    )
+    e = rev.filter(F.col("u") != F.col("v")).dropDuplicates().localCheckpoint(eager=True)
+    acc = sk.select("n", F.hll_sketch_estimate("sk").alias("prev"),
+                    F.lit(0.0).alias("h"))
+    for t in range(1, max_t + 1):
+        nbr = e.join(sk, e["v"] == sk["n"]).select(F.col("u").alias("n"), "sk")
+        sk = (
+            sk.unionByName(nbr)
+            .groupBy("n")
+            .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        cur = sk.select("n", F.hll_sketch_estimate("sk").alias("cur"))
+        joined = acc.join(cur, "n").localCheckpoint(eager=True)
+        grew = joined.filter(F.col("cur") > F.col("prev")).limit(1).count()
+        acc = joined.select(
+            "n",
+            F.col("cur").alias("prev"),
+            (F.col("h")
+             + F.greatest(F.col("cur") - F.col("prev"), F.lit(0.0))
+             / F.lit(float(t))).alias("h"),
+        ).localCheckpoint(eager=True)
+        if grew == 0:
+            break
+    return acc.select("n", F.round("h", 6).alias("centrality"))

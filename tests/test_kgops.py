@@ -1225,3 +1225,26 @@ def test_neighborhood_function_exact_and_hyperball(spark):
         assert abs(hl[t] - v) <= max(1, 0.1 * v)
     # early stop: max_t far beyond saturation adds no rows
     assert max(ex) == 3
+
+
+def test_harmonic_centrality_exact_and_hyperball(spark):
+    """graphops.harmonic_centrality: exact in-distance reciprocals on a
+    hand graph, HyperBall mode within HLL tolerance, unreached nodes
+    score 0.0 in both modes."""
+    from sparkrdf.graphops import harmonic_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")],
+        "u string, v string")
+    ex = {r.n: r.centrality for r in
+          harmonic_centrality(df, exact=True).collect()}
+    assert ex["a"] == 0.0          # nothing reaches a
+    assert ex["b"] == 1.0          # a at d=1
+    assert ex["c"] == 1.5          # b@1, a@2
+    assert abs(ex["d"] - (1 + 0.5 + 1 / 3)) < 1e-6
+    assert ex["e"] == 1.0 and ex["f"] == 1.0
+    hl = {r.n: r.centrality for r in
+          harmonic_centrality(df, exact=False).collect()}
+    assert set(hl) == set(ex)
+    for n, v in ex.items():
+        assert abs(hl[n] - v) <= 0.15 * v + 0.01
