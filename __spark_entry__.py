@@ -1568,6 +1568,26 @@ def q_graph_harmonic(spark, sf_dir):
     )
 
 
+_PPR_SEEDS = ("site1.example.org", "site2.example.org", "site3.example.org")
+
+
+def q_web_host_ppr(spark, sf_dir):
+    """Personalized PageRank over the directed weighted host graph
+    (sparkrdf/graphops.py personalized_pagerank — Haveliwala topic-
+    sensitive PR): restart into a 3-host seed set; dangling walks restart
+    AT the seeds so rank mass stays inside the seed-reachable region and
+    unreachable hosts score exactly 0. Same plan budget as
+    pagerank_directed (|V|-row shuffle/round, broadcast dangling
+    aggregate, broadcast seed teleport). Oracle: the 10 iterations
+    unrolled in DuckDB with the identical teleport algebra."""
+    from sparkrdf.graphops import personalized_pagerank
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    seeds = spark.createDataFrame([(s,) for s in _PPR_SEEDS], "n string")
+    return personalized_pagerank(g, seeds)
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2836,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "graph_nf": q_graph_nf,
         "graph_harmonic": q_graph_harmonic,
+        "web_host_ppr": q_web_host_ppr,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4557,6 +4578,38 @@ r{i + 1} AS MATERIALIZED (
          + 0.85 * (COALESCE(inf{i}.c, 0) + (SELECT dm FROM dm{i}) / (SELECT c FROM nv)) AS pr
   FROM nodes LEFT JOIN inf{i} ON nodes.n = inf{i}.n)"""
     sql["web_host_rank"] = _dpr + "\nSELECT n, ROUND(pr, 6) AS pr FROM r10"
+
+    # personalized PageRank: the same unrolled power iteration with a
+    # seed-uniform teleport vector replacing 1/N everywhere
+    _seed_list = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    _ppr = _links_base + f""",
+we AS MATERIALIZED (SELECT src_host AS s, dst_host AS t, n_links::DOUBLE AS w FROM edges),
+outw AS (SELECT s, SUM(w) AS ow FROM we GROUP BY s),
+norm AS MATERIALIZED (SELECT we.s, we.t, we.w / outw.ow AS frac
+                      FROM we JOIN outw USING (s)),
+nodes AS MATERIALIZED (SELECT DISTINCT n FROM (
+  SELECT s AS n FROM we UNION ALL SELECT t AS n FROM we)),
+sd AS MATERIALIZED (SELECT n FROM nodes WHERE n IN ({_seed_list})),
+ns AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS c FROM sd),
+tele AS MATERIALIZED (
+  SELECT nodes.n,
+         CASE WHEN sd.n IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (SELECT c FROM ns)
+              ELSE 0 END AS tl
+  FROM nodes LEFT JOIN sd USING (n)),
+srcs AS MATERIALIZED (SELECT DISTINCT s AS n FROM we),
+p0 AS MATERIALIZED (SELECT n, tl AS pr FROM tele)"""
+    for i in range(10):
+        _ppr += f""",
+pdm{i} AS MATERIALIZED (SELECT COALESCE(SUM(pr), 0) AS dm FROM p{i}
+  WHERE n NOT IN (SELECT n FROM srcs)),
+pinf{i} AS MATERIALIZED (SELECT norm.t AS n, SUM(p{i}.pr * norm.frac) AS c
+  FROM norm JOIN p{i} ON p{i}.n = norm.s GROUP BY norm.t),
+p{i + 1} AS MATERIALIZED (
+  SELECT tele.n,
+         (1 - 0.85) * tele.tl
+         + 0.85 * (COALESCE(pinf{i}.c, 0) + (SELECT dm FROM pdm{i}) * tele.tl) AS pr
+  FROM tele LEFT JOIN pinf{i} ON tele.n = pinf{i}.n)"""
+    sql["web_host_ppr"] = _ppr + "\nSELECT n, ROUND(pr, 6) AS pr FROM p10"
 
     # HITS: auth(v) = Σ hub(u→v), hub(u) = Σ auth(u→v), each L1-normalized
     # and rounded 12 d.p. per normalization (the one cross-engine float

@@ -1616,3 +1616,83 @@ def harmonic_centrality(
         if grew == 0:
             break
     return acc.select("n", F.round("h", 6).alias("centrality"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    weight: str | None = "n_links",
+) -> DataFrame:
+    """Personalized PageRank: random walks with restart into a SEED set
+    instead of the uniform distribution — relevance of every node to a
+    query/topic/entity set (the standard KG-recommendation and
+    related-entity primitive; Haveliwala's topic-sensitive PageRank).
+
+        pr'(v) = (1-d)·tele(v) + d·( Σ_{u→v} pr(u)·w/outw(u) + D·tele(v) )
+
+    with tele uniform over the seeds and D the dangling mass — dangling
+    walks restart AT THE SEEDS, so all rank stays inside the seed-reachable
+    region and nodes the seeds cannot reach score exactly 0.
+
+    Scale shape identical to :func:`pagerank_directed` (one persisted
+    normalized edge table, |V|-row rank shuffle per round, broadcast
+    1-row dangling aggregate, localCheckpoint per round); the seed table
+    is dimension-sized and broadcast into the teleport join.
+    """
+    cols = [F.col(src).alias("s"), F.col(dst).alias("t")]
+    cols.append((F.col(weight) if weight else F.lit(1)).cast("double").alias("w"))
+    e = edges.select(*cols)
+    outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
+    norm = (
+        e.join(outw, "s")
+        .select("s", "t", (F.col("w") / F.col("ow")).alias("frac"))
+        .repartition("s")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("n"))
+        .unionAll(e.select(F.col("t").alias("n")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    sd = seeds.select(F.col(seeds.columns[0]).alias("n")).dropDuplicates()
+    sd = sd.join(nodes, "n", "left_semi")
+    n_s = sd.count()
+    if n_s == 0:
+        raise ValueError("personalized_pagerank: no seed is a graph node")
+    tele = nodes.join(
+        F.broadcast(sd.withColumn("tl", F.lit(1.0 / n_s))), "n", "left"
+    ).select("n", F.coalesce("tl", F.lit(0.0)).alias("tl")).localCheckpoint(
+        eager=True
+    )
+    srcs = norm.select(F.col("s").alias("n")).dropDuplicates()
+    ranks = tele.select("n", F.col("tl").alias("pr"))
+    for _ in range(n_iter):
+        dang = ranks.join(srcs, "n", "left_anti").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
+        )
+        inflow = (
+            norm.join(ranks.withColumnRenamed("n", "s"), "s")
+            .groupBy(F.col("t").alias("n"))
+            .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
+        )
+        ranks = (
+            tele.join(inflow, "n", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "n",
+                (
+                    (1.0 - damping) * F.col("tl")
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") * F.col("tl"))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    norm.unpersist()
+    return ranks.select("n", F.round("pr", 6).alias("pr"))

@@ -1248,3 +1248,25 @@ def test_harmonic_centrality_exact_and_hyperball(spark):
     assert set(hl) == set(ex)
     for n, v in ex.items():
         assert abs(hl[n] - v) <= 0.15 * v + 0.01
+
+
+def test_personalized_pagerank(spark):
+    """graphops.personalized_pagerank: mass conserved, unreachable
+    islands score exactly 0, seeds dominate, empty seed set raises."""
+    import pytest as _pytest
+
+    from sparkrdf.graphops import personalized_pagerank
+
+    df = spark.createDataFrame(
+        [("s", "a", 1), ("s", "b", 1), ("x", "y", 1)],
+        "u string, v string, w int")
+    seeds = spark.createDataFrame([("s",)], "n string")
+    out = {r.n: r.pr for r in personalized_pagerank(
+        df, seeds, src="u", dst="v", weight="w").collect()}
+    assert out["x"] == 0.0 and out["y"] == 0.0
+    assert out["s"] > out["a"] == out["b"] > 0
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    with _pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(
+            df, spark.createDataFrame([("zz",)], "n string"),
+            src="u", dst="v", weight="w")
