@@ -844,9 +844,12 @@ def parse_filter(expr: str):
     an AST of tuples. Supported: ``&& || !``, comparisons ``= != < <= >
     >=``, ``IN / NOT IN`` lists, arithmetic ``+ - * /``, the boolean
     functions ``regex(?v, pat[, flags])``, ``bound(?v)``,
-    ``contains/strstarts/strends(?v, str)``, the value functions
-    ``str strlen ucase lcase concat substr replace strbefore strafter
-    abs round ceil floor if coalesce``, variables, numeric/string/boolean
+    ``contains/strstarts/strends(?v, str)``, the term tests
+    ``isIRI/isURI/isBlank/isLiteral/isNumeric(?v)``, ``langMatches``,
+    ``sameTerm`` (these need ``bgp_match(term_meta=True)``), the value
+    functions ``str strlen ucase lcase concat substr replace strbefore
+    strafter abs round ceil floor if coalesce lang datatype md5 sha1
+    sha256 encode_for_uri``, variables, numeric/string/boolean
     literals, and grouping parens. Precedence: ``||`` < ``&&`` < ``!`` <
     comparison/IN < ``+ -`` < ``* /``.
     """
