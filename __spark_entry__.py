@@ -1571,6 +1571,25 @@ def q_graph_harmonic(spark, sf_dir):
 _PPR_SEEDS = ("site1.example.org", "site2.example.org", "site3.example.org")
 
 
+def q_web_node2vec_walks(spark, sf_dir):
+    """node2vec biased walks over the host graph (sparkrdf/graphops.py
+    node2vec_walks — Grover-Leskovec second-order walks with exact
+    INTEGER class weights w_return/w_common/w_far, so the cumulative
+    draw is integer arithmetic and every hop is engine-reproducible).
+    First hop uniform, then candidates weighted by their distance to the
+    previous node; one Σ-out-degree candidate join + one per-state
+    cumsum window per step. Oracle: the identical md5/cumsum arithmetic
+    unrolled in DuckDB."""
+    from sparkrdf.graphops import node2vec_walks
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return node2vec_walks(
+        g.select("src_host", "dst_host"),
+        src="src_host", dst="dst_host", walk_len=3, walks_per_node=2,
+    )
+
+
 def q_web_host_ppr(spark, sf_dir):
     """Personalized PageRank over the directed weighted host graph
     (sparkrdf/graphops.py personalized_pagerank — Haveliwala topic-
@@ -2857,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_nf": q_graph_nf,
         "graph_harmonic": q_graph_harmonic,
         "web_host_ppr": q_web_host_ppr,
+        "web_node2vec_walks": q_web_node2vec_walks,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4665,6 +4685,56 @@ SELECT start, walk_no, step, node FROM w0
 UNION ALL SELECT start, walk_no, step, node FROM w1
 UNION ALL SELECT start, walk_no, step, node FROM w2
 UNION ALL SELECT start, walk_no, step, node FROM w3
+"""
+
+    # node2vec: uniform first hop, then integer class weights (1/2/1 =
+    # return/common/far) with the cumulative-weight md5 draw — identical
+    # integer arithmetic to graphops.node2vec_walks
+    _n2v = _links_base + """,
+we AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges),
+nbr AS MATERIALIZED (
+  SELECT s, t, ROW_NUMBER() OVER (PARTITION BY s ORDER BY t) - 1 AS idx FROM we),
+dg AS MATERIALIZED (SELECT s, COUNT(*) AS dg FROM we GROUP BY s),
+v0 AS MATERIALIZED (
+  SELECT d.s AS start, wn.walk_no, d.s AS node
+  FROM dg d, (SELECT unnest(range(2))::INT AS walk_no) wn),
+v1 AS MATERIALIZED (
+  SELECT v.start, v.walk_no, v.node AS prev, nbr.t AS node
+  FROM v0 v
+  JOIN dg ON dg.s = v.node
+  JOIN nbr ON nbr.s = v.node AND nbr.idx =
+    CAST(('0x' || substr(md5('7' || '|' || v.start || '|' || v.walk_no
+                             || '|' || '0' || '|' || v.node), 1, 8))
+         AS BIGINT) % dg.dg)"""
+    for t in range(1, 3):
+        _n2v += f""",
+c{t} AS MATERIALIZED (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY start, walk_no ORDER BY idx) AS cum,
+         SUM(w) OVER (PARTITION BY start, walk_no) AS tot
+  FROM (
+    SELECT v.start, v.walk_no, v.prev, v.node, nbr.t AS cx, nbr.idx,
+           CASE WHEN nbr.t = v.prev THEN 1
+                WHEN pe.s IS NOT NULL THEN 2
+                ELSE 1 END AS w
+    FROM v{t} v
+    JOIN nbr ON nbr.s = v.node
+    LEFT JOIN we pe ON pe.s = v.prev AND pe.t = nbr.t)),
+v{t + 1} AS MATERIALIZED (
+  SELECT start, walk_no, node AS prev, cx AS node FROM c{t}
+  WHERE CAST(('0x' || substr(md5('7' || '|' || start || '|' || walk_no
+                                 || '|' || '{t}' || '|' || prev
+                                 || '|' || node), 1, 8)) AS BIGINT)
+        % tot < cum
+    AND CAST(('0x' || substr(md5('7' || '|' || start || '|' || walk_no
+                                 || '|' || '{t}' || '|' || prev
+                                 || '|' || node), 1, 8)) AS BIGINT)
+        % tot >= cum - w)"""
+    sql["web_node2vec_walks"] = _n2v + """
+SELECT start, walk_no, 0 AS step, node FROM v0
+UNION ALL SELECT start, walk_no, 1, node FROM v1
+UNION ALL SELECT start, walk_no, 2, node FROM v2
+UNION ALL SELECT start, walk_no, 3, node FROM v3
 """
 
     # skip-gram pairs + deterministic negatives over the same walk corpus

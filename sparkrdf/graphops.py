@@ -1696,3 +1696,136 @@ def personalized_pagerank(
         )
     norm.unpersist()
     return ranks.select("n", F.round("pr", 6).alias("pr"))
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 2,
+    w_return: int = 1,
+    w_common: int = 2,
+    w_far: int = 1,
+    seed: int = 7,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic node2vec walks (Grover-Leskovec KDD 2016): the
+    second-order biased companion to :func:`random_walks`. At ``cur``
+    having arrived from ``prev``, out-neighbor ``x`` is drawn with
+    unnormalized INTEGER class weight
+
+        w_return  if x = prev               (node2vec's 1/p)
+        w_common  if edge prev→x exists     (distance 1 from prev)
+        w_far     otherwise                 (node2vec's 1/q)
+
+    i.e. p = w_common/w_return, q = w_common/w_far, expressed as exact
+    integers so the cumulative-weight draw is integer arithmetic — no
+    float summation order to diverge between engines; the DuckDB oracle
+    reproduces every hop (same discipline as :func:`random_walks`). The
+    first hop (no ``prev`` yet) is the uniform md5 draw. Walks stop at
+    sinks. Returns ``(start, walk_no, step, node)``.
+
+    Scale shape: per step the frontier joins the once-persisted neighbor
+    index (Σ out-degree work per step — inherent to node2vec, which must
+    weigh EVERY candidate), one broadcast-class left join against the
+    edge set for the distance-1 test, then ONE cumulative-sum window
+    partitioned per walk state. The window partition size equals the
+    current node's out-degree — bounded by the graph's max out-degree
+    (fine for host graphs; for 10^7-degree hubs pre-cap the neighbor
+    lists, which is also what keeps Σ deg per step bounded).
+    """
+    for name, w in (("w_return", w_return), ("w_common", w_common),
+                    ("w_far", w_far)):
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"{name} must be a non-negative integer")
+    if w_return + w_common + w_far == 0:
+        raise ValueError("at least one class weight must be positive")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
+    # neighbor index (window-free, same construction as random_walks)
+    d = (
+        e.repartitionByRange("s", "t")
+        .sortWithinPartitions("s", "t")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wp = Window.partitionBy("_pid").orderBy("s", "t")
+    d = d.withColumn("_r", F.row_number().over(wp)).localCheckpoint(eager=True)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    omap = e.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    ranked = d.join(F.broadcast(omap), "_pid").select(
+        "s", "t", (F.col("_off") + F.col("_r") - 1).alias("_gr")
+    )
+    idx = (
+        ranked.join(ranked.groupBy("s").agg(F.min("_gr").alias("_g0")), "s")
+        .select("s", "t", (F.col("_gr") - F.col("_g0")).cast("int").alias("idx"))
+        .repartition("s")
+        .persist()
+    )
+    deg = idx.groupBy("s").agg(F.count("*").alias("dg"))
+    starts = deg.select(F.col("s").alias("start")).crossJoin(
+        F.broadcast(
+            e.sparkSession.range(walks_per_node).select(
+                F.col("id").cast("int").alias("walk_no")
+            )
+        )
+    )
+    out = starts.select(
+        "start", "walk_no", F.lit(0).alias("step"), F.col("start").alias("node")
+    ).localCheckpoint(eager=True)
+    if walk_len < 1:
+        return out
+    # first hop: uniform (no prev), identical idiom to random_walks t=0
+    h0 = _md5_long(
+        F.concat_ws("|", F.lit(str(seed)), F.col("start"),
+                    F.col("walk_no").cast("string"), F.lit("0"), F.col("node"))
+    )
+    cur = (
+        out.join(deg.withColumnRenamed("s", "node"), "node")
+        .select("start", "walk_no", (h0 % F.col("dg")).alias("idx"), "node")
+        .join(idx.select(F.col("s").alias("node"), "idx",
+                         F.col("t").alias("nxt")), ["node", "idx"])
+        .select("start", "walk_no", F.lit(1).alias("step"),
+                F.col("node").alias("prev"), F.col("nxt").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionByName(cur.select("start", "walk_no", "step", "node"))
+    prev_edge = e.select(F.col("s").alias("prev"), F.col("t").alias("cx"),
+                         F.lit(1).alias("_pe"))
+    win = Window.partitionBy("start", "walk_no").orderBy("idx")
+    for t in range(1, walk_len):
+        cand = (
+            cur.join(idx.select(F.col("s").alias("node"), "idx",
+                                F.col("t").alias("cx")), "node")
+            .join(prev_edge, ["prev", "cx"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("cx") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_pe").isNotNull(), F.lit(w_common))
+                .otherwise(F.lit(w_far)),
+            )
+        )
+        cand = cand.withColumn("cum", F.sum("w").over(win)).withColumn(
+            "tot",
+            F.sum("w").over(
+                Window.partitionBy("start", "walk_no").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        r = _md5_long(
+            F.concat_ws("|", F.lit(str(seed)), F.col("start"),
+                        F.col("walk_no").cast("string"), F.lit(str(t)),
+                        F.col("prev"), F.col("node"))
+        ) % F.col("tot")
+        cur = (
+            cand.filter((r < F.col("cum")) & (r >= F.col("cum") - F.col("w")))
+            .select("start", "walk_no", F.lit(t + 1).alias("step"),
+                    F.col("node").alias("prev"), F.col("cx").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(cur.select("start", "walk_no", "step", "node"))
+    idx.unpersist()
+    return out

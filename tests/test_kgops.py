@@ -1270,3 +1270,42 @@ def test_personalized_pagerank(spark):
         personalized_pagerank(
             df, spark.createDataFrame([("zz",)], "n string"),
             src="u", dst="v", weight="w")
+
+
+def test_node2vec_walks(spark):
+    """graphops.node2vec_walks: every hop follows a real edge, the corpus
+    is deterministic, and an extreme return weight forces the step-2
+    oscillation node2vec's p parameter controls."""
+    from collections import defaultdict
+
+    from sparkrdf.graphops import node2vec_walks
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "c"), ("c", "b")]
+    df = spark.createDataFrame(edges, "u string, v string")
+
+    def seqs(rows):
+        w = defaultdict(dict)
+        for r in rows:
+            w[(r.start, r.walk_no)][r.step] = r.node
+        return {k: [v[i] for i in sorted(v)] for k, v in w.items()}
+
+    out = node2vec_walks(df, walk_len=3, walks_per_node=2).collect()
+    E = set(edges)
+    walks = seqs(out)
+    assert len(walks) == 6
+    for (start, _), seq in walks.items():
+        assert seq[0] == start
+        assert all((a, b) in E for a, b in zip(seq, seq[1:]))
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, node2vec_walks(df, walk_len=3, walks_per_node=2).collect()))
+
+    biased = seqs(node2vec_walks(
+        df, walk_len=2, walks_per_node=1,
+        w_return=10**6, w_common=1, w_far=1).collect())
+    for seq in biased.values():
+        assert seq[0] == seq[2]  # always returns to the previous node
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-negative integer"):
+        node2vec_walks(df, w_return=0.5)
