@@ -27,3 +27,6 @@ __version__ = "0.1.0"
 from sparkrdf.hashing import fingerprint64, farmhash_key  # noqa: F401
 from sparkrdf.api import SparkRDF  # noqa: F401
 from sparkrdf.sparql import sparql_query, sparql_update  # noqa: F401
+from sparkrdf.rdfxml import parse_rdfxml, rdfxml_statements  # noqa: F401
+from sparkrdf.jsonldoc import parse_jsonld, jsonld_statements  # noqa: F401
+from sparkrdf.terms import skolemize, deskolemize  # noqa: F401
