@@ -1607,6 +1607,19 @@ def q_web_host_ppr(spark, sf_dir):
     return personalized_pagerank(g, seeds)
 
 
+def q_web_frontier_waves(spark, sf_dir):
+    """Crawl politeness scheduling (sparkrdf/weburl.py frontier_waves):
+    every frontier URL gets a per-host fetch wave (≤ per_wave requests
+    per host per wave) — the dataset-side half of crawl rate-limiting.
+    The per-host sequence is computed WITHOUT a per-host window (hot
+    hosts never become one task's sort): range-partition + partition-id
+    row_number + broadcast cumulative offset, then seq = global rank −
+    per-host min. Oracle: a plain ROW_NUMBER per host in DuckDB."""
+    from sparkrdf.weburl import frontier_waves
+
+    return frontier_waves(_links_input(spark).select("url"), per_wave=4)
+
+
 def q_kg_sparql_hash_fns(spark, sf_dir):
     """SPARQL §17.5 hash functions via the string front end: MD5/SHA256
     over document IRIs — the deterministic IRI-minting/skolemization
@@ -2877,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_harmonic": q_graph_harmonic,
         "web_host_ppr": q_web_host_ppr,
         "web_node2vec_walks": q_web_node2vec_walks,
+        "web_frontier_waves": q_web_frontier_waves,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4685,6 +4699,21 @@ SELECT start, walk_no, step, node FROM w0
 UNION ALL SELECT start, walk_no, step, node FROM w1
 UNION ALL SELECT start, walk_no, step, node FROM w2
 UNION ALL SELECT start, walk_no, step, node FROM w3
+"""
+
+    # frontier waves: per-host ROW_NUMBER is the independent definition of
+    # the window-free global-rank construction
+    sql["web_frontier_waves"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet')),
+u AS (SELECT DISTINCT url FROM pages),
+h AS (SELECT url,
+             lower(regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/]+)', 1))
+               AS host
+      FROM u),
+r AS (SELECT url, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1 AS seq
+      FROM h WHERE host <> '')
+SELECT url, host, seq::BIGINT AS seq, (seq // 4)::BIGINT AS wave FROM r
 """
 
     # node2vec: uniform first hop, then integer class weights (1/2/1 =

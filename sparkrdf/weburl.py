@@ -27,7 +27,7 @@ hash aggregate on ``canon_url`` with map-side partials. No Python anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -80,4 +80,62 @@ def url_dedup_groups(pages: DataFrame, url_col: str = "url", id_col: str = "doc_
             F.min(id_col).alias("keep_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def frontier_waves(
+    urls: DataFrame,
+    per_wave: int = 4,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness scheduling for a crawl frontier: assign every URL a
+    per-host fetch ``wave`` so no host receives more than ``per_wave``
+    requests per wave — the dataset-side half of crawl rate-limiting
+    (the fetcher then maps one wave to one politeness interval).
+    Returns ``(url, host, seq, wave)`` with ``seq`` the URL's
+    deterministic 0-based arrival index within its host (ordered by url)
+    and ``wave = seq // per_wave``.
+
+    Scale shape: the per-host sequence is computed WITHOUT a per-host
+    window (a hot host with 10^8 frontier URLs would otherwise become
+    one task's sort): range-partition on (host, url), per-partition
+    row_number keyed on the physical partition id, broadcast
+    cumulative-offset, then ``seq = global_rank − min(global_rank) per
+    host`` — rows of one host are contiguous in (host, url) order, so
+    the difference IS the per-host index; the min is a partial-aggregated
+    groupBy (the er.py sorted_neighborhood / graphops neighbor-index
+    pattern)."""
+    if per_wave < 1:
+        raise ValueError("per_wave must be >= 1")
+    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    d = (
+        urls.select(F.col(url_col).alias("url"))
+        .dropDuplicates()
+        .withColumn("host", F.lower(host))
+        .filter(F.col("host") != "")
+        .repartitionByRange("host", "url")
+        .sortWithinPartitions("host", "url")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy("host", "url")
+    d = d.withColumn("_r", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    omap = urls.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    ranked = d.join(F.broadcast(omap), "_pid").select(
+        "url", "host", (F.col("_off") + F.col("_r") - 1).alias("_gr")
+    )
+    return (
+        ranked.join(ranked.groupBy("host").agg(F.min("_gr").alias("_h0")), "host")
+        .select(
+            "url",
+            "host",
+            (F.col("_gr") - F.col("_h0")).cast("long").alias("seq"),
+            ((F.col("_gr") - F.col("_h0")) / per_wave).cast("long").alias("wave"),
+        )
     )

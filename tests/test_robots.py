@@ -139,3 +139,28 @@ def test_sitemap_urls_extraction(spark):
     df = spark.createDataFrame([("s.xml", body)], "path string, body string")
     got = {(r.loc, r.lastmod) for r in sitemap_urls(df).collect()}
     assert got == {("https://a/1", "2025-01-02"), ("https://a/2", None)}
+
+
+def test_frontier_waves(spark):
+    """weburl.frontier_waves: per-host 0-based arrival sequence and
+    wave = seq // per_wave; deterministic by (host, url); hostless
+    inputs drop; per_wave < 1 raises."""
+    import pytest as _pytest
+
+    from sparkrdf.weburl import frontier_waves
+
+    urls = [(f"https://h{i % 3}.org/p{j}",) for i in range(3) for j in range(7)]
+    urls.append(("not-a-url",))
+    df = spark.createDataFrame(urls, "url string")
+    out = frontier_waves(df, per_wave=3).collect()
+    assert len(out) == 21  # hostless row dropped
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.seq, r.wave, r.url))
+    for rows in by_host.values():
+        rows.sort()
+        assert [s for s, _, _ in rows] == list(range(7))
+        assert all(w == s // 3 for s, w, _ in rows)
+        assert [u for _, _, u in rows] == sorted(u for _, _, u in rows)
+    with _pytest.raises(ValueError, match="per_wave"):
+        frontier_waves(df, per_wave=0)
