@@ -1607,6 +1607,65 @@ def q_web_host_ppr(spark, sf_dir):
     return personalized_pagerank(g, seeds)
 
 
+def q_web_crawl_delays(spark, sf_dir):
+    """Crawl-delay extraction (sparkrdf/robots.py crawl_delays): per-host
+    robots bodies with agent-specific AND '*' groups rendered in-query;
+    the specific agent's group shadows '*' per RFC 9309 group selection,
+    several delay lines keep the MAX, non-numeric values drop. The
+    output is the per-host rate dimension frontier_waves schedules
+    against. Oracle: the parity policy restated as CASE logic."""
+    from sparkrdf.robots import crawl_delays
+
+    pages = _links_input(spark)
+    hosts = pages.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    ).distinct()
+    body = F.when(
+        F.length("host") % 2 == 0,
+        F.lit("User-agent: bot\nCrawl-delay: 2\n\n"
+              "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 7\n"),
+    ).otherwise(
+        F.lit("User-agent: *\nCrawl-delay: 5\nCrawl-delay: bogus\n")
+    )
+    return crawl_delays(hosts.select("host", body.alias("body")), agent="bot")
+
+
+def q_web_sitemap_index(spark, sf_dir):
+    """Sitemap-index recursion (sparkrdf/weblinks.py sitemap_index_refs):
+    per-nation <sitemapindex> files rendered in-query from the orders
+    table reference one child sitemap per order; the extractor recovers
+    (path, loc, lastmod) — the discovery step that feeds children back
+    through sitemap_urls. Codegen regexp only. Oracle: the refs written
+    directly from the orders columns."""
+    from sparkrdf.weblinks import sitemap_index_refs
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    entry = F.concat(
+        F.lit("<sitemap><loc>https://data.example.org/sm/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".xml</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod></sitemap>"),
+    )
+    idx = (
+        orders.withColumn("nk", F.col("o_custkey") % 10)
+        .groupBy("nk")
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.sort_array(F.collect_list(entry)), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("https://data.example.org/smidx/"),
+                     F.col("nk").cast("string")).alias("path"),
+            "body",
+        )
+    )
+    return sitemap_index_refs(idx)
+
+
 def q_web_frontier_waves(spark, sf_dir):
     """Crawl politeness scheduling (sparkrdf/weburl.py frontier_waves):
     every frontier URL gets a per-host fetch wave (≤ per_wave requests
@@ -2891,6 +2950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_ppr": q_web_host_ppr,
         "web_node2vec_walks": q_web_node2vec_walks,
         "web_frontier_waves": q_web_frontier_waves,
+        "web_crawl_delays": q_web_crawl_delays,
+        "web_sitemap_index": q_web_sitemap_index,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
         "kg_bisim_sigs": q_kg_bisim_sigs,
@@ -4699,6 +4760,29 @@ SELECT start, walk_no, step, node FROM w0
 UNION ALL SELECT start, walk_no, step, node FROM w1
 UNION ALL SELECT start, walk_no, step, node FROM w2
 UNION ALL SELECT start, walk_no, step, node FROM w3
+"""
+
+    # crawl delays: even-length hosts carry a bot-specific group (delay 2,
+    # shadowing the '*' group's max(10,7)); odd hosts only '*' (5; the
+    # bogus line drops)
+    sql["web_crawl_delays"] = f"""
+WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet')),
+hosts AS (SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)', 1) AS host
+          FROM pages)
+SELECT host,
+       CASE WHEN len(host) % 2 = 0 THEN CAST(2.0 AS DOUBLE)
+            ELSE CAST(5.0 AS DOUBLE) END AS delay
+FROM hosts WHERE host <> ''
+"""
+
+    # sitemap index: the refs written directly from the orders columns
+    sql["web_sitemap_index"] = """
+SELECT 'https://data.example.org/smidx/' || CAST(o_custkey % 10 AS VARCHAR)
+         AS path,
+       'https://data.example.org/sm/' || CAST(o_orderkey AS VARCHAR)
+         || '.xml' AS loc,
+       strftime(o_orderdate, '%Y-%m-%d') AS lastmod
+FROM orders
 """
 
     # frontier waves: per-host ROW_NUMBER is the independent definition of

@@ -176,3 +176,62 @@ def filter_allowed(
         )
     )
     return best
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """``(host, body)`` → ``(host, delay)``: the effective ``Crawl-delay``
+    (seconds) for ``agent`` — the de-facto extension most crawlers honor,
+    and the per-host rate input :func:`sparkrdf.weburl.frontier_waves`
+    schedules against. RFC 9309 group selection applies (the agent's own
+    group shadows ``*``); several delay lines in the selected group keep
+    the MAX (conservative politeness); non-numeric values drop; hosts
+    whose selected group has no delay line are absent (caller defaults).
+    Codegen line parsing, dimension-sized output — same scale contract
+    as :func:`parse_robots`.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("line"), r"#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.regexp_extract(F.col("line"), r"(?i)^user-agent:\s*(\S+)", 1).alias("ua"),
+        F.regexp_extract(
+            F.col("line"), r"(?i)^crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1
+        ).alias("delay"),
+    ).filter((F.col("ua") != "") | (F.col("delay") != ""))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("ua") != ""
+    grouped = parsed.withColumn(
+        "gid",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int")
+        ).over(w),
+    )
+    agents = grouped.filter(is_ua).select(
+        "host", "gid", F.lower(F.col("ua")).alias("agent")
+    )
+    delays = (
+        grouped.filter(F.col("delay") != "")
+        .select("host", "gid", F.col("delay").cast("double").alias("delay"))
+        .join(agents, ["host", "gid"])
+    )
+    specific = delays.filter(F.col("agent") == agent.lower())
+    star = delays.filter(F.col("agent") == "*")
+    if agent.lower() == "*":
+        effective = star
+    else:
+        effective = specific.unionByName(
+            star.join(specific.select("host").distinct(), "host", "left_anti")
+        )
+    return effective.groupBy("host").agg(F.max("delay").alias("delay"))

@@ -89,3 +89,33 @@ def sitemap_urls(
             F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1),
         ).alias("lastmod"),
     ).filter(F.col("loc") != "")
+
+
+#: <sitemap> blocks of a sitemapindex file (sitemaps.org protocol)
+SITEMAP_REF_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+
+
+def sitemap_index_refs(
+    sitemaps: DataFrame, path_col: str = "path", body_col: str = "body"
+) -> DataFrame:
+    """Sitemap INDEX files (``<sitemapindex><sitemap><loc>...``) → one row
+    per referenced child sitemap: ``(path, loc, lastmod)`` — the recursion
+    step of sitemap discovery (large publishers shard their URL lists
+    behind an index; the crawler fetches the children and feeds them back
+    through :func:`sitemap_urls`). Same codegen-only scale shape."""
+    entries = sitemaps.select(
+        F.col(path_col).alias("path"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(body_col).cast("string"), F.lit(SITEMAP_REF_RE), F.lit(1)
+            )
+        ).alias("entry"),
+    )
+    return entries.select(
+        "path",
+        F.regexp_extract(F.col("entry"), _LOC_RE, 1).alias("loc"),
+        F.when(
+            F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1) != "",
+            F.regexp_extract(F.col("entry"), _LASTMOD_RE, 1),
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")

@@ -164,3 +164,38 @@ def test_frontier_waves(spark):
         assert [u for _, _, u in rows] == sorted(u for _, _, u in rows)
     with _pytest.raises(ValueError, match="per_wave"):
         frontier_waves(df, per_wave=0)
+
+
+def test_crawl_delays_group_selection(spark):
+    """robots.crawl_delays: specific agent shadows '*', max over multiple
+    delay lines, non-numeric drops, absent groups yield no row."""
+    from sparkrdf.robots import crawl_delays
+
+    body_a = ("User-agent: bot\nCrawl-delay: 2\n\n"
+              "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 7")
+    body_b = "User-agent: *\nCrawl-delay: 5\nCrawl-delay: bogus"
+    body_c = "User-agent: other\nDisallow: /x"  # no delay anywhere
+    df = spark.createDataFrame(
+        [("h1", body_a), ("h2", body_b), ("h3", body_c)],
+        "host string, body string")
+    bot = {r.host: r.delay for r in crawl_delays(df, agent="bot").collect()}
+    assert bot == {"h1": 2.0, "h2": 5.0}
+    star = {r.host: r.delay for r in crawl_delays(df).collect()}
+    assert star == {"h1": 10.0, "h2": 5.0}
+
+
+def test_sitemap_index_refs(spark):
+    """weblinks.sitemap_index_refs: one row per <sitemap> block with
+    optional lastmod; plain <url> blocks are NOT index refs."""
+    from sparkrdf.weblinks import sitemap_index_refs
+
+    idx = ("<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+           "<lastmod>2024-01-01</lastmod></sitemap>"
+           "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>")
+    plain = "<urlset><url><loc>https://a/p</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [("i", idx), ("p", plain)], "path string, body string")
+    rows = sorted((r.path, r.loc, r.lastmod)
+                  for r in sitemap_index_refs(df).collect())
+    assert rows == [("i", "https://a/s1.xml", "2024-01-01"),
+                    ("i", "https://a/s2.xml", None)]
