@@ -89,6 +89,18 @@ OP_QUERIES = (
     "kg_rdfs_delta",
     "web_robots_filter",
     "web_sitemap_urls",
+    # round-5 session-2 additions (per-query timings comparable; e2e_sec
+    # covers a LARGER suite than rounds <= 5a — compare per query)
+    "kg_rdfxml_triples",
+    "kg_jsonld_doc_triples",
+    "kg_sparql_term_fns",
+    "kg_skolemized",
+    "graph_scc",
+    "graph_nf",
+    "graph_harmonic",
+    "web_host_ppr",
+    "web_node2vec_walks",
+    "web_frontier_waves",
 )
 
 
