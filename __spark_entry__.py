@@ -1607,6 +1607,23 @@ def q_web_host_ppr(spark, sf_dir):
     return personalized_pagerank(g, seeds)
 
 
+def q_graph_betweenness(spark, sf_dir):
+    """Betweenness centrality of the directed host graph (sparkrdf/
+    graphops.py betweenness — level-synchronous Brandes, depth-capped at
+    4, sources sampled deterministically by md5 % 4 so the oracle can
+    restrict to the IDENTICAL sample): σ path counts accumulate forward
+    level by level, dependencies δ flow backward one level per join.
+    Oracle: the same forward/backward recurrences unrolled in DuckDB."""
+    from sparkrdf.graphops import betweenness
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return betweenness(
+        g.select("src_host", "dst_host"),
+        src="src_host", dst="dst_host", max_t=4, source_mod=4,
+    )
+
+
 def q_web_crawl_delays(spark, sf_dir):
     """Crawl-delay extraction (sparkrdf/robots.py crawl_delays): per-host
     robots bodies with agent-specific AND '*' groups rendered in-query;
@@ -2951,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_node2vec_walks": q_web_node2vec_walks,
         "web_frontier_waves": q_web_frontier_waves,
         "web_crawl_delays": q_web_crawl_delays,
+        "graph_betweenness": q_graph_betweenness,
         "web_sitemap_index": q_web_sitemap_index,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
@@ -4552,6 +4570,50 @@ md AS (SELECT a, b, MIN(d) AS d FROM bfs GROUP BY a, b)
 SELECT CAST(g.d AS INTEGER) AS t, COUNT(*)::BIGINT AS pairs
 FROM (SELECT DISTINCT d FROM md) g JOIN md m ON m.d <= g.d
 GROUP BY g.d
+"""
+
+    # betweenness: Brandes forward sigma / backward delta recurrences
+    # unrolled 4 levels over the md5-sampled source set
+    _btw = _links_recursive.replace("WITH RECURSIVE", "WITH") + """,
+de AS MATERIALIZED (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
+       WHERE src_host <> dst_host),
+dn AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM de UNION ALL SELECT t AS n FROM de)),
+bsrc AS MATERIALIZED (
+  SELECT n FROM dn
+  WHERE CAST(('0x' || substr(md5('7' || '|' || n), 1, 8)) AS BIGINT) % 4 = 0),
+bl0 AS MATERIALIZED (SELECT n AS a, n AS b, CAST(1.0 AS DOUBLE) AS sig
+                     FROM bsrc),
+bs0 AS MATERIALIZED (SELECT a, b FROM bl0)"""
+    for i in range(1, 5):
+        _btw += f""",
+bl{i} AS MATERIALIZED (
+  SELECT p.a, de.t AS b, SUM(p.sig) AS sig
+  FROM bl{i - 1} p JOIN de ON de.s = p.b
+  LEFT JOIN bs{i - 1} sn ON sn.a = p.a AND sn.b = de.t
+  WHERE sn.a IS NULL
+  GROUP BY p.a, de.t),
+bs{i} AS MATERIALIZED (SELECT a, b FROM bs{i - 1}
+                       UNION ALL SELECT a, b FROM bl{i})"""
+    _btw += """,
+bd4 AS MATERIALIZED (SELECT a, b, CAST(0.0 AS DOUBLE) AS delta FROM bl4)"""
+    for i in range(3, 0, -1):
+        _btw += f""",
+bd{i} AS MATERIALIZED (
+  SELECT lt.a, lt.b,
+         COALESCE(SUM(lt.sig / lw.sig * (1.0 + dw.delta)), 0) AS delta
+  FROM bl{i} lt
+  LEFT JOIN de ON de.s = lt.b
+  LEFT JOIN bl{i + 1} lw ON lw.a = lt.a AND lw.b = de.t
+  LEFT JOIN bd{i + 1} dw ON dw.a = lt.a AND dw.b = de.t
+  GROUP BY lt.a, lt.b)"""
+    sql["graph_betweenness"] = _btw + """
+SELECT b AS n, ROUND(SUM(delta), 6) AS betweenness FROM (
+  SELECT a, b, delta FROM bd1
+  UNION ALL SELECT a, b, delta FROM bd2
+  UNION ALL SELECT a, b, delta FROM bd3
+  UNION ALL SELECT a, b, delta FROM bd4)
+GROUP BY b
 """
 
     # harmonic centrality: sum of reciprocal in-distances per node over

@@ -1829,3 +1829,97 @@ def node2vec_walks(
         out = out.unionByName(cur.select("start", "walk_no", "step", "node"))
     idx.unpersist()
     return out
+
+
+def betweenness(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_t: int = 4,
+    source_mod: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Betweenness centrality by level-synchronous Brandes (Brandes 2001),
+    depth-bounded at ``max_t`` and over a DETERMINISTIC source sample —
+    ``(n, betweenness)`` where betweenness(v) = Σ over sampled sources a
+    of the dependency δ_a(v) (directed; raw sums, scale by
+    ``source_mod`` for the Brandes-Pich estimator).
+
+    Forward phase: all sampled sources advance together, level by level —
+    ``σ(a, b)`` (shortest-path counts) accumulate as a per-level
+    aggregate; a (source, node) pair is claimed by the FIRST level that
+    reaches it. Backward phase: dependencies flow one level up per join,
+    ``δ(a,b) = Σ_{b→w, d(a,w)=d(a,b)+1} σ(a,b)/σ(a,w)·(1+δ(a,w))``.
+
+    Scale shape: work is Σ over sampled sources of ball sizes × degree —
+    inherently heavier than any single-score walk, which is exactly why
+    ``source_mod`` exists: sources are chosen by ``md5(seed|n) %
+    source_mod == 0`` so the sample is reproducible across engines and
+    runs (the oracle restricts to the same sample), and cost scales as
+    1/source_mod. Each level is one frontier join + one map-side-
+    combinable aggregate + an anti-join against the claimed set; every
+    level table localCheckpoints (O(1) lineage).
+    """
+    e = (
+        edges.select(F.col(src).alias("es"), F.col(dst).alias("et"))
+        .filter(F.col("es") != F.col("et"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("es").alias("n"))
+        .unionByName(e.select(F.col("et").alias("n")))
+        .distinct()
+    )
+    srcs = nodes
+    if source_mod > 1:
+        srcs = nodes.filter(
+            _md5_long(F.concat_ws("|", F.lit(str(seed)), F.col("n")))
+            % source_mod == 0
+        )
+    level0 = srcs.select(
+        F.col("n").alias("a"), F.col("n").alias("b"), F.lit(1.0).alias("sig")
+    ).localCheckpoint(eager=True)
+    levels = [level0]
+    seen = level0.select("a", "b").localCheckpoint(eager=True)
+    for _ in range(max_t):
+        cand = (
+            levels[-1].join(e, levels[-1]["b"] == e["es"])
+            .groupBy("a", F.col("et").alias("b2"))
+            .agg(F.sum("sig").alias("sig"))
+            .withColumnRenamed("b2", "b")
+        )
+        new = cand.join(seen, ["a", "b"], "left_anti").localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        levels.append(new)
+        seen = seen.unionByName(new.select("a", "b")).localCheckpoint(eager=True)
+    delta = levels[-1].select("a", "b", F.lit(0.0).alias("delta"))
+    acc = delta.filter(F.col("a") != F.col("b"))
+    for t in range(len(levels) - 2, -1, -1):
+        lt = levels[t]
+        nxt = levels[t + 1].join(delta, ["a", "b"]).select(
+            "a", F.col("b").alias("w"), F.col("sig").alias("sigw"), "delta"
+        )
+        contrib = (
+            lt.join(e, lt["b"] == e["es"])
+            .join(nxt, (lt["a"] == nxt["a"]) & (e["et"] == nxt["w"]))
+            .select(
+                lt["a"].alias("a"), lt["b"].alias("b"),
+                (lt["sig"] / F.col("sigw") * (F.lit(1.0) + F.col("delta")))
+                .alias("c"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+        )
+        delta = (
+            lt.join(contrib, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("c", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if t > 0:
+            acc = acc.unionByName(delta.filter(F.col("a") != F.col("b")))
+    return (
+        acc.groupBy(F.col("b").alias("n"))
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )

@@ -1309,3 +1309,32 @@ def test_node2vec_walks(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-negative integer"):
         node2vec_walks(df, w_return=0.5)
+
+
+def test_betweenness_brandes(spark):
+    """graphops.betweenness: directed path (interior nodes carry the
+    through-pair counts), diamond (split dependency 0.5/0.5), and the
+    md5 source-sampling restriction."""
+    from sparkrdf.graphops import betweenness
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "u string, v string")
+    out = {r.n: r.betweenness for r in betweenness(path).collect()}
+    assert out == {"b": 2.0, "c": 2.0, "d": 0.0}
+
+    diamond = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")],
+        "u string, v string")
+    out = {r.n: r.betweenness for r in betweenness(diamond).collect()}
+    assert out["b"] == 0.5 and out["c"] == 0.5 and out["d"] == 0.0
+
+    # depth cap: max_t=1 sees no 2-hop pairs — all dependencies 0
+    out = {r.n: r.betweenness for r in betweenness(path, max_t=1).collect()}
+    assert set(out.values()) == {0.0}
+
+    # source sampling is deterministic and a subset of the full run
+    full = betweenness(path, source_mod=1).collect()
+    samp = betweenness(path, source_mod=2).collect()
+    assert {tuple(r) for r in samp} == {
+        tuple(r) for r in betweenness(path, source_mod=2).collect()}
+    assert len(samp) <= len(full)
