@@ -1607,6 +1607,37 @@ def q_web_host_ppr(spark, sf_dir):
     return personalized_pagerank(g, seeds)
 
 
+def q_evt_retention(spark, sf_dir):
+    """Cohort retention matrix (sparkrdf/eventops.py retention_cohorts):
+    users bucketed by first-activity week (fixed epoch boundaries —
+    stable under incremental recomputation), counted at every later
+    active week offset. One dedup + one per-user MIN + one count, all
+    map-side combinable on the same user-keyed shuffle — no windows, no
+    self-joins. Oracle: the identical epoch-week arithmetic in DuckDB."""
+    from sparkrdf.eventops import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition over the undirected host
+    graph (sparkrdf/graphops.py modularity ∘ label_propagation): the
+    community-quality score that makes LPA outputs comparable across
+    crawls. Two label joins + two map-side aggregates + one 1-row
+    result. Oracle: the identical formula over the LPA oracle's own
+    unrolled labels."""
+    from sparkrdf.graphops import label_propagation, modularity
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    e = g.select("src_host", "dst_host")
+    return modularity(
+        e, label_propagation(e, src="src_host", dst="dst_host"),
+        src="src_host", dst="dst_host",
+    )
+
+
 def q_graph_betweenness(spark, sf_dir):
     """Betweenness centrality of the directed host graph (sparkrdf/
     graphops.py betweenness — level-synchronous Brandes, depth-capped at
@@ -2969,6 +3000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_waves": q_web_frontier_waves,
         "web_crawl_delays": q_web_crawl_delays,
         "graph_betweenness": q_graph_betweenness,
+        "graph_modularity": q_graph_modularity,
+        "evt_retention": q_evt_retention,
         "web_sitemap_index": q_web_sitemap_index,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
@@ -4321,6 +4354,18 @@ FROM s1 LEFT JOIN s2 ON s2.u = s1.u LEFT JOIN s3 ON s3.u = s1.u
 
     # gaps-and-islands interval coalescing: running max of prior ends,
     # island = cumsum of the strict-gap flag (eventops.coalesce_intervals)
+    # retention cohorts: identical fixed-epoch week-bucket arithmetic
+    sql["evt_retention"] = """
+WITH ub AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS b
+  FROM events),
+fst AS (SELECT u, MIN(b) AS cohort FROM ub GROUP BY u)
+SELECT fst.cohort, ub.b - fst.cohort AS age, COUNT(*)::BIGINT AS users
+FROM ub JOIN fst ON fst.u = ub.u
+GROUP BY fst.cohort, ub.b - fst.cohort
+"""
+
     sql["evt_interval_merge"] = """
 WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
        epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,2)) * 60000000 AS BIGINT)
@@ -4674,6 +4719,29 @@ l{i + 1} AS MATERIALIZED (SELECT n, lbl FROM (
   SELECT n, lbl, ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lbl) AS rn
   FROM c{i}) WHERE rn = 1)"""
     sql["graph_lpa"] = _lpa + "\nSELECT n, lbl AS label FROM l4\n"
+
+    # modularity of the LPA partition: Q = sum_c(e_c/m - (deg_c/2m)^2)
+    # over the same unrolled labels
+    sql["graph_modularity"] = _lpa + """,
+me AS MATERIALIZED (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b
+  FROM edges WHERE src_host <> dst_host),
+mj AS MATERIALIZED (
+  SELECT COALESCE(la.lbl, me.a) AS la, COALESCE(lb.lbl, me.b) AS lb
+  FROM me LEFT JOIN l4 la ON la.n = me.a LEFT JOIN l4 lb ON lb.n = me.b),
+mm AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS m FROM mj),
+mintra AS MATERIALIZED (
+  SELECT la AS c, COUNT(*)::BIGINT AS ec FROM mj WHERE la = lb GROUP BY la),
+mdegs AS MATERIALIZED (
+  SELECT c, COUNT(*)::BIGINT AS dc FROM
+    (SELECT la AS c FROM mj UNION ALL SELECT lb FROM mj) GROUP BY c)
+SELECT (SELECT m FROM mm) AS m_edges,
+       ROUND(SUM(COALESCE(mintra.ec, 0) / CAST((SELECT m FROM mm) AS DOUBLE)
+                 - (mdegs.dc / (2.0 * (SELECT m FROM mm)))
+                   * (mdegs.dc / (2.0 * (SELECT m FROM mm)))), 6) AS q
+FROM mdegs LEFT JOIN mintra USING (c)
+"""
 
     # neighborhood-overlap link prediction: per-center wedges, degree join,
     # anti-exists on the ordered existing-edge pair (graphops.adamic_adar)

@@ -240,3 +240,39 @@ def coalesce_intervals(
             F.count("*").cast("long").alias("n_intervals"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-activity bucket
+    (``bucket_days``-day periods from the epoch — fixed boundaries, so
+    cohorts are stable across incremental recomputation), counted in
+    every later bucket they remain active — the standard
+    engagement-retention analysis. Returns ``(cohort, age, users)``:
+    distinct users whose first bucket is ``cohort`` and who were active
+    ``age`` buckets later (``age`` = 0 is the cohort's own size).
+
+    Scale shape: one (user, bucket) dedup aggregate, one per-user MIN
+    (both map-side combinable, same user-keyed shuffle), and one count —
+    no windows, no self-joins; epoch-based bucket arithmetic is pure
+    codegen (the tz-free discipline of :func:`sessionize`).
+    """
+    if bucket_days < 1:
+        raise ValueError("bucket_days must be >= 1")
+    bucket = (
+        F.floor(epoch_us(ts_col) / F.lit(86_400_000_000 * bucket_days))
+    ).cast("long")
+    ub = (
+        events.select(F.col(user_col).alias("u"), bucket.alias("b"))
+        .dropDuplicates()
+    )
+    first = ub.groupBy("u").agg(F.min("b").alias("cohort"))
+    return (
+        ub.join(first, "u")
+        .groupBy("cohort", (F.col("b") - F.col("cohort")).alias("age"))
+        .agg(F.count("*").alias("users"))
+    )

@@ -1923,3 +1923,71 @@ def betweenness(
         acc.groupBy(F.col("b").alias("n"))
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over the UNDIRECTED simple
+    graph: ``Q = Σ_c ( e_c/m − (deg_c / 2m)² )`` with ``e_c`` the
+    intra-community edge count, ``deg_c`` the community degree sum, ``m``
+    the undirected edge count — the standard quality score for a
+    community assignment (pairs with :func:`label_propagation`: run LPA,
+    score the partition, compare across crawls). ``communities`` is
+    ``(n, label)``; nodes missing a label are their own singleton
+    community. Returns one row ``(m_edges, q)`` rounded 6 d.p.
+
+    Scale shape: two broadcast-label joins on the deduped edge list, two
+    map-side-combinable aggregates, one 1-row result — the cheapest query
+    in the graph family; no iteration, no windows.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    lab = communities.select(
+        F.col(communities.columns[0]).alias("n"),
+        F.col(communities.columns[1]).alias("lbl"),
+    )
+    la = lab.select(F.col("n").alias("a"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("n").alias("b"), F.col("lbl").alias("lb"))
+    j = (
+        e.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("la", F.col("a")).alias("la"),
+            F.coalesce("lb", F.col("b")).alias("lb"),
+        )
+    )
+    m = j.count()
+    if m == 0:
+        raise ValueError("modularity: empty edge set")
+    intra = (
+        j.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("c"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        j.select(F.col("la").alias("c"))
+        .unionAll(j.select(F.col("lb").alias("c")))
+        .groupBy("c")
+        .agg(F.count("*").alias("dc"))
+    )
+    per_c = degs.join(intra, "c", "left").select(
+        (
+            F.coalesce("ec", F.lit(0)) / F.lit(float(m))
+            - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+        ).alias("qc")
+    )
+    return per_c.agg(
+        F.lit(m).cast("long").alias("m_edges"),
+        F.round(F.sum("qc"), 6).alias("q"),
+    )

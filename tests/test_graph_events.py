@@ -307,3 +307,50 @@ def test_coalesce_intervals_contained_interval(spark):
     )
     out = coalesce_intervals(df).collect()
     assert len(out) == 1 and (out[0].start_us, out[0].end_us) == (0, 12)
+
+
+def test_modularity_hand_values(spark):
+    """graphops.modularity: two bridged triangles under a perfect split
+    (Q = 2*(3/7 - (7/14)^2)); the all-one-community partition scores 0;
+    unlabeled nodes default to singleton communities."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from sparkrdf.graphops import modularity
+
+    E = [("a", "b"), ("b", "c"), ("c", "a"),
+         ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")]
+    df = spark.createDataFrame(E, "u string, v string")
+    com = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"),
+         ("d", "y"), ("e", "y"), ("f", "y")], "n string, label string")
+    (row,) = modularity(df, com).collect()
+    assert row.m_edges == 7 and abs(row.q - 0.357143) < 1e-6
+    (one,) = modularity(df, com.withColumn("label", F.lit("z"))).collect()
+    assert one.q == 0.0
+    with _pytest.raises(ValueError, match="empty"):
+        modularity(df.filter(F.col("u") == "zz"), com).collect()
+
+
+def test_retention_cohorts(spark):
+    """eventops.retention_cohorts: fixed epoch-week buckets, per-user
+    first bucket, distinct-user counts per (cohort, age)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from sparkrdf.eventops import retention_cohorts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1)), (1, dt.datetime(2024, 1, 9)),
+        (1, dt.datetime(2024, 1, 9, 5)),  # same week dedups
+        (2, dt.datetime(2024, 1, 2)), (2, dt.datetime(2024, 1, 20)),
+        (3, dt.datetime(2024, 1, 10)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort, r.age): r.users
+           for r in retention_cohorts(df).collect()}
+    # epoch weeks: 2024-01-01..03 -> 2817, 01-04..10 -> 2818, 01-18..24 -> 2820
+    assert out == {(2817, 0): 2, (2817, 1): 1, (2817, 3): 1, (2818, 0): 1}
+    with _pytest.raises(ValueError, match="bucket_days"):
+        retention_cohorts(df, bucket_days=0)
