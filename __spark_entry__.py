@@ -1607,6 +1607,23 @@ def q_web_host_ppr(spark, sf_dir):
     return personalized_pagerank(g, seeds)
 
 
+def q_graph_closeness(spark, sf_dir):
+    """Bounded Wasserman-Faust closeness of the directed host graph
+    (sparkrdf/graphops.py closeness_centrality): (r−1)… normalized
+    reach-ratio × inverse mean distance over outgoing paths ≤ 4 — the
+    verification-grade exact config (the HyperBall harmonic mode is the
+    scale estimator). Oracle: the same formula over the DuckDB recursive
+    min-distance closure."""
+    from sparkrdf.graphops import closeness_centrality
+    from sparkrdf.weblinks import extract_links, host_link_graph
+
+    g = host_link_graph(extract_links(_links_input(spark)))
+    return closeness_centrality(
+        g.select("src_host", "dst_host"),
+        src="src_host", dst="dst_host", max_t=4,
+    )
+
+
 def q_evt_retention(spark, sf_dir):
     """Cohort retention matrix (sparkrdf/eventops.py retention_cohorts):
     users bucketed by first-activity week (fixed epoch boundaries —
@@ -3002,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": q_graph_betweenness,
         "graph_modularity": q_graph_modularity,
         "evt_retention": q_evt_retention,
+        "graph_closeness": q_graph_closeness,
         "web_sitemap_index": q_web_sitemap_index,
         "web_robots_filter": q_web_robots_filter,
         "web_sitemap_urls": q_web_sitemap_urls,
@@ -4659,6 +4677,29 @@ SELECT b AS n, ROUND(SUM(delta), 6) AS betweenness FROM (
   UNION ALL SELECT a, b, delta FROM bd3
   UNION ALL SELECT a, b, delta FROM bd4)
 GROUP BY b
+"""
+
+    # closeness: Wasserman-Faust over outgoing distances of the same
+    # bounded min-distance closure
+    sql["graph_closeness"] = _links_recursive + """,
+de AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM edges
+       WHERE src_host <> dst_host),
+dn AS MATERIALIZED (SELECT DISTINCT n FROM
+       (SELECT s AS n FROM de UNION ALL SELECT t AS n FROM de)),
+nv AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS c FROM dn),
+bfs(a, b, d) AS (
+  SELECT n, n, 0 FROM dn
+  UNION
+  SELECT bfs.a, de.t, bfs.d + 1 FROM bfs JOIN de ON de.s = bfs.b
+  WHERE bfs.d < 4),
+md AS MATERIALIZED (SELECT a, b, MIN(d) AS d FROM bfs GROUP BY a, b),
+ag AS MATERIALIZED (
+  SELECT a AS n, COUNT(*)::DOUBLE AS r, SUM(d)::DOUBLE AS sd
+  FROM md WHERE d > 0 GROUP BY a)
+SELECT dn.n,
+       ROUND(COALESCE((ag.r / ((SELECT c FROM nv) - 1)) * (ag.r / ag.sd),
+                      0), 6) AS closeness
+FROM dn LEFT JOIN ag USING (n)
 """
 
     # harmonic centrality: sum of reciprocal in-distances per node over

@@ -361,6 +361,43 @@ class SparkRDF:
             raise ValueError(f"read_rdf: unknown format {format!r}")
         return statements_df(self.spark, rows)
 
+    def write_rdf(self, stmts: DataFrame, path: str,
+                  format: str | None = None) -> None:
+        """Serialize a statements DataFrame to one RDF document file — the
+        writer twin of :meth:`read_rdf` (the reference's
+        ``Graph.serialize(destination=...)``). Extension-inferred format:
+        turtle/trig (prefix-compressed), nquads (driver-collected single
+        file; use :func:`sparkrdf.ttl.write_nquads` for the distributed
+        multi-part writer), xml, json-ld."""
+        from sparkrdf.jsonldoc import serialize_jsonld
+        from sparkrdf.rdfxml import serialize_rdfxml
+        from sparkrdf.ttl import nquads_lines, serialize_turtle
+
+        if format is None:
+            ext = path.rsplit(".", 1)[-1].lower()
+            format = {
+                "ttl": "turtle", "turtle": "turtle", "trig": "turtle",
+                "nt": "nquads", "nq": "nquads", "nquads": "nquads",
+                "rdf": "xml", "owl": "xml", "xml": "xml",
+                "jsonld": "json-ld", "json": "json-ld",
+            }.get(ext)
+            if format is None:
+                raise ValueError(f"write_rdf: cannot infer format from {path!r}")
+        if format == "turtle":
+            text = serialize_turtle(stmts)
+        elif format == "nquads":
+            text = "\n".join(r.value for r in nquads_lines(stmts).collect())
+            if text:
+                text += "\n"
+        elif format == "xml":
+            text = serialize_rdfxml(stmts)
+        elif format == "json-ld":
+            text = serialize_jsonld(stmts)
+        else:
+            raise ValueError(f"write_rdf: unknown format {format!r}")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+
     # -- meta ontologies -----------------------------------------------------
     def load_meta_ontology(self, meta_dir: str | None = None) -> DataFrame | None:
         """Vendored OWL/RDF/RDFS meta-ontology statements (the reference's

@@ -1991,3 +1991,69 @@ def modularity(
         F.lit(m).cast("long").alias("m_edges"),
         F.round(F.sum("qc"), 6).alias("q"),
     )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_t: int = 8,
+) -> DataFrame:
+    """Bounded closeness centrality over OUTGOING distances —
+    Wasserman-Faust normalized: ``C(v) = (r−1)/(n−1) · (r−1)/Σd`` with
+    ``r`` the nodes v reaches within ``max_t`` and Σd their distance sum
+    (the disconnected-graph correction; plain 1/Σd is not comparable
+    across components). Rounded 6 d.p.; nodes reaching nothing score 0.
+
+    The exact frontier BFS here is the verification-grade config (Σ|ball|
+    memory — same budget as :func:`neighborhood_function` exact mode);
+    for estimates at web scale use :func:`harmonic_centrality`'s
+    HyperBall mode, which Boldi-Vigna also recommend over closeness for
+    ranking quality.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    dist = nodes.select(
+        F.col("n").alias("a"), F.col("n").alias("b"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for t in range(1, max_t + 1):
+        nxt = (
+            frontier.join(e, frontier["b"] == e["u"])
+            .select("a", F.col("v").alias("b"))
+            .distinct()
+            .join(dist.select("a", "b"), ["a", "b"], "left_anti")
+            .withColumn("d", F.lit(t))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    agg = (
+        dist.filter(F.col("d") > 0)
+        .groupBy(F.col("a").alias("n"))
+        .agg(F.count("*").alias("r"), F.sum("d").alias("sd"))
+    )
+    return nodes.join(agg, "n", "left").select(
+        "n",
+        F.round(
+            F.coalesce(
+                (F.col("r") / F.lit(float(n_total - 1)))
+                * (F.col("r") / F.col("sd")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("closeness"),
+    )

@@ -204,3 +204,29 @@ ex:a ex:name "Sam"@en ; ex:age "3"^^xsd:integer ; ex:knows ex:b .
 
     with _pytest.raises(ValueError, match="infer"):
         adapter.read_rdf(str(tmp_path / "g.unknown"))
+
+
+def test_write_rdf_read_rdf_symmetry(spark, tmp_path):
+    """write_rdf → read_rdf is the identity across all four formats
+    (bnode-free fixture; the writer twin of Graph.serialize)."""
+    from sparkrdf.api import SparkRDF
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    src = """
+@prefix ex: <http://e.com/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:name "Sam"@en ; ex:age "3"^^xsd:integer ; ex:knows ex:b .
+"""
+    rows = parse_ttl(src)
+    df = statements_df(spark, rows)
+    adapter = SparkRDF(spark)
+    for ext in ("ttl", "nq", "rdf", "jsonld"):
+        p = tmp_path / f"g.{ext}"
+        adapter.write_rdf(df, str(p))
+        got = {tuple(r) for r in adapter.read_rdf(str(p)).collect()}
+        assert got == set(rows), ext
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infer"):
+        adapter.write_rdf(df, str(tmp_path / "g.unknown"))

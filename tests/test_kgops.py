@@ -1338,3 +1338,18 @@ def test_betweenness_brandes(spark):
     assert {tuple(r) for r in samp} == {
         tuple(r) for r in betweenness(path, source_mod=2).collect()}
     assert len(samp) <= len(full)
+
+
+def test_closeness_centrality(spark):
+    """graphops.closeness_centrality: Wasserman-Faust normalization on a
+    path + 2-cycle hand graph; sinks score 0."""
+    from sparkrdf.graphops import closeness_centrality
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")],
+        "u string, v string")
+    out = {r.n: r.closeness for r in closeness_centrality(df).collect()}
+    assert abs(out["a"] - 0.3) < 1e-6        # (3/5)·(3/6)
+    assert abs(out["b"] - 0.266667) < 1e-6   # (2/5)·(2/3)
+    assert out["c"] == 0.2 and out["d"] == 0.0
+    assert out["e"] == 0.2 and out["f"] == 0.2
