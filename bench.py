@@ -101,6 +101,10 @@ OP_QUERIES = (
     "web_host_ppr",
     "web_node2vec_walks",
     "web_frontier_waves",
+    "graph_betweenness",
+    "graph_closeness",
+    "graph_modularity",
+    "evt_retention",
 )
 
 

@@ -2057,3 +2057,21 @@ def closeness_centrality(
             6,
         ).alias("closeness"),
     )
+
+
+def effective_diameter(nf: DataFrame, alpha: float = 0.9) -> float:
+    """Interpolated α-effective diameter from a
+    :func:`neighborhood_function` table — the smallest (linearly
+    interpolated) t at which ≥ α of all reachable ordered pairs are
+    within distance t (HyperANF's headline statistic; α = 0.9 is the
+    literature convention). Driver-side over the ≤ max_t-row table."""
+    rows = sorted((r["t"], r["pairs"]) for r in nf.collect())
+    if not rows:
+        raise ValueError("effective_diameter: empty neighborhood function")
+    target = alpha * rows[-1][1]
+    if rows[0][1] >= target:
+        return float(rows[0][0])
+    for (t0, p0), (t1, p1) in zip(rows, rows[1:]):
+        if p1 >= target:
+            return t0 + (target - p0) / (p1 - p0) * (t1 - t0)
+    return float(rows[-1][0])

@@ -1353,3 +1353,21 @@ def test_closeness_centrality(spark):
     assert abs(out["b"] - 0.266667) < 1e-6   # (2/5)·(2/3)
     assert out["c"] == 0.2 and out["d"] == 0.0
     assert out["e"] == 0.2 and out["f"] == 0.2
+
+
+def test_effective_diameter_interpolation(spark):
+    """graphops.effective_diameter: linear interpolation at the 90%
+    pair-coverage point of the neighborhood function."""
+    import pytest as _pytest
+
+    from sparkrdf.graphops import effective_diameter, neighborhood_function
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"), ("f", "e")],
+        "u string, v string")
+    nf = neighborhood_function(df, exact=True)
+    # pairs 6/11/13/14 → target 12.6 lands between t=1 and t=2 at 1.8
+    assert abs(effective_diameter(nf) - 1.8) < 1e-9
+    assert effective_diameter(nf, alpha=0.2) == 0.0  # t=0 already covers
+    with _pytest.raises(ValueError, match="empty"):
+        effective_diameter(nf.filter("t < 0"))
