@@ -4962,7 +4962,7 @@ FROM orders
 WITH pages AS (SELECT * FROM read_parquet('{LINKS_MAT_PATH}/*.parquet')),
 u AS (SELECT DISTINCT url FROM pages),
 h AS (SELECT url,
-             lower(regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://([^/]+)', 1))
+             lower(regexp_extract(url, '(?i)^[a-z][a-z0-9+.\\-]*://([^/]+)', 1))
                AS host
       FROM u),
 r AS (SELECT url, host,

@@ -91,6 +91,42 @@ def fuzzy_pairs(
     )
 
 
+def global_rank(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic 0-based global rank of ``df``'s rows in ``keys``
+    order WITHOUT a single-partition sort: range-partition on the keys,
+    per-partition ``row_number`` keyed on the PHYSICAL partition id (so
+    no second exchange and no hot-key window), then add each partition's
+    driver-side-cumulated row-count offset (a #partitions-sized
+    broadcast). Returns the input columns plus ``_gr``.
+
+    This is the shared idiom behind :func:`sorted_neighborhood`, the
+    walk neighbor indexes (graphops random_walks / node2vec_walks) and
+    frontier scheduling (weburl.frontier_waves) — a hot key is never one
+    task's sort. Pass the full dedup/tie-break key tuple: determinism of
+    the rank (and everything built on it) requires ``keys`` to be unique
+    per row."""
+    d = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    d = d.withColumn("_r", F.row_number().over(w)).localCheckpoint(eager=True)
+    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_c"]
+    omap = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    return (
+        d.join(F.broadcast(omap), "_pid")
+        .withColumn("_gr", F.col("_off") + F.col("_r") - 1)
+        .drop("_pid", "_r", "_off")
+    )
+
+
 def sorted_neighborhood(
     records: DataFrame,
     sort_cols: list[str],
@@ -117,25 +153,8 @@ def sorted_neighborhood(
     the neighborhood match is one shuffle, never |R|² .
     """
     keys = [*sort_cols, id_col]
-    d = (
-        records.select(*keys)
-        .repartitionByRange(*keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    d = d.withColumn("_r", F.row_number().over(w)).localCheckpoint(eager=True)
-    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_c"]
-    omap = records.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long"
-    )
-    ranked = (
-        d.join(F.broadcast(omap), "_pid")
-        .select(F.col(id_col), (F.col("_off") + F.col("_r") - 1).alias("_rank"))
+    ranked = global_rank(records.select(*keys), keys).select(
+        F.col(id_col), F.col("_gr").alias("_rank")
     )
     from sparkrdf.joins import range_join
 

@@ -415,23 +415,10 @@ def random_walks(
     one source are contiguous in (s, t) order, so the difference IS the
     neighbor index; the min is a partial-aggregated groupBy, never a sort.
     """
+    from sparkrdf.er import global_rank
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
-    d = (
-        e.repartitionByRange("s", "t")
-        .sortWithinPartitions("s", "t")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("_pid").orderBy("s", "t")
-    d = d.withColumn("_r", F.row_number().over(wp)).localCheckpoint(eager=True)
-    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_c"]
-    omap = e.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    ranked = d.join(F.broadcast(omap), "_pid").select(
-        "s", "t", (F.col("_off") + F.col("_r") - 1).alias("_gr")
-    )
+    ranked = global_rank(e, ["s", "t"])
     nbr = (
         ranked.join(ranked.groupBy("s").agg(F.min("_gr").alias("_g0")), "s")
         .select("s", "t", (F.col("_gr") - F.col("_g0")).cast("int").alias("idx"))
@@ -1339,9 +1326,12 @@ def scc(
     def _accum(acc, new):
         return new if acc is None else acc.unionByName(new)
 
+    empty = live_n.select("n", F.col("n").alias("scc")).limit(0)
     for _ in range(max_rounds):
         if live_n.limit(1).count() == 0:
-            return done.localCheckpoint(eager=True)
+            return (done if done is not None else empty).localCheckpoint(
+                eager=True
+            )
 
         # 1. TRIM to (bounded) fixpoint
         for _ in range(3):
@@ -1359,7 +1349,9 @@ def scc(
                 .localCheckpoint(eager=True)
             )
         if live_n.limit(1).count() == 0:
-            return done.localCheckpoint(eager=True)
+            return (done if done is not None else empty).localCheckpoint(
+                eager=True
+            )
 
         # 2. COLOR: forward min-label to fixpoint
         lab = live_n.select("n", F.col("n").alias("c")).localCheckpoint(eager=True)
@@ -1740,24 +1732,11 @@ def node2vec_walks(
             raise ValueError(f"{name} must be a non-negative integer")
     if w_return + w_common + w_far == 0:
         raise ValueError("at least one class weight must be positive")
+    from sparkrdf.er import global_rank
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
     # neighbor index (window-free, same construction as random_walks)
-    d = (
-        e.repartitionByRange("s", "t")
-        .sortWithinPartitions("s", "t")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    wp = Window.partitionBy("_pid").orderBy("s", "t")
-    d = d.withColumn("_r", F.row_number().over(wp)).localCheckpoint(eager=True)
-    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_c"]
-    omap = e.sparkSession.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    ranked = d.join(F.broadcast(omap), "_pid").select(
-        "s", "t", (F.col("_off") + F.col("_r") - 1).alias("_gr")
-    )
+    ranked = global_rank(e, ["s", "t"])
     idx = (
         ranked.join(ranked.groupBy("s").agg(F.min("_gr").alias("_g0")), "s")
         .select("s", "t", (F.col("_gr") - F.col("_g0")).cast("int").alias("idx"))
@@ -1966,6 +1945,10 @@ def modularity(
             F.coalesce("la", F.col("a")).alias("la"),
             F.coalesce("lb", F.col("b")).alias("lb"),
         )
+        # consumed by the count + both aggregates below — without this the
+        # two label joins (and the communities lineage, e.g. a raw LPA
+        # plan) would re-execute up to four times
+        .localCheckpoint(eager=True)
     )
     m = j.count()
     if m == 0:

@@ -108,10 +108,19 @@ class _Context:
         # second pass: term values may themselves be compact IRIs
         return out
 
-    def expand_iri(self, value: str, vocab_mode: bool = False) -> str | None:
+    def expand_iri(self, value: str, vocab_mode: bool = False,
+                   _depth: int = 0) -> str | None:
         """Expand a term / compact IRI / relative IRI.  ``vocab_mode``
         applies @vocab (keys and @type values); otherwise @base applies.
         Returns None when no mapping exists (the key is then dropped)."""
+        if not isinstance(value, str):
+            raise ValueError(
+                f"jsonld: IRI position expects a string, got {type(value).__name__}")
+        if _depth > 10:
+            # self- or mutually-referential term definitions would recurse
+            # forever ({"a": "a"}); a ValueError keeps the distributed
+            # wrapper's error-row contract
+            raise ValueError(f"jsonld: @context term cycle expanding {value!r}")
         if value.startswith("@") and value in _KEYWORDS:
             return value
         if value in self.terms:
@@ -124,8 +133,9 @@ class _Context:
             # and a compact IRI is indistinguishable from a scheme, so the
             # prefix-in-context check must run BEFORE the absolute-IRI one
             if ":" in iri and iri.split(":", 1)[0] in self.terms:
-                return self.expand_iri(iri, vocab_mode=True)
-            return iri if _ABS_IRI.match(iri) else self.expand_iri(iri, vocab_mode=True)
+                return self.expand_iri(iri, vocab_mode=True, _depth=_depth + 1)
+            return iri if _ABS_IRI.match(iri) else self.expand_iri(
+                iri, vocab_mode=True, _depth=_depth + 1)
         if ":" in value:
             prefix, suffix = value.split(":", 1)
             if suffix.startswith("//"):
@@ -187,6 +197,9 @@ class JsonLdParser:
         return self.rows
 
     def _id_term(self, value: str, ctx: _Context) -> tuple:
+        if not isinstance(value, str):
+            raise ValueError(
+                f"jsonld: @id must be a string, got {type(value).__name__}")
         if value.startswith("_:"):
             # labeled bnodes ride under the per-parse prefix (distinct n_
             # namespace, same contract as rdfxml's rdf:nodeID) so the
@@ -381,11 +394,15 @@ def jsonld_statements(df, json_col: str = "json", url_col: str = "url",
                 prefix = "b" + re.sub(r"\W+", "_", str(url)) + "_"
                 try:
                     rows = parse_jsonld(body, base=str(url), bnode_prefix=prefix)
-                except ValueError as e:
+                except Exception as e:  # crawl contract: one bad page in a
+                    # trillion must not kill the job — malformed shapes can
+                    # surface as TypeError/RecursionError too, not only the
+                    # parser's own ValueErrors
                     if on_error == "raise":
                         raise
                     rows = [("URIRef", str(url), err_pred,
-                             "Literal", str(e), None, None, None)]
+                             "Literal", f"{type(e).__name__}: {e}",
+                             None, None, None)]
                 if keep_url:
                     out.extend((str(url),) + r for r in rows)
                 else:

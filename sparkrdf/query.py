@@ -979,8 +979,12 @@ _XSD_NUMERIC = (
     "http://www.w3.org/2001/XMLSchema#byte",
     "http://www.w3.org/2001/XMLSchema#nonNegativeInteger",
     "http://www.w3.org/2001/XMLSchema#positiveInteger",
+    "http://www.w3.org/2001/XMLSchema#nonPositiveInteger",
+    "http://www.w3.org/2001/XMLSchema#negativeInteger",
     "http://www.w3.org/2001/XMLSchema#unsignedInt",
     "http://www.w3.org/2001/XMLSchema#unsignedLong",
+    "http://www.w3.org/2001/XMLSchema#unsignedShort",
+    "http://www.w3.org/2001/XMLSchema#unsignedByte",
 )
 
 
@@ -1253,13 +1257,17 @@ class _ExprCompiler:
             return kind == want
         if fn == "isnumeric":
             # §17.4.2.4: a literal with a numeric datatype and a valid
-            # lexical form; plain/lang literals and non-literals are false
+            # lexical form; plain/lang literals (NULL dt — coalesce to
+            # false, or !isNumeric would NULL-drop them) and non-literals
+            # are false
             (a,) = args
             kind = self._meta(a, "__kind", fn)
             dt = self._meta(a, "__dt", fn)
             val = self.value(a)[0]
-            return ((kind == "Literal") & dt.isin(*_XSD_NUMERIC)
-                    & val.try_cast("double").isNotNull())
+            return ((kind == "Literal")
+                    & F.coalesce(dt.isin(*_XSD_NUMERIC), F.lit(False))
+                    & F.coalesce(val.try_cast("double").isNotNull(),
+                                 F.lit(False)))
         if fn == "langmatches":
             # §17.4.4.5 / RFC 4647 basic filtering: "*" matches any
             # non-empty tag; otherwise the range equals the tag or is a

@@ -398,11 +398,14 @@ def rdfxml_statements(df, xml_col: str = "xml", url_col: str = "url",
                 prefix = "b" + re.sub(r"\W+", "_", str(url)) + "_"
                 try:
                     rows = parse_rdfxml(xml, base=str(url), bnode_prefix=prefix)
-                except ValueError as e:
+                except Exception as e:  # crawl contract: a malformed page
+                    # must yield its error row, never kill the job (e.g.
+                    # RecursionError on pathologically nested markup)
                     if on_error == "raise":
                         raise
                     rows = [("URIRef", str(url), err_pred,
-                             "Literal", str(e), None, None, None)]
+                             "Literal", f"{type(e).__name__}: {e}",
+                             None, None, None)]
                 if keep_url:
                     out.extend((str(url),) + r for r in rows)
                 else:

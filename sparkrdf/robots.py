@@ -202,6 +202,10 @@ def crawl_delays(
         "pos",
         F.trim(F.regexp_replace(F.col("line"), r"#.*$", "")).alias("line"),
     )
+    # Allow/Disallow lines are kept (as group members) even though they
+    # carry no delay: dropping them would make two ADJACENT User-agent
+    # runs separated only by rules merge into one group, attributing one
+    # agent's delay to the other (same reason parse_robots keeps them)
     parsed = lines.select(
         "host",
         "pos",
@@ -209,7 +213,12 @@ def crawl_delays(
         F.regexp_extract(
             F.col("line"), r"(?i)^crawl-delay:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1
         ).alias("delay"),
-    ).filter((F.col("ua") != "") | (F.col("delay") != ""))
+        F.regexp_extract(
+            F.col("line"), r"(?i)^(allow|disallow):", 1
+        ).alias("verb"),
+    ).filter(
+        (F.col("ua") != "") | (F.col("delay") != "") | (F.col("verb") != "")
+    )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("ua") != ""
     grouped = parsed.withColumn(
@@ -231,7 +240,15 @@ def crawl_delays(
     if agent.lower() == "*":
         effective = star
     else:
+        # shadowing keys on GROUP existence, not delay presence: a host
+        # where the agent HAS a group (even one without a delay line)
+        # never falls back to the '*' group's delay
+        agent_hosts = (
+            agents.filter(F.col("agent") == agent.lower())
+            .select("host")
+            .distinct()
+        )
         effective = specific.unionByName(
-            star.join(specific.select("host").distinct(), "host", "left_anti")
+            star.join(agent_hosts, "host", "left_anti")
         )
     return effective.groupBy("host").agg(F.max("delay").alias("delay"))

@@ -1052,7 +1052,12 @@ def _compile_group(
     # term metadata; bind the hidden columns only when this group's own
     # FILTER/BIND expressions need them, and strip them before the
     # solutions leave the group (metadata never escapes into joins,
-    # projections or aggregates)
+    # projections or aggregates). Supported placement is therefore a
+    # group's FILTER/BIND over variables bound by that group's PLAIN
+    # triple/quad patterns; in SELECT expressions, HAVING, or over
+    # variables bound only by paths/UNION/VALUES the compiler raises a
+    # targeted "needs term metadata" ValueError — a clear error, never a
+    # silently wrong result
     meta_needed = any(
         _META_FN_RE.search(e)
         for e in list(body["filters"]) + [src for _, src in body["binds"]]

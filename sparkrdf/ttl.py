@@ -34,7 +34,7 @@ RDF_NIL = RDF_NS + "nil"
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
-    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<iri><(?:[^<>"{}|^`\\\s]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
     | (?P<long_str>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
     | (?P<str>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
     | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)

@@ -107,29 +107,18 @@ def frontier_waves(
     pattern)."""
     if per_wave < 1:
         raise ValueError("per_wave must be >= 1")
-    host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://([^/]+)", 1)
+    host = F.regexp_extract(
+        F.col(url_col), r"(?i)^[a-z][a-z0-9+.\-]*://([^/]+)", 1
+    )
+    from sparkrdf.er import global_rank
+
     d = (
         urls.select(F.col(url_col).alias("url"))
         .dropDuplicates()
         .withColumn("host", F.lower(host))
         .filter(F.col("host") != "")
-        .repartitionByRange("host", "url")
-        .sortWithinPartitions("host", "url")
-        .withColumn("_pid", F.spark_partition_id())
     )
-    w = Window.partitionBy("_pid").orderBy("host", "url")
-    d = d.withColumn("_r", F.row_number().over(w)).localCheckpoint(eager=True)
-    counts = d.groupBy("_pid").agg(F.count("*").alias("_c")).collect()
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["_c"]
-    omap = urls.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long"
-    )
-    ranked = d.join(F.broadcast(omap), "_pid").select(
-        "url", "host", (F.col("_off") + F.col("_r") - 1).alias("_gr")
-    )
+    ranked = global_rank(d, ["host", "url"])
     return (
         ranked.join(ranked.groupBy("host").agg(F.min("_gr").alias("_h0")), "host")
         .select(

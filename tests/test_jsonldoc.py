@@ -162,3 +162,24 @@ def test_read_rdf_jsonld(spark, tmp_path):
     p.write_text(serialize_jsonld(rows), encoding="utf-8")
     got = {tuple(r) for r in SparkRDF(spark).read_rdf(str(p)).collect()}
     assert got == set(rows)
+
+
+def test_malformed_shapes_become_error_rows(spark):
+    """Review fixes: non-string @id raises ValueError; a @context term
+    cycle raises ValueError (not RecursionError); and in the distributed
+    wrapper NO document shape can kill the job — every malformed body
+    yields its error row."""
+    with pytest.raises(ValueError, match="@id must be a string"):
+        parse_jsonld('{"@id": 123, "http://p/v": 1}')
+    with pytest.raises(ValueError, match="term cycle"):
+        parse_jsonld('{"@context": {"a": "a"}, "@id": "urn:s", "a": "x"}')
+
+    df = spark.createDataFrame(
+        [("u1", '{"@id": 123}'),
+         ("u2", '{"@context": {"a": "a"}, "@id": "urn:s", "a": "x"}'),
+         ("u3", '{"@id": "urn:ok", "http://p/v": 1}')],
+        "url string, json string")
+    rows = jsonld_statements(df).collect()
+    errs = {r.url for r in rows if r.p.endswith("parseError")}
+    assert errs == {"u1", "u2"}
+    assert any(r.s == "urn:ok" for r in rows)

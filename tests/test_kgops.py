@@ -1371,3 +1371,15 @@ def test_effective_diameter_interpolation(spark):
     assert effective_diameter(nf, alpha=0.2) == 0.0  # t=0 already covers
     with _pytest.raises(ValueError, match="empty"):
         effective_diameter(nf.filter("t < 0"))
+
+
+def test_scc_empty_and_self_loop_only_edges(spark):
+    """Review fix: an edge set that is empty after self-loop filtering
+    returns an empty (n, scc) frame instead of crashing."""
+    from sparkrdf.graphops import scc
+
+    empty = spark.createDataFrame([], "u string, v string")
+    out = scc(empty)
+    assert out.columns == ["n", "scc"] and out.count() == 0
+    loops = spark.createDataFrame([("a", "a")], "u string, v string")
+    assert scc(loops).count() == 0

@@ -886,3 +886,22 @@ def test_term_meta_functions(spark):
 
     with _pytest.raises(ValueError, match="term metadata"):
         bgp_filter(plain, "isiri(?o)")
+
+
+def test_isnumeric_negation_keeps_plain_literals(spark):
+    """Review fix: isNumeric of a plain (NULL-datatype) literal is FALSE,
+    not NULL — so !isNumeric keeps the row (§17.4.2.4)."""
+    from sparkrdf.query import bgp_filter, bgp_match
+    from sparkrdf.ttl import parse_ttl, statements_df
+
+    stmts = statements_df(spark, parse_ttl(
+        '@prefix ex: <http://e.com/> .\n'
+        '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n'
+        'ex:a ex:p "12" .\n'
+        'ex:a ex:p "hello"@en .\n'
+        'ex:a ex:p "7"^^xsd:integer .\n'
+        'ex:a ex:q ex:b .'))
+    sol = bgp_match(stmts, [("?s", "?p", "?o")], term_meta=True)
+    keep = sorted(r.o for r in bgp_filter(sol, "!isnumeric(?o)").collect())
+    # everything except the typed numeric literal survives the negation
+    assert keep == ["12", "hello", "http://e.com/b"]

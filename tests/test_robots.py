@@ -199,3 +199,29 @@ def test_sitemap_index_refs(spark):
                   for r in sitemap_index_refs(df).collect())
     assert rows == [("i", "https://a/s1.xml", "2024-01-01"),
                     ("i", "https://a/s2.xml", None)]
+
+
+def test_crawl_delays_adjacent_groups_not_merged(spark):
+    """Review fix: Allow/Disallow lines between two User-agent runs keep
+    the runs in SEPARATE groups — agent a's delay-free group must not
+    inherit the '*' group's delay."""
+    from sparkrdf.robots import crawl_delays
+
+    body = "User-agent: a\nDisallow: /x\nUser-agent: *\nCrawl-delay: 5"
+    df = spark.createDataFrame([("h1", body)], "host string, body string")
+    assert crawl_delays(df, agent="a").collect() == []  # a's group: no delay
+    star = {r.host: r.delay for r in crawl_delays(df).collect()}
+    assert star == {"h1": 5.0}
+
+
+def test_frontier_waves_uppercase_scheme(spark):
+    """Review fix: an uppercase scheme (valid per RFC 3986) still
+    extracts its host and gets scheduled."""
+    from sparkrdf.weburl import frontier_waves
+
+    df = spark.createDataFrame(
+        [("HTTP://Example.org/p1",), ("https://example.org/p2",)],
+        "url string")
+    out = frontier_waves(df, per_wave=2).collect()
+    assert len(out) == 2
+    assert {r.host for r in out} == {"example.org"}

@@ -298,3 +298,13 @@ def test_parse_nquads_rejects_malformed():
         parse_nquads('<http://a> <http://p> <http://o> "g" .')
     with _pytest.raises(ValueError, match="predicate"):
         parse_nquads('<http://a> _:p <http://o> .')
+
+
+def test_parse_nquads_uchar_in_iri():
+    """Review fix: \\uXXXX escapes inside IRIREF tokenize and unescape
+    (legal N-Triples UCHAR)."""
+    from sparkrdf.ttl import parse_nquads
+
+    (row,) = parse_nquads(
+        '<http://ex.org/\\u00E9> <http://ex.org/p> "x" .')
+    assert row[1] == "http://ex.org/é"
