@@ -373,7 +373,10 @@ def pgt_transform(
         per_prop.withColumn(
             "kv",
             F.concat(
-                F.regexp_extract(F.to_json(F.struct(F.col("prop").alias("k"))), r'^\{"k":(.*)\}$', 1),
+                # (?s): property keys can carry U+0085/U+2028/U+2029, which
+                # Jackson leaves raw and Java-regex '.' won't cross without
+                # DOTALL — the anchored match would silently yield ''.
+                F.regexp_extract(F.to_json(F.struct(F.col("prop").alias("k"))), r'(?s)^\{"k":(.*)\}$', 1),
                 F.lit(":"),
                 F.when(F.size("frags") == 1, F.element_at("frags", 1)).otherwise(
                     F.concat(F.lit("["), F.concat_ws(",", "frags"), F.lit("]"))

@@ -139,7 +139,10 @@ def literal_value_json(lex_col: Column, datatype_col: Column) -> Column:
     Numeric/boolean values are unquoted JSON scalars; strings are JSON-escaped
     via to_json on a struct (then stripped), keeping everything JVM-side.
     """
-    quoted = F.regexp_extract(F.to_json(F.struct(lex_col.alias("v"))), r'^\{"v":(.*)\}$', 1)
+    # (?s): Jackson leaves U+0085/U+2028/U+2029 unescaped (>= 0x20) and Java
+    # regex '.' treats them as line terminators, so without DOTALL the anchored
+    # match silently yields '' for such literals (invalid properties JSON).
+    quoted = F.regexp_extract(F.to_json(F.struct(lex_col.alias("v"))), r'(?s)^\{"v":(.*)\}$', 1)
     as_long = lex_col.cast("long")
     as_double = lex_col.cast("double")
     return (
