@@ -39,8 +39,17 @@ def mention_pattern(dictionary: Sequence[str] | None = None) -> str:
     alts = sorted(set(dictionary if dictionary is not None else surfaces()),
                   key=lambda s: (-len(s), s))
     w = "[0-9A-Za-z_]"
+    # First-char gate: backtracking engines (java.util.regex, Python re) try
+    # every alternation branch at every position; a lookahead over the set of
+    # possible first characters rejects most positions after ONE class test
+    # instead of |dictionary| literal attempts. Pure pruning — any match must
+    # start with one of these characters, so the match set is unchanged
+    # (pinned by test_extract's jvm-vs-pandas cross-check).
+    gate = "".join(sorted({re.escape(s[0]) for s in alts if s}))
     return (
-        f"(?<!{w})(" + "|".join(re.escape(s) for s in alts) + f")(?!{w})"
+        f"(?<!{w})(?=[{gate}])("
+        + "|".join(re.escape(s) for s in alts)
+        + f")(?!{w})"
     )
 
 

