@@ -1101,7 +1101,10 @@ def q_kg_rdfxml_triples(spark, sf_dir):
     including the deterministic bnode labels."""
     from sparkrdf.rdfxml import rdfxml_statements
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # _spread: the single-file parquet read arrives as ONE partition, which
+    # would run the whole per-document Python parse on one core (guide §6 —
+    # production inputs are thousands of files and parallelize naturally)
+    part = _spread(spark, spark.read.parquet(f"{sf_dir}/part.parquet"))
     key = F.col("p_partkey").cast("string")
     xml = F.concat(
         F.lit('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
@@ -1136,7 +1139,9 @@ def q_kg_jsonld_doc_triples(spark, sf_dir):
     the orders columns, including the deterministic bnode labels."""
     from sparkrdf.jsonldoc import jsonld_statements
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # _spread: single-partition parquet would run the per-document Python
+    # expansion single-core (measured 6.0 s -> ~0.9 s on local[32])
+    orders = _spread(spark, spark.read.parquet(f"{sf_dir}/orders.parquet"))
     key = F.col("o_orderkey").cast("string")
     j = F.concat(
         F.lit('{"@context":{"kg":"http://kg.example.org/prop/",'

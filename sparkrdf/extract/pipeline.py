@@ -109,8 +109,9 @@ def extract_triples(spark, pages: DataFrame) -> DataFrame:
     linked = links.withColumn("page_iri", page_iri_col(F.col("url")))
     # persist: both the mention statements and the entity-type statements
     # derive from this (small) set — without a barrier the whole NER+linking
-    # chain re-executes per consumer
-    linked = linked.persist()
+    # chain re-executes per consumer. Project to the three consumed columns
+    # first so the cached blocks (and both downstream scans) stay narrow.
+    linked = linked.select("page_iri", "entity_iri", "class_iri").persist()
 
     mention_stmts = linked.select(
         *_stmt(

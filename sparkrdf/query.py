@@ -685,25 +685,38 @@ def describe_cbd(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
-    frontier = visited
-    for _ in range(max_rounds):
-        reached = (
-            stmts.join(frontier, stmts[s_col] == frontier["n"], "left_semi")
-            .filter(F.col(o_kind_col) == bnode_kind)
-            .select(F.col(o_col).alias("n"))
-            .dropDuplicates()
-            .join(visited, "n", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if reached.isEmpty():
-            return stmts.join(visited, stmts[s_col] == visited["n"], "left_semi")
-        # union of checkpointed frontiers — no checkpoint of the set needed
-        visited = visited.unionAll(reached)
-        frontier = reached
-    raise RuntimeError(
-        f"describe_cbd blank-node closure deeper than {max_rounds} rounds; "
-        "raise max_rounds"
+    # the loop consumes only the (subject, bnode-object) edges; persist that
+    # narrow projection so each round joins a cached table instead of
+    # re-deriving the full statements pipeline per round (the final output
+    # semi-join below is the one full derivation)
+    bn_edges = (
+        stmts.filter(F.col(o_kind_col) == bnode_kind)
+        .select(F.col(s_col).alias("_s"), F.col(o_col).alias("_o"))
+        .persist()
     )
+    try:
+        frontier = visited
+        for _ in range(max_rounds):
+            reached = (
+                bn_edges.join(frontier, bn_edges["_s"] == frontier["n"], "left_semi")
+                .select(F.col("_o").alias("n"))
+                .dropDuplicates()
+                .join(visited, "n", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if reached.isEmpty():
+                return stmts.join(
+                    visited, stmts[s_col] == visited["n"], "left_semi"
+                )
+            # union of checkpointed frontiers — no checkpoint of the set needed
+            visited = visited.unionAll(reached)
+            frontier = reached
+        raise RuntimeError(
+            f"describe_cbd blank-node closure deeper than {max_rounds} rounds; "
+            "raise max_rounds"
+        )
+    finally:
+        bn_edges.unpersist()
 
 
 def bgp_not_exists(

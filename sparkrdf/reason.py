@@ -91,30 +91,50 @@ def rdfs_materialize(
     )
     onto = _spo(ontology, "s", "p", "o")
 
-    sub_prop = onto.filter(F.col("p") == RDFS_SUBPROP)
-    sub_cls = onto.filter(F.col("p") == RDFS_SUBCLASS)
-    dom = F.broadcast(
-        onto.filter(F.col("p") == RDFS_DOMAIN).select(
-            F.col("s").alias("p"), F.col("o").alias("_cls")
+    # The ontology is human-authored — thousands of rows at most (module
+    # docstring) — so collect it ONCE and derive the four rule tables and
+    # both strict transitive closures in-process instead of running
+    # checkpoint+count Spark jobs per closure over a handful of rows; each
+    # table re-enters the plan as a broadcast local relation. (The closure
+    # itself is query.path_closure's driver fast path, shared here.)
+    from sparkrdf.query import _closure_local
+
+    spark = triples.sparkSession
+    onto_rows = [(r["s"], r["p"], r["o"]) for r in onto.collect()]
+
+    def _pairs_df(rows, c1, c2):
+        return F.broadcast(
+            spark.createDataFrame(list(rows) or [], f"{c1} string, {c2} string")
         )
+
+    dom = _pairs_df(
+        ((s, o) for s, p, o in onto_rows if p == RDFS_DOMAIN), "p", "_cls"
     )
-    rng = F.broadcast(
-        onto.filter(F.col("p") == RDFS_RANGE).select(
-            F.col("s").alias("p"), F.col("o").alias("_cls")
+    rng = _pairs_df(
+        ((s, o) for s, p, o in onto_rows if p == RDFS_RANGE), "p", "_cls"
+    )
+    _cap = 5_000_000
+    spc_pairs = _closure_local(
+        [(s, o) for s, p, o in onto_rows if p == RDFS_SUBPROP], cap=_cap
+    )
+    scc_pairs = _closure_local(
+        [(s, o) for s, p, o in onto_rows if p == RDFS_SUBCLASS], cap=_cap
+    )
+    if spc_pairs is None or scc_pairs is None:  # pragma: no cover — an
+        # adversarially dense "ontology"; fall back to the distributed loop
+        sub_prop = onto.filter(F.col("p") == RDFS_SUBPROP)
+        sub_cls = onto.filter(F.col("p") == RDFS_SUBCLASS)
+        spc = F.broadcast(
+            path_closure(sub_prop, src="s", dst="o", max_doubling=max_doubling)
+            .select(F.col("s").alias("p"), F.col("o").alias("_sup"))
         )
-    )
-    # strict transitive closures of the two hierarchies (pair tables are
-    # ontology-sized: safe to close eagerly and broadcast)
-    spc = F.broadcast(
-        path_closure(sub_prop, src="s", dst="o", max_doubling=max_doubling).select(
-            F.col("s").alias("p"), F.col("o").alias("_sup")
+        scc = F.broadcast(
+            path_closure(sub_cls, src="s", dst="o", max_doubling=max_doubling)
+            .select(F.col("s").alias("_cls"), F.col("o").alias("_sup"))
         )
-    )
-    scc = F.broadcast(
-        path_closure(sub_cls, src="s", dst="o", max_doubling=max_doubling).select(
-            F.col("s").alias("_cls"), F.col("o").alias("_sup")
-        )
-    )
+    else:
+        spc = _pairs_df(spc_pairs, "p", "_sup")
+        scc = _pairs_df(scc_pairs, "_cls", "_sup")
 
     # rdfs7: property generalization (strict closure join + the asserted p)
     t1 = t.unionByName(
@@ -271,27 +291,32 @@ def owl_materialize(
     )
     onto = _spo(ontology, "s", "p", "o")
 
-    sym = F.broadcast(
-        onto.filter(
-            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_SYMMETRIC)
-        ).select(F.col("s").alias("p"))
+    # Axiom tables are human-authored (module docstring): collect ONCE and
+    # compile the symmetric/transitive property sets into isin predicates —
+    # a codegen filter instead of a broadcast semi-join per sym_inv call
+    # (sym_inv runs three times per materialization). inverseOf stays a
+    # broadcast join: one property may declare several inverses.
+    spark = triples.sparkSession
+    onto_rows = [(r0["s"], r0["p"], r0["o"]) for r0 in onto.collect()]
+    sym_props = sorted(
+        {s for s, p, o in onto_rows if p == T.RDF_TYPE and o == T.OWL_SYMMETRIC}
     )
-    inv_pairs = onto.filter(F.col("p") == T.OWL_INVERSE_OF).select(
-        F.col("s").alias("p"), F.col("o").alias("_q")
+    trans_props = sorted(
+        {s for s, p, o in onto_rows if p == T.RDF_TYPE and o == T.OWL_TRANSITIVE}
+    )
+    inv_rows = sorted(
+        {(s, o) for s, p, o in onto_rows if p == T.OWL_INVERSE_OF}
+        | {(o, s) for s, p, o in onto_rows if p == T.OWL_INVERSE_OF}
     )
     inv = F.broadcast(
-        inv_pairs.unionByName(
-            inv_pairs.select(F.col("_q").alias("p"), F.col("p").alias("_q"))
-        ).dropDuplicates()
-    )
-    trans = F.broadcast(
-        onto.filter(
-            (F.col("p") == T.RDF_TYPE) & (F.col("o") == T.OWL_TRANSITIVE)
-        ).select(F.col("s").alias("p"))
+        spark.createDataFrame(inv_rows or [], "p string, _q string")
     )
 
+    def _is_in(col, values):
+        return col.isin(*values) if values else F.lit(False)
+
     def sym_inv(df: DataFrame) -> DataFrame:
-        flipped = df.join(sym, "p", "left_semi").select(
+        flipped = df.filter(_is_in(F.col("p"), sym_props)).select(
             F.col("o").alias("s"), "p", F.col("s").alias("o")
         )
         inverted = df.join(inv, "p").select(
@@ -302,7 +327,11 @@ def owl_materialize(
     t1 = sym_inv(t).localCheckpoint(eager=True)
 
     # per-property transitive closure, (p, endpoint)-keyed doubling
-    r = t1.join(trans, "p", "left_semi").dropDuplicates().localCheckpoint(eager=True)
+    r = (
+        t1.filter(_is_in(F.col("p"), trans_props))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
     n = r.count()
     closed = r
     # Threshold-gated driver fast path (same pattern as query.path_closure /

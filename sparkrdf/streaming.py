@@ -99,7 +99,9 @@ def select_sink(spark, merge_sink: str = "auto") -> str:
     - ``"parquet-swap"``: plain-parquet staging-swap (strictly atomic
       sandbox fallback, O(table) per batch by construction).
     - ``"auto"``: ``"table"`` when a MERGE-capable extension is configured,
-      else ``"parquet-swap"``.
+      else ``"parquet-bucketed"`` — the O(touched-buckets) default; the
+      O(table)-per-batch swap is opt-in only (its strict cross-bucket
+      atomicity is the one reason to pick it).
     """
     if merge_sink not in ("auto", "table", "parquet-bucketed", "parquet-swap"):
         raise ValueError(f"unknown merge_sink {merge_sink!r}")
@@ -115,7 +117,7 @@ def select_sink(spark, merge_sink: str = "auto") -> str:
             "(spark.sql.extensions); configure a catalog or use 'parquet-swap'"
         )
     if merge_sink == "auto":
-        return "table" if merge_capable else "parquet-swap"
+        return "table" if merge_capable else "parquet-bucketed"
     return merge_sink
 
 

@@ -1178,6 +1178,31 @@ def test_scc_hand_graphs(spark):
     assert shared["d"] == "d"
 
 
+def test_scc_local_fast_path_matches_distributed(spark):
+    """The threshold-gated Tarjan fast path must be row-identical to the
+    distributed Forward-Backward-Trim loop on every hand graph."""
+    from sparkrdf.graphops import scc
+
+    graphs = [
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("d", "e"), ("e", "d"), ("e", "f"), ("g", "h")],
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+         ("c", "c"), ("d", "a")],
+        # bow-tie: IN tendril -> core cycle -> OUT tendril
+        [("i1", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+         ("c2", "o1"), ("o1", "o2")],
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "u string, v string")
+        fast = {(r.n, r.scc) for r in scc(df).collect()}
+        slow = {
+            (r.n, r.scc)
+            for r in scc(df, small_graph_threshold=0).collect()
+        }
+        assert fast == slow, edges
+
+
 def test_scc_directed_vs_wcc(spark):
     """A directed 2-path is ONE weak component but TWO SCCs — the
     direction-sensitivity gate."""

@@ -201,18 +201,75 @@ def test_stream_bucketed_sink(spark, tmp_path):
 
 
 def test_sink_selection(spark):
-    """select_sink: auto falls back to parquet-swap without a MERGE-capable
-    catalog; 'table' without one is a hard error, not silent data loss."""
+    """select_sink: auto defaults to the O(touched-buckets) bucketed merge
+    without a MERGE-capable catalog (the O(table)-per-batch swap is opt-in
+    only); 'table' without one is a hard error, not silent data loss."""
     import pytest
 
     from sparkrdf.streaming import select_sink
 
-    assert select_sink(spark, "auto") == "parquet-swap"
+    assert select_sink(spark, "auto") == "parquet-bucketed"
     assert select_sink(spark, "parquet-swap") == "parquet-swap"
+    assert select_sink(spark, "parquet-bucketed") == "parquet-bucketed"
     with pytest.raises(ValueError, match="Iceberg or Delta"):
         select_sink(spark, "table")
     with pytest.raises(ValueError, match="unknown merge_sink"):
         select_sink(spark, "bogus")
+
+
+def test_bucketed_micro_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """A micro-batch through the bucketed sink rewrites ONLY the buckets its
+    keys hash into: untouched bucket directories keep their files byte-for-
+    byte (mtimes and names unchanged), touched ones are replaced."""
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from sparkrdf.io import KEY_BUCKET_COL, key_bucket, merge_into_bucketed
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(f"C", f"k{i}", f"v{i}") for i in range(64)],
+        "collection string, _key string, val string",
+    )
+    merge_into_bucketed(spark, path, base, n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for d in _os.listdir(path):
+            if not d.startswith(KEY_BUCKET_COL + "="):
+                continue
+            b = int(d.split("=")[1])
+            full = _os.path.join(path, d)
+            out[b] = {
+                f: _os.path.getmtime(_os.path.join(full, f))
+                for f in _os.listdir(full)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = bucket_files()
+    batch = spark.createDataFrame(
+        [("C", "k3", "v3b"), ("C", "k17", "v17b")],
+        "collection string, _key string, val string",
+    )
+    expected = {
+        r[0]
+        for r in batch.withColumn("_b", key_bucket(8)).select("_b").collect()
+    }
+    touched = set(merge_into_bucketed(spark, path, batch, n_buckets=8))
+    assert touched == expected
+    after = bucket_files()
+    for b in before:
+        if b in touched:
+            continue
+        assert after[b] == before[b], f"untouched bucket {b} was rewritten"
+    # and the merge itself upserted the new values
+    got = {
+        r["_key"]: r["val"]
+        for r in spark.read.parquet(path).select("_key", "val").collect()
+    }
+    assert got["k3"] == "v3b" and got["k17"] == "v17b" and got["k5"] == "v5"
 
 
 def test_stream_recovers_from_crashed_swap(spark, tmp_path):
@@ -235,6 +292,7 @@ def test_stream_recovers_from_crashed_swap(spark, tmp_path):
         name="CR",
         checkpoint_dir=str(tmp_path / "ckpt1"),
         trigger_once=True,
+        merge_sink="parquet-swap",  # the recovery path under test
     )
     q.awaitTermination(300)
     n_v = spark.read.parquet(base + "/vertices").count()
@@ -254,6 +312,7 @@ def test_stream_recovers_from_crashed_swap(spark, tmp_path):
         name="CR",
         checkpoint_dir=str(tmp_path / "ckpt2"),
         trigger_once=True,
+        merge_sink="parquet-swap",  # the recovery path under test
     )
     q2.awaitTermination(300)
     assert spark.read.parquet(base + "/vertices").count() == n_v
