@@ -315,7 +315,7 @@ def connected_components(
     )
     if edges.count() <= small_graph_threshold:
         comp = _union_find_components(
-            (r["u"], r["v"]) for r in edges.toLocalIterator()
+            (r["u"], r["v"]) for r in edges.collect()
         )
         spark = pairs.sparkSession
         out_type = edges.schema["u"].dataType

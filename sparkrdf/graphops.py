@@ -83,12 +83,24 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     )
 
 
+def _ranks_df(spark, pr: dict, id_type, col: str = "pr") -> DataFrame:
+    """(n, <col>) DataFrame from a driver score map — UNROUNDED; callers
+    apply F.round so the rounding semantics (HALF_UP) stay Spark's own."""
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [_T.StructField("n", id_type), _T.StructField(col, _T.DoubleType())]
+    )
+    return spark.createDataFrame(sorted(pr.items()), schema)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 10,
     src: str = "u",
     dst: str = "v",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over an undirected distinct-pair edge list (each edge walks
     both ways). Returns ``(n, pr)`` with pr rounded to 6 d.p. so float
@@ -104,9 +116,35 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     de = e.unionAll(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    de = de.persist()
+    # Threshold-gated driver fast path (the connected_components pattern):
+    # a power iteration over a collected edge list runs the IDENTICAL
+    # per-edge arithmetic (pr/deg contributions, same damping algebra);
+    # double-summation order differs, which the 6-d.p. output rounding
+    # absorbs by design — it already absorbs Spark's own nondeterministic
+    # partial-aggregation order run to run. Rounding itself stays in Spark
+    # (F.round below), so HALF_UP semantics are byte-identical. Larger
+    # graphs take the distributed loop automatically.
+    if de.count() <= small_graph_threshold:
+        pairs = [(r["s"], r["t"]) for r in de.collect()]
+        de.unpersist()
+        dg: dict = {}
+        for s, _t2 in pairs:
+            dg[s] = dg.get(s, 0) + 1
+        n_v = len(dg)
+        base = (1.0 - damping) / n_v
+        pr = {n: 1.0 / n_v for n in dg}
+        for _ in range(n_iter):
+            acc: dict = {}
+            for s, t2 in pairs:
+                acc[t2] = acc.get(t2, 0.0) + pr[s] / dg[s]
+            pr = {t2: base + damping * c for t2, c in acc.items()}
+        out_df = _ranks_df(edges.sparkSession, pr, de.schema["s"].dataType)
+        return out_df.select("n", F.round("pr", 6).alias("pr"))
     deg = de.groupBy("s").agg(F.count("*").cast("double").alias("dg"))
     out = de.join(deg, "s").repartition("s").persist()
     n_v = deg.count()
+    de.unpersist()
     base = (1.0 - damping) / n_v
     ranks = deg.select(F.col("s").alias("n"), F.lit(1.0 / n_v).alias("pr"))
     for i in range(n_iter):
@@ -200,6 +238,7 @@ def kcore(
     rounds: int = 8,
     src: str = "u",
     dst: str = "v",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """k-core membership by iterative peeling: repeatedly drop vertices of
     degree < k (degrees recomputed over the surviving subgraph) for a FIXED
@@ -221,6 +260,34 @@ def kcore(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     cur = e.localCheckpoint(eager=True)
+    # Threshold-gated driver fast path: the fixed peeling rounds are pure
+    # integer degree counting over the edge MULTISET (duplicates and
+    # self-loops count exactly as in the aggregate) — bit-identical to the
+    # distributed loop; larger graphs take the distributed path.
+    if cur.count() <= small_graph_threshold:
+        pairs = [(r["u"], r["v"]) for r in cur.collect()]
+        for _ in range(rounds):
+            dg: dict = {}
+            for u, v in pairs:
+                dg[u] = dg.get(u, 0) + 1
+                dg[v] = dg.get(v, 0) + 1
+            keep = {n for n, d in dg.items() if d >= k}
+            pairs = [(u, v) for u, v in pairs if u in keep and v in keep]
+        dg = {}
+        for u, v in pairs:
+            dg[u] = dg.get(u, 0) + 1
+            dg[v] = dg.get(v, 0) + 1
+        from pyspark.sql import types as _T
+
+        schema = _T.StructType(
+            [
+                _T.StructField("n", cur.schema["u"].dataType),
+                _T.StructField("deg", _T.LongType()),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted((n, d) for n, d in dg.items() if d >= k), schema
+        )
     for _ in range(rounds):
         deg = (
             cur.select(F.col("u").alias("n"))
@@ -250,6 +317,7 @@ def pagerank_directed(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str = "n_links",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """PageRank over a DIRECTED weighted edge list — the web-graph variant:
     link direction matters and sink nodes (linked-to hosts that link to
@@ -272,6 +340,32 @@ def pagerank_directed(
         F.col(src).alias("s"), F.col(dst).alias("t"),
         F.col(weight).cast("double").alias("w"),
     )
+    e = e.persist()
+    # driver fast path — see pagerank() for the exactness argument (same
+    # per-edge arithmetic, 6-d.p. rounding stays Spark-side)
+    if e.count() <= small_graph_threshold:
+        rows = [(r["s"], r["t"], r["w"]) for r in e.collect()]
+        e.unpersist()
+        ow: dict = {}
+        nodes: set = set()
+        for s, t2, w in rows:
+            ow[s] = ow.get(s, 0.0) + w
+            nodes.add(s)
+            nodes.add(t2)
+        frac = [(s, t2, w / ow[s]) for s, t2, w in rows]
+        n_v = len(nodes)
+        base = (1.0 - damping) / n_v
+        pr = {n: 1.0 / n_v for n in nodes}
+        for _ in range(n_iter):
+            dm = sum(pr[n] for n in nodes if n not in ow)
+            acc: dict = {}
+            for s, t2, f2 in frac:
+                acc[t2] = acc.get(t2, 0.0) + pr[s] * f2
+            pr = {
+                n: base + damping * (acc.get(n, 0.0) + dm / n_v) for n in nodes
+            }
+        out_df = _ranks_df(edges.sparkSession, pr, e.schema["s"].dataType)
+        return out_df.select("n", F.round("pr", 6).alias("pr"))
     outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
     norm = (
         e.join(outw, "s")
@@ -320,6 +414,7 @@ def pagerank_directed(
             .localCheckpoint(eager=True)
         )
     norm.unpersist()
+    e.unpersist()
     return ranks.select("n", F.round("pr", 6).alias("pr"))
 
 def hits(
@@ -679,8 +774,17 @@ def corrupt_triples(
     return cand.join(pos, ["cs", "p", "co"], "left_anti")
 
 
+def _count_labels(nbrs: list, lab: dict) -> dict:
+    cnt: dict = {}
+    for v in nbrs:
+        lv = lab[v]
+        cnt[lv] = cnt.get(lv, 0) + 1
+    return cnt
+
+
 def label_propagation(
-    edges: DataFrame, iters: int = 4, src: str = "u", dst: str = "v"
+    edges: DataFrame, iters: int = 4, src: str = "u", dst: str = "v",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan,
     Albert & Kumara 2007), made deterministic: every node starts labeled
@@ -702,12 +806,35 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates()
     )
-    und = (
-        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .dropDuplicates()
-        .repartition("v")
-        .persist()
-    )
+    und0 = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).dropDuplicates().localCheckpoint(eager=True)
+    # Threshold-gated driver fast path (the connected_components pattern):
+    # synchronous LPA with the min-label tie-break is pure integer counting
+    # over strings — the driver loop is bit-identical to the distributed
+    # rounds; larger graphs take the distributed loop automatically.
+    if und0.count() <= small_graph_threshold:
+        adj: dict = {}
+        for r in und0.collect():
+            adj.setdefault(r["u"], []).append(r["v"])
+        lab = {n: n for n in adj}
+        for _ in range(iters):
+            lab = {
+                u: min(
+                    _count_labels(nbrs, lab).items(),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[0]
+                for u, nbrs in adj.items()
+            }
+        from pyspark.sql import types as _T
+
+        idt = und0.schema["u"].dataType
+        schema = _T.StructType(
+            [_T.StructField("n", idt), _T.StructField("label", idt)]
+        )
+        return edges.sparkSession.createDataFrame(sorted(lab.items()), schema)
+    und = und0.repartition("v").localCheckpoint(eager=True)
+    und0.unpersist()
     labels = und.select(F.col("u").alias("n")).dropDuplicates().select(
         "n", F.col("n").alias("lbl")
     ).localCheckpoint(eager=True)
@@ -1110,7 +1237,8 @@ def reciprocity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
 
 
 def ktruss(
-    edges: DataFrame, k: int, src: str = "u", dst: str = "v", max_rounds: int = 30
+    edges: DataFrame, k: int, src: str = "u", dst: str = "v",
+    max_rounds: int = 30, small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """k-truss decomposition (Cohen 2008): the maximal subgraph in which
     every edge participates in at least ``k - 2`` triangles — the standard
@@ -1142,6 +1270,32 @@ def ktruss(
         .localCheckpoint(eager=True)
     )
     n = e.count()
+    # Threshold-gated driver fast path: per-edge triangle support is
+    # |N(u) ∩ N(v)| over the deduped simple graph — pure set arithmetic,
+    # bit-identical to the distributed enumerate-and-count peel.
+    if n <= small_graph_threshold:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        for _ in range(max_rounds):
+            nbr: dict = {}
+            for u, v in pairs:
+                nbr.setdefault(u, set()).add(v)
+                nbr.setdefault(v, set()).add(u)
+            kept = [
+                (u, v) for u, v in pairs if len(nbr[u] & nbr[v]) >= k - 2
+            ]
+            if len(kept) == len(pairs):
+                from pyspark.sql import types as _T
+
+                idt = e.schema["u"].dataType
+                schema = _T.StructType(
+                    [_T.StructField("u", idt), _T.StructField("v", idt)]
+                )
+                return edges.sparkSession.createDataFrame(sorted(kept), schema)
+            pairs = kept
+        raise RuntimeError(
+            f"ktruss still peeling after {max_rounds} rounds (graph adversarially "
+            "deep); raise max_rounds"
+        )
     for _ in range(max_rounds):
         tri = triangles(e)
         sup = (
@@ -1223,7 +1377,8 @@ def assortativity(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame
 
 
 def coreness(
-    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 50
+    edges: DataFrame, src: str = "u", dst: str = "v", max_rounds: int = 50,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Full k-core decomposition: every node's core NUMBER (the largest k
     such that the node survives k-core peeling) — the standard cohesion
@@ -1257,6 +1412,42 @@ def coreness(
     both = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    # Threshold-gated driver fast path: the h-index iteration is pure
+    # integer arithmetic (degrees, sorted neighbor values, min/max) —
+    # bit-identical to the distributed rounds, same convergence raise.
+    if both.count() <= small_graph_threshold:
+        adj: dict = {}
+        for r in both.collect():
+            adj.setdefault(r["u"], []).append(r["v"])
+        cv = {n: len(nbrs) for n, nbrs in adj.items()}
+        for _ in range(max_rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                h = 0
+                for i, val in enumerate(
+                    sorted((cv[v] for v in nbrs), reverse=True), 1
+                ):
+                    m = i if i < val else val
+                    if m > h:
+                        h = m
+                new[n] = cv[n] if cv[n] < h else h
+            changed = new != cv
+            cv = new
+            if not changed:
+                from pyspark.sql import types as _T
+
+                schema = _T.StructType(
+                    [
+                        _T.StructField("n", both.schema["u"].dataType),
+                        _T.StructField("coreness", _T.IntegerType()),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(
+                    sorted(cv.items()), schema
+                )
+        raise RuntimeError(
+            f"coreness h-index iteration not converged after {max_rounds} rounds"
+        )
     c = (
         both.groupBy(F.col("u").alias("n"))
         .agg(F.count("*").cast("int").alias("c"))
@@ -1407,7 +1598,7 @@ def scc(
     # path automatically, so driver memory stays bounded by construction.
     # small_graph_threshold=0 forces the distributed loop.
     if live_e.count() <= small_graph_threshold:
-        comp = _scc_local((r["s"], r["t"]) for r in live_e.toLocalIterator())
+        comp = _scc_local((r["s"], r["t"]) for r in live_e.collect())
         out_type = live_e.schema["s"].dataType
         from pyspark.sql import types as _T
 
@@ -1544,6 +1735,24 @@ def scc(
     raise RuntimeError(f"scc not converged after {max_rounds} rounds")
 
 
+def _bfs_dists(adj: dict, source, max_t: int) -> dict:
+    """Bounded BFS distances from ``source`` over an adjacency map —
+    {node: dist} including dist 0 for the source itself."""
+    dist = {source: 0}
+    frontier = [source]
+    for t in range(1, max_t + 1):
+        nxt = []
+        for b in frontier:
+            for w in adj.get(b, ()):
+                if w not in dist:
+                    dist[w] = t
+                    nxt.append(w)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
 def neighborhood_function(
     edges: DataFrame,
     src: str = "u",
@@ -1551,6 +1760,7 @@ def neighborhood_function(
     max_t: int = 8,
     exact: bool = False,
     lg_k: int = 12,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Neighborhood function of a directed graph — ``(t, pairs)`` where
     ``pairs`` = number of ordered (a, b) pairs with dist(a → b) ≤ t, for
@@ -1584,6 +1794,25 @@ def neighborhood_function(
     )
     spark = edges.sparkSession
     if exact:
+        # Threshold-gated driver fast path: pair counts per distance are
+        # pure-integer BFS — bit-identical to the frontier join loop,
+        # including which t rows appear (BFS exhaustion = empty round).
+        if e.count() <= small_graph_threshold:
+            adj: dict = {}
+            node_set: set = set()
+            for r in e.collect():
+                adj.setdefault(r["s"], []).append(r["t"])
+                node_set.add(r["s"])
+                node_set.add(r["t"])
+            per_d: dict = {}
+            for a in node_set:
+                for _b, d in _bfs_dists(adj, a, max_t).items():
+                    per_d[d] = per_d.get(d, 0) + 1
+            cum, rows = 0, []
+            for t in sorted(per_d):
+                cum += per_d[t]
+                rows.append((t, cum))
+            return spark.createDataFrame(rows, "t int, pairs long")
         dist = nodes.select(
             F.col("n").alias("a"), F.col("n").alias("b"), F.lit(0).alias("d")
         ).localCheckpoint(eager=True)
@@ -1646,6 +1875,7 @@ def harmonic_centrality(
     max_t: int = 8,
     exact: bool = False,
     lg_k: int = 12,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Harmonic centrality ``H(v) = Σ_{u≠v, d(u→v)<∞} 1/d(u → v)`` over
     incoming distances, depth-bounded at ``max_t`` — Boldi-Vigna's
@@ -1669,6 +1899,29 @@ def harmonic_centrality(
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
+        # Threshold-gated driver fast path: distances are exact integers;
+        # the Σ 1/d accumulation order differs from the distributed
+        # aggregation's — which the 6-d.p. rounding absorbs by design (it
+        # already absorbs Spark's own nondeterministic partial-agg order).
+        # Rounding stays Spark-side.
+        if e.count() <= small_graph_threshold:
+            adj: dict = {}
+            node_set: set = set()
+            for r in e.collect():
+                adj.setdefault(r["u"], []).append(r["v"])
+                node_set.add(r["u"])
+                node_set.add(r["v"])
+            h = {}
+            for a in node_set:
+                acc = 0.0
+                for _b, d in _bfs_dists(adj, a, max_t).items():
+                    if d > 0:
+                        acc += 1.0 / d
+                h[a] = acc
+            out_df = _ranks_df(
+                edges.sparkSession, h, e.schema["u"].dataType, col="h"
+            )
+            return out_df.select("n", F.round("h", 6).alias("centrality"))
         nodes = (
             e.select(F.col("u").alias("n"))
             .unionByName(e.select(F.col("v").alias("n")))
@@ -1743,6 +1996,7 @@ def personalized_pagerank(
     src: str = "src_host",
     dst: str = "dst_host",
     weight: str | None = "n_links",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Personalized PageRank: random walks with restart into a SEED set
     instead of the uniform distribution — relevance of every node to a
@@ -1763,6 +2017,40 @@ def personalized_pagerank(
     cols = [F.col(src).alias("s"), F.col(dst).alias("t")]
     cols.append((F.col(weight) if weight else F.lit(1)).cast("double").alias("w"))
     e = edges.select(*cols)
+    e = e.persist()
+    # driver fast path — see pagerank() for the exactness argument (same
+    # per-edge arithmetic, 6-d.p. rounding stays Spark-side)
+    if e.count() <= small_graph_threshold:
+        rows = [(r["s"], r["t"], r["w"]) for r in e.collect()]
+        e.unpersist()
+        ow: dict = {}
+        nodes: set = set()
+        for s, t2, w in rows:
+            ow[s] = ow.get(s, 0.0) + w
+            nodes.add(s)
+            nodes.add(t2)
+        sd_set = {
+            r[0]
+            for r in seeds.select(seeds.columns[0]).dropDuplicates().collect()
+        } & nodes
+        n_s = len(sd_set)
+        if n_s == 0:
+            raise ValueError("personalized_pagerank: no seed is a graph node")
+        tl = {n: (1.0 / n_s if n in sd_set else 0.0) for n in nodes}
+        frac = [(s, t2, w / ow[s]) for s, t2, w in rows]
+        pr = dict(tl)
+        for _ in range(n_iter):
+            dm = sum(pr[n] for n in nodes if n not in ow)
+            acc: dict = {}
+            for s, t2, f2 in frac:
+                acc[t2] = acc.get(t2, 0.0) + pr[s] * f2
+            pr = {
+                n: (1.0 - damping) * tl[n]
+                + damping * (acc.get(n, 0.0) + dm * tl[n])
+                for n in nodes
+            }
+        out_df = _ranks_df(edges.sparkSession, pr, e.schema["s"].dataType)
+        return out_df.select("n", F.round("pr", 6).alias("pr"))
     outw = e.groupBy("s").agg(F.sum("w").alias("ow"))
     norm = (
         e.join(outw, "s")
@@ -1825,6 +2113,7 @@ def personalized_pagerank(
             .localCheckpoint(eager=True)
         )
     norm.unpersist()
+    e.unpersist()
     return ranks.select("n", F.round("pr", 6).alias("pr"))
 
 
@@ -1838,6 +2127,7 @@ def node2vec_walks(
     seed: int = 7,
     src: str = "u",
     dst: str = "v",
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Deterministic node2vec walks (Grover-Leskovec KDD 2016): the
     second-order biased companion to :func:`random_walks`. At ``cur``
@@ -1873,6 +2163,70 @@ def node2vec_walks(
     from sparkrdf.er import global_rank
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).dropDuplicates()
+    e = e.localCheckpoint(eager=True)
+    # Threshold-gated driver fast path: every hop is integer md5 arithmetic
+    # over the t-sorted neighbor index — bit-identical to the distributed
+    # cumulative-weight draw (the walk is deterministic by construction).
+    if e.count() <= small_graph_threshold:
+        adj: dict = {}
+        edge_set: set = set()
+        for r0 in e.collect():
+            adj.setdefault(r0["s"], []).append(r0["t"])
+            edge_set.add((r0["s"], r0["t"]))
+        for s0 in adj:
+            adj[s0].sort()
+        out_rows = []
+        cur = []
+        for start in adj:
+            for wn in range(walks_per_node):
+                out_rows.append((start, wn, 0, start))
+                if walk_len >= 1:
+                    h0 = _md5_long_py(f"{seed}|{start}|{wn}|0|{start}")
+                    nxt = adj[start][h0 % len(adj[start])]
+                    out_rows.append((start, wn, 1, nxt))
+                    cur.append((start, wn, start, nxt))
+        for t in range(1, walk_len):
+            nxt_cur = []
+            for start, wn, prev, node in cur:
+                nbrs = adj.get(node)
+                if not nbrs:
+                    continue  # sink: walk stops
+                tot = 0
+                ws = []
+                for cx in nbrs:
+                    if cx == prev:
+                        w = w_return
+                    elif (prev, cx) in edge_set:
+                        w = w_common
+                    else:
+                        w = w_far
+                    ws.append(w)
+                    tot += w
+                if tot == 0:
+                    continue  # md5 % 0 is null in the distributed plan
+                rr = _md5_long_py(
+                    f"{seed}|{start}|{wn}|{t}|{prev}|{node}"
+                ) % tot
+                cum = 0
+                for cx, w in zip(nbrs, ws):
+                    cum += w
+                    if rr < cum:
+                        out_rows.append((start, wn, t + 1, cx))
+                        nxt_cur.append((start, wn, node, cx))
+                        break
+            cur = nxt_cur
+        from pyspark.sql import types as _T
+
+        idt = e.schema["s"].dataType
+        schema = _T.StructType(
+            [
+                _T.StructField("start", idt),
+                _T.StructField("walk_no", _T.IntegerType()),
+                _T.StructField("step", _T.IntegerType()),
+                _T.StructField("node", idt),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(sorted(out_rows), schema)
     # neighbor index (window-free, same construction as random_walks)
     ranked = global_rank(e, ["s", "t"])
     idx = (
@@ -1948,6 +2302,13 @@ def node2vec_walks(
     return out
 
 
+def _md5_long_py(s: str) -> int:
+    """Driver twin of :func:`_md5_long` — first 8 hex chars of md5 as int."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
 def betweenness(
     edges: DataFrame,
     src: str = "u",
@@ -1955,6 +2316,7 @@ def betweenness(
     max_t: int = 4,
     source_mod: int = 1,
     seed: int = 7,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Betweenness centrality by level-synchronous Brandes (Brandes 2001),
     depth-bounded at ``max_t`` and over a DETERMINISTIC source sample —
@@ -1983,6 +2345,66 @@ def betweenness(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    # Threshold-gated driver fast path: level-synchronous Brandes with the
+    # identical source sample (same md5 arithmetic), exact integer-valued σ,
+    # and the same depth bound; the δ accumulation order differs, which the
+    # 6-d.p. output rounding absorbs (rounding stays Spark-side).
+    if e.count() <= small_graph_threshold:
+        adj: dict = {}
+        node_set: set = set()
+        for r0 in e.collect():
+            adj.setdefault(r0["es"], []).append(r0["et"])
+            node_set.add(r0["es"])
+            node_set.add(r0["et"])
+        sample = [
+            n for n in node_set
+            if source_mod <= 1
+            or _md5_long_py(f"{seed}|{n}") % source_mod == 0
+        ]
+        out: dict = {}
+        for a in sample:
+            level = {a: 0}
+            sigma = {a: 1.0}
+            level_nodes = [[a]]
+            for t in range(1, max_t + 1):
+                cand: dict = {}
+                for b in level_nodes[-1]:
+                    sb = sigma[b]
+                    for w in adj.get(b, ()):
+                        cand[w] = cand.get(w, 0.0) + sb
+                new = {w: s for w, s in cand.items() if w not in level}
+                if not new:
+                    break
+                for w, s in new.items():
+                    level[w] = t
+                    sigma[w] = s
+                level_nodes.append(list(new))
+            depth = len(level_nodes) - 1
+            delta = {b: 0.0 for b in level_nodes[-1]}
+            for b in level_nodes[-1]:
+                if b != a:
+                    out[b] = out.get(b, 0.0)  # deepest level: δ = 0 rows
+            for t in range(depth - 1, -1, -1):
+                new_delta = {}
+                for b in level_nodes[t]:
+                    c = 0.0
+                    for w in adj.get(b, ()):
+                        if level.get(w) == t + 1:
+                            c += sigma[b] / sigma[w] * (1.0 + delta[w])
+                    new_delta[b] = c
+                if t > 0:
+                    for b, dv in new_delta.items():
+                        if b != a:
+                            out[b] = out.get(b, 0.0) + dv
+                delta = new_delta
+        from pyspark.sql import types as _T
+
+        idt = e.schema["es"].dataType
+        schema = _T.StructType(
+            [_T.StructField("n", idt), _T.StructField("bt", _T.DoubleType())]
+        )
+        out_df = edges.sparkSession.createDataFrame(sorted(out.items()), schema)
+        return out_df.select("n", F.round("bt", 6).alias("betweenness"))
     nodes = (
         e.select(F.col("es").alias("n"))
         .unionByName(e.select(F.col("et").alias("n")))
@@ -2120,6 +2542,7 @@ def closeness_centrality(
     src: str = "u",
     dst: str = "v",
     max_t: int = 8,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Bounded closeness centrality over OUTGOING distances —
     Wasserman-Faust normalized: ``C(v) = (r−1)/(n−1) · (r−1)/Σd`` with
@@ -2139,6 +2562,30 @@ def closeness_centrality(
         .dropDuplicates()
         .localCheckpoint(eager=True)
     )
+    # Threshold-gated driver fast path: r and Σd are exact integers, and
+    # the Wasserman-Faust formula is two divisions and a product of them —
+    # fully deterministic floats (no summation-order sensitivity at all);
+    # rounding stays Spark-side.
+    if e.count() <= small_graph_threshold:
+        adj: dict = {}
+        node_set: set = set()
+        for r0 in e.collect():
+            adj.setdefault(r0["u"], []).append(r0["v"])
+            node_set.add(r0["u"])
+            node_set.add(r0["v"])
+        n_total = len(node_set)
+        sc = {}
+        for a in node_set:
+            reach = [d for d in _bfs_dists(adj, a, max_t).values() if d > 0]
+            if reach:
+                r1, sd = len(reach), sum(reach)
+                sc[a] = (r1 / float(n_total - 1)) * (r1 / sd)
+            else:
+                sc[a] = 0.0
+        out_df = _ranks_df(
+            edges.sparkSession, sc, e.schema["u"].dataType, col="c"
+        )
+        return out_df.select("n", F.round("c", 6).alias("closeness"))
     nodes = (
         e.select(F.col("u").alias("n"))
         .unionByName(e.select(F.col("v").alias("n")))

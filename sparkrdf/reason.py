@@ -326,12 +326,11 @@ def owl_materialize(
 
     t1 = sym_inv(t).localCheckpoint(eager=True)
 
-    # per-property transitive closure, (p, endpoint)-keyed doubling
-    r = (
-        t1.filter(_is_in(F.col("p"), trans_props))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    # per-property transitive closure, (p, endpoint)-keyed doubling. t1 is
+    # already distinct (sym_inv ends in dropDuplicates) and checkpointed, so
+    # the filter needs neither its own dedup nor a checkpoint: count and
+    # (on the fast path) collect read the cached t1 blocks directly.
+    r = t1.filter(_is_in(F.col("p"), trans_props))
     n = r.count()
     closed = r
     # Threshold-gated driver fast path (same pattern as query.path_closure /
@@ -397,6 +396,7 @@ def rdfs_materialize_delta(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    delta_closure: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental ρDF maintenance: given an already-materialized closure
     and a batch of NEW asserted triples (the crawl delta), return exactly
@@ -417,10 +417,19 @@ def rdfs_materialize_delta(
     ONE left-anti join against the existing closure on the full triple key
     — the closure side never moves if it is bucketed/partitioned on that
     key; the anti probe is delta-sized.
+
+    ``delta_closure``: an already-materialized ``rdfs_materialize(delta)``
+    result — callers that build the old closure and the delta closure
+    anyway can run the two (independent) materializations on concurrent
+    driver threads and pass both in (guide-standard job overlap); when
+    given, ``delta`` is ignored.
     """
-    new = rdfs_materialize(
-        delta, ontology, max_doubling=max_doubling,
-        s_col=s_col, p_col=p_col, o_col=o_col,
-    )
+    if delta_closure is not None:
+        new = _spo(delta_closure, "s", "p", "o")
+    else:
+        new = rdfs_materialize(
+            delta, ontology, max_doubling=max_doubling,
+            s_col=s_col, p_col=p_col, o_col=o_col,
+        )
     old = _spo(closure, s_col, p_col, o_col)
     return new.join(old, ["s", "p", "o"], "left_anti")

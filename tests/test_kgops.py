@@ -234,6 +234,40 @@ def _pr_directed_ref(edges, damping=0.85, n_iter=10):
     return {n: round(p, 6) for n, p in pr.items()}
 
 
+def test_pagerank_family_fast_path_matches_distributed(spark):
+    """The threshold-gated driver power iteration must reproduce the
+    distributed loop's rounded scores exactly (same per-edge arithmetic;
+    rounding applied Spark-side in both paths)."""
+    from sparkrdf.graphops import pagerank, pagerank_directed, personalized_pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("e", "c")]
+    und = spark.createDataFrame(edges, "u string, v string")
+    fast = {(r.n, r.pr) for r in pagerank(und).collect()}
+    slow = {(r.n, r.pr) for r in pagerank(und, small_graph_threshold=0).collect()}
+    assert fast == slow
+
+    wde = spark.createDataFrame(
+        [(u, v, 1 + i % 3) for i, (u, v) in enumerate(edges)],
+        "src_host string, dst_host string, n_links long",
+    )
+    fast = {(r.n, r.pr) for r in pagerank_directed(wde).collect()}
+    slow = {
+        (r.n, r.pr)
+        for r in pagerank_directed(wde, small_graph_threshold=0).collect()
+    }
+    assert fast == slow
+
+    seeds = spark.createDataFrame([("a",), ("e",)], "n string")
+    fast = {(r.n, r.pr) for r in personalized_pagerank(wde, seeds).collect()}
+    slow = {
+        (r.n, r.pr)
+        for r in personalized_pagerank(
+            wde, seeds, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == slow
+
+
 def test_pagerank_directed_matches_reference(spark):
     from sparkrdf.graphops import pagerank_directed
 
@@ -1176,6 +1210,53 @@ def test_scc_hand_graphs(spark):
                   ("c", "c"), ("d", "a")])
     assert shared["a"] == shared["b"] == shared["c"] == "a"
     assert shared["d"] == "d"
+
+
+def test_iterative_graph_fast_paths_match_distributed(spark):
+    """Every threshold-gated driver fast path added for the bounded-graph
+    iterative operators must be row-identical to its distributed loop on
+    hand graphs (cycle+bridge, chain, hub, disconnected pair)."""
+    from sparkrdf.graphops import (
+        betweenness,
+        closeness_centrality,
+        coreness,
+        harmonic_centrality,
+        kcore,
+        ktruss,
+        label_propagation,
+        neighborhood_function,
+        node2vec_walks,
+    )
+
+    graphs = [
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+         ("d", "e"), ("e", "d"), ("e", "f"), ("g", "h")],
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        [("h", "x1"), ("h", "x2"), ("h", "x3"), ("x1", "x2"), ("x2", "x3")],
+    ]
+    ops = [
+        ("lpa", lambda df, thr: label_propagation(
+            df, iters=4, small_graph_threshold=thr)),
+        ("coreness", lambda df, thr: coreness(df, small_graph_threshold=thr)),
+        ("kcore", lambda df, thr: kcore(df, 2, small_graph_threshold=thr)),
+        ("ktruss", lambda df, thr: ktruss(df, 3, small_graph_threshold=thr)),
+        ("nf", lambda df, thr: neighborhood_function(
+            df, max_t=3, exact=True, small_graph_threshold=thr)),
+        ("harmonic", lambda df, thr: harmonic_centrality(
+            df, max_t=3, exact=True, small_graph_threshold=thr)),
+        ("closeness", lambda df, thr: closeness_centrality(
+            df, max_t=3, small_graph_threshold=thr)),
+        ("betweenness", lambda df, thr: betweenness(
+            df, max_t=3, source_mod=2, small_graph_threshold=thr)),
+        ("node2vec", lambda df, thr: node2vec_walks(
+            df, walk_len=3, walks_per_node=2, small_graph_threshold=thr)),
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "u string, v string")
+        for name, run in ops:
+            fast = {tuple(r) for r in run(df, 2_000_000).collect()}
+            slow = {tuple(r) for r in run(df, 0).collect()}
+            assert fast == slow, (name, edges)
 
 
 def test_scc_local_fast_path_matches_distributed(spark):
