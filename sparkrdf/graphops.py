@@ -1546,7 +1546,7 @@ def scc(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
-    max_rounds: int = 12,
+    max_rounds: int = 40,
     max_prop_iter: int = 40,
     small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
@@ -1572,7 +1572,11 @@ def scc(
 
     Every class assigns at least its root per round, so the loop
     terminates; ``max_rounds``/``max_prop_iter`` exhaustion raises —
-    never a silently wrong partial answer.
+    never a silently wrong partial answer. Note ``max_rounds`` bounds the
+    number of COLOR-CLASS GENERATIONS (worst case one class of the minimal
+    live id collected per round — i.e. the SCC-DAG depth), not the graph
+    diameter; ``max_prop_iter`` bounds the per-phase frontier iterations,
+    which ARE O(diameter). Both raise loudly rather than truncate.
 
     Scale shape: every phase is a frontier join against an edge table
     repartitioned once per round and reused; label tables are

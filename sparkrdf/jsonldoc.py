@@ -271,7 +271,11 @@ class JsonLdParser:
                             dt and ctx.expand_iri(dt, True) or XSD_DOUBLE)
                 if dt:
                     return ("Literal", str(lex), None, ctx.expand_iri(dt, True))
-                return ("Literal", str(lex), lang or ctx.language, None)
+                # explicit value objects use ONLY their own @language: per
+                # JSON-LD expansion the context default language applies to
+                # plain string values, never to @value objects (rdflib
+                # agrees) — no ctx.language fallback here
+                return ("Literal", str(lex), lang, None)
             if "@list" in v:
                 return self._list(v["@list"], ctx, {}, graph)
             if set(v) == {"@id"} or ("@id" in v and len(v) <= 2 and "@context" in v):

@@ -152,7 +152,7 @@ class RdfXmlParser:
     def _node_element(self, e, lang: str | None, base: str) -> tuple:
         """Production ``nodeElement``: returns the subject term."""
         base = self._scoped_base(e, base)
-        lang = e.get(_XML + "lang", lang)
+        lang = e.get(_XML + "lang", lang) or None
         subj = self._subject_of(e, base)
         tag = _tag_uri(e.tag)
         if tag != RDF_NS + "Description":
@@ -178,7 +178,7 @@ class RdfXmlParser:
     def _property_element(self, e, subj: tuple, lang: str | None, base: str,
                           li: list) -> None:
         base = self._scoped_base(e, base)
-        lang = e.get(_XML + "lang", lang)
+        lang = e.get(_XML + "lang", lang) or None
         pred = _tag_uri(e.tag)
         if pred == RDF_NS + "li":
             pred = f"{RDF_NS}_{li[0]}"

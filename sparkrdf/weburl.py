@@ -107,8 +107,11 @@ def frontier_waves(
     pattern)."""
     if per_wave < 1:
         raise ValueError("per_wave must be >= 1")
+    # host is built over the POST-alias "url" column: referencing url_col
+    # here would raise an unresolved-column error for any non-default
+    # url_col (the column is renamed before withColumn runs)
     host = F.regexp_extract(
-        F.col(url_col), r"(?i)^[a-z][a-z0-9+.\-]*://([^/]+)", 1
+        F.col("url"), r"(?i)^[a-z][a-z0-9+.\-]*://([^/]+)", 1
     )
     from sparkrdf.er import global_rank
 

@@ -183,3 +183,28 @@ def test_malformed_shapes_become_error_rows(spark):
     errs = {r.url for r in rows if r.p.endswith("parseError")}
     assert errs == {"u1", "u2"}
     assert any(r.s == "urn:ok" for r in rows)
+
+
+def test_value_object_ignores_context_default_language():
+    """Per JSON-LD expansion, @context @language applies only to PLAIN
+    string values — an explicit {"@value": ...} object without its own
+    @language yields a plain literal (rdflib agrees)."""
+    from sparkrdf.jsonldoc import parse_jsonld
+
+    doc = (
+        '{"@context":{"@language":"en","p":"http://e.org/p","q":"http://e.org/q"},'
+        '"@id":"http://e.org/s",'
+        '"p":"plain",'
+        '"q":{"@value":"explicit"}}'
+    )
+    rows = parse_jsonld(doc)
+    by_pred = {r[2]: r for r in rows}
+    # plain string inherits the default language
+    assert by_pred["http://e.org/p"][5] == "en"
+    # explicit value object does NOT
+    assert by_pred["http://e.org/q"][5] is None
+    # but its own @language still works
+    doc2 = doc.replace('{"@value":"explicit"}',
+                       '{"@value":"explicit","@language":"da"}')
+    rows2 = parse_jsonld(doc2)
+    assert {r[2]: r for r in rows2}["http://e.org/q"][5] == "da"

@@ -221,3 +221,23 @@ def test_rdfxml_statements_bnode_prefix_is_per_document(spark):
     out = rdfxml_statements(df).collect()
     bnodes = {r.s for r in out if r.s_kind == "BNode"}
     assert bnodes == {"bu1_0", "bu2_0"}  # deterministic, collision-free
+
+
+def test_empty_xml_lang_cancels_inherited_language():
+    """xml:lang="" is the standard way to CANCEL an inherited language —
+    it must normalize to a NULL lang (xsd:string semantics), not survive
+    as an empty string that downstream classifies as rdf:langString."""
+    from sparkrdf.rdfxml import parse_rdfxml
+
+    xml = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:p="http://e.org/" xml:lang="en">'
+        '<rdf:Description rdf:about="http://e.org/s">'
+        '<p:a>tagged</p:a>'
+        '<p:b xml:lang="">untagged</p:b>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    rows = parse_rdfxml(xml)
+    by_pred = {r[2]: r for r in rows}
+    assert by_pred["http://e.org/a"][5] == "en"
+    assert by_pred["http://e.org/b"][5] is None

@@ -225,3 +225,18 @@ def test_frontier_waves_uppercase_scheme(spark):
     out = frontier_waves(df, per_wave=2).collect()
     assert len(out) == 2
     assert {r.host for r in out} == {"example.org"}
+
+
+def test_frontier_waves_custom_url_col(spark):
+    """A non-default url_col must work: the host expression is built over
+    the post-alias column (regression: it referenced the original name,
+    which is renamed away before withColumn runs)."""
+    from sparkrdf.weburl import frontier_waves
+
+    df = spark.createDataFrame(
+        [("https://a.org/1",), ("https://a.org/2",), ("https://b.org/1",)],
+        "page_url string",
+    )
+    out = frontier_waves(df, url_col="page_url", per_wave=2).collect()
+    assert len(out) == 3
+    assert {r.host for r in out} == {"a.org", "b.org"}
