@@ -107,15 +107,21 @@ def load_documents(spark, sf_dir: str) -> DataFrame:
 
 
 def doc_triples(spark, docs: DataFrame, with_adb_keys: bool = False) -> DataFrame:
-    """documents → statements DataFrame (see module docstring)."""
-    gaz = spark.createDataFrame(
-        [(t, entity_iri(t), class_iri(c)) for t, c in DOC_GAZETTEER],
-        "term string, ent string, cls string",
-    )
+    """documents → statements DataFrame (see module docstring).
+
+    Shape: the gazetteer is 10 fixed literals, so the per-document rows
+    (mentions + type + lang + tokenCount) are built as ONE projection +
+    explode over a single scan — the earlier union of four per-doc branches
+    re-scanned (and re-shuffled, via the parallelism spread) the documents
+    source four times, and every downstream consumer that references the
+    statements table k times paid 5k scans. The entity-type rows are the
+    one genuinely aggregating branch (distinct mentioned entities across
+    docs): a second scan feeding a ≤|gazetteer|-row distinct, with the
+    class lookup as a map literal instead of a broadcast join. Row multiset
+    is identical to the branch-union formulation by construction.
+    """
     subj = F.concat(F.lit(DOC_PREFIX), F.col("doc_id").cast("string"))
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-
-    base = docs.select(subj.alias("s"), padded.alias("padded"), "lang", "text")
 
     def stmt(s, p, o_kind, o, dt=None):
         return [
@@ -129,24 +135,79 @@ def doc_triples(spark, docs: DataFrame, with_adb_keys: bool = False) -> DataFram
             F.lit(None).cast("string").alias("sub_graph"),
         ]
 
-    mentions = (
-        base.crossJoin(F.broadcast(gaz))
-        .filter(F.col("padded").contains(F.concat(F.lit(" "), F.col("term"), F.lit(" "))))
-        .select(*stmt(F.col("s"), P_MENTIONS, "URIRef", F.col("ent")))
+    def _pstruct(p, o_kind, o, dt=None):
+        return F.struct(
+            (p if not isinstance(p, str) else F.lit(p)).alias("p"),
+            F.lit(o_kind).alias("o_kind"),
+            o.alias("o"),
+            (F.lit(dt) if dt else F.lit(None)).cast("string").alias("dt"),
+        )
+
+    # one statements array per document: gazetteer mentions (NULL-compacted)
+    # + the three metadata rows, exploded in a single pass
+    mention_arr = F.filter(
+        F.array(
+            *[
+                F.when(
+                    padded.contains(f" {term} "),
+                    _pstruct(P_MENTIONS, "URIRef", F.lit(entity_iri(term))),
+                )
+                for term, _ in DOC_GAZETTEER
+            ]
+        ),
+        lambda x: x.isNotNull(),
     )
-    types = base.select(*stmt(F.col("s"), T.RDF_TYPE, "URIRef", F.lit(CLS_DOCUMENT)))
-    langs = base.select(*stmt(F.col("s"), P_LANG, "Literal", F.col("lang")))
-    toks = base.select(
-        *stmt(F.col("s"), P_TOKENS, "Literal", token_count(F.col("text")).cast("string"), XSD_INT)
+    per_doc = F.concat(
+        mention_arr,
+        F.array(
+            _pstruct(T.RDF_TYPE, "URIRef", F.lit(CLS_DOCUMENT)),
+            _pstruct(P_LANG, "Literal", F.col("lang")),
+            _pstruct(
+                P_TOKENS, "Literal",
+                token_count(F.col("text")).cast("string"), XSD_INT,
+            ),
+        ),
     )
-    ent_types = (
-        mentions.select(F.col("o").alias("ent"))
-        .dropDuplicates()
-        .join(F.broadcast(gaz), "ent", "inner")
-        .select(*stmt(F.col("ent"), T.RDF_TYPE, "URIRef", F.col("cls")))
+    doc_rows = docs.select(subj.alias("s"), F.explode(per_doc).alias("m")).select(
+        F.lit("URIRef").alias("s_kind"),
+        F.col("s"),
+        F.col("m.p").alias("p"),
+        F.col("m.o_kind").alias("o_kind"),
+        F.col("m.o").alias("o"),
+        F.lit(None).cast("string").alias("o_lang"),
+        F.col("m.dt").alias("o_datatype"),
+        F.lit(None).cast("string").alias("sub_graph"),
     )
 
-    out = mentions.unionByName(types).unionByName(langs).unionByName(toks).unionByName(ent_types)
+    ent_cls = F.create_map(
+        *[
+            lit
+            for term, cls in DOC_GAZETTEER
+            for lit in (F.lit(entity_iri(term)), F.lit(class_iri(cls)))
+        ]
+    )
+    ent_types = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                padded.contains(f" {term} "),
+                                F.lit(entity_iri(term)),
+                            )
+                            for term, _ in DOC_GAZETTEER
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("ent")
+        )
+        .dropDuplicates()
+        .select(*stmt(F.col("ent"), T.RDF_TYPE, "URIRef", ent_cls[F.col("ent")]))
+    )
+
+    out = doc_rows.unionByName(ent_types)
 
     if with_adb_keys:
         keys = docs.select(

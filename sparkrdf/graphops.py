@@ -45,8 +45,16 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     (≤ √m on any graph), so a Zipf-hot hub — which a naive a<b ordering
     would hand all its wedges — generates none; its edges point INTO it.
     Three equi-joins, all on narrow key columns; no cartesian anywhere.
+
+    The oriented edge table is materialized ONCE (eager localCheckpoint):
+    it is referenced three times below (both wedge sides + the closing-edge
+    probe), and without a barrier the whole upstream edge derivation —
+    often an extraction pipeline, not a base table — re-executes per
+    reference (measured: the co-mention bench query compiled to 212
+    exchanges). The input projection is persisted only while the
+    orientation is being built (degree pass + join), then released.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -64,7 +72,8 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
         F.when(ou < ov, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(ou < ov, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(ou < ov, ov).otherwise(ou).alias("ord_hi"),
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,
@@ -705,6 +714,7 @@ def corrupt_triples(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """KG-embedding negative generation: deterministic corrupted triples.
 
@@ -726,11 +736,19 @@ def corrupt_triples(
     Scale shape: the entity index is a window over the VOCAB only (entities,
     not assertions) and broadcasts into a map-only join against the triple
     stream; the filter is one anti-join keyed on the corrupted triple —
-    both sides triple-sized, no self-join amplification beyond ×k.
+    both sides triple-sized, no self-join amplification beyond ×k. The
+    deduped positives are materialized ONCE (eager localCheckpoint): the
+    vocab derivation, the candidate stream and the filter's positive side
+    all reference them, so an unmaterialized input — typically a whole
+    extraction subtree, not a base table — would re-execute per reference.
+    ``assume_distinct=True`` skips the dedup+barrier for callers (e.g.
+    :func:`lp_rank_eval`) that pass an already-materialized distinct table.
     """
     t = triples.select(
         F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
-    ).dropDuplicates()
+    )
+    if not assume_distinct:
+        t = t.dropDuplicates().localCheckpoint(eager=True)
     vocab = t.select(F.col("s").alias("n")).unionAll(
         t.select(F.col("o").alias("n"))
     ).dropDuplicates()
@@ -1100,12 +1118,20 @@ def lp_rank_eval(
     Scale shape: degree tables are entity-sized aggregates joined twice
     into the ×k candidate stream (the only triple-stream-sized work); the
     rank is a map-side-combinable conditional count grouped back on the
-    positive key. Nothing quadratic; cost is O(k·|T|).
+    positive key. Nothing quadratic; cost is O(k·|T|). The deduped
+    positives are materialized ONCE (eager localCheckpoint) — the corrupt
+    stream, both degree tables and the scored-positive side all reference
+    them (seven scans of the upstream extraction subtree without the
+    barrier; measured 140 exchanges on the co-mention bench query).
     """
-    t = triples.select(
-        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
-    ).dropDuplicates()
-    neg = corrupt_triples(t, k=k, seed=seed, filtered=True)
+    t = (
+        triples.select(
+            F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    neg = corrupt_triples(t, k=k, seed=seed, filtered=True, assume_distinct=True)
     sdeg = t.groupBy(F.col("s").alias("e")).agg(F.count("*").cast("long").alias("_sd"))
     odeg = t.groupBy(F.col("o").alias("e")).agg(F.count("*").cast("long").alias("_od"))
 

@@ -77,12 +77,18 @@ def rdfs_materialize(
     four rules are map-only against the triple stream. Entailment output is
     bounded by ``|T| · (1 + depth(⊑p) + depth(⊑c) + |dom| + |rng|)`` per
     input triple — linear in the instance data, never quadratic. The
-    deduped input and each intermediate union are materialized ONCE (eager
-    localCheckpoint): t1 feeds three rules and t2 two consumers, so an
-    unmaterialized plan re-derives the whole upstream ~12× (measured: the
-    incremental-delta query compiled to 212 exchanges and 46 broadcast
-    nested loops before this, ~15 after). Entailment IS a materialization
-    pass, so paying the checkpoints is the semantics, not overhead.
+    deduped input is materialized ONCE (eager localCheckpoint) because the
+    rule tree references it ~12×; everything DOWNSTREAM of that barrier is
+    a broadcast-hash join or filter over the cached input — map-only, no
+    exchange — so the intermediate unions (t1, t2) are left lazy and the
+    whole entailment compiles to ONE shuffle (the final dropDuplicates).
+    Earlier rounds checkpointed t1/t2 as well; that cost two extra full
+    materialization passes (write + read of t-sized tables, one Spark job
+    each) to save re-running map-side broadcast joins over cached blocks —
+    strictly worse at every scale once the closures became driver-local
+    broadcast relations. (The 212-exchange blowup those checkpoints fixed
+    predates the local closures: back then each closure was itself a
+    distributed iterative-doubling subtree that re-executed per reference.)
     """
     t = (
         _spo(triples, s_col, p_col, o_col)
@@ -136,10 +142,13 @@ def rdfs_materialize(
         spc = _pairs_df(spc_pairs, "p", "_sup")
         scc = _pairs_df(scc_pairs, "_cls", "_sup")
 
-    # rdfs7: property generalization (strict closure join + the asserted p)
+    # rdfs7: property generalization (strict closure join + the asserted p).
+    # t1/t2 stay LAZY: every consumer below is a broadcast join or filter
+    # over the checkpointed t, so re-referencing them re-runs only map-side
+    # codegen pipelines over cached blocks (module-note above).
     t1 = t.unionByName(
         t.join(spc, "p").select("s", F.col("_sup").alias("p"), "o")
-    ).localCheckpoint(eager=True)
+    )
     # rdfs2/rdfs3 over the generalized stream
     typed = (
         t1.join(dom, "p").select("s", F.lit(T.RDF_TYPE).alias("p"), F.col("_cls").alias("o"))
@@ -148,7 +157,7 @@ def rdfs_materialize(
             F.col("o").alias("s"), F.lit(T.RDF_TYPE).alias("p"), F.col("_cls").alias("o")
         )
     )
-    t2 = t1.unionByName(typed).localCheckpoint(eager=True)
+    t2 = t1.unionByName(typed)
     # rdfs9: class generalization over every type triple, asserted + derived
     inherited = (
         t2.filter(F.col("p") == T.RDF_TYPE)
@@ -278,17 +287,17 @@ def owl_materialize(
     join. The transitive rule closes ONLY edges of declared-transitive
     properties (a broadcast semi-join prunes the stream first) with
     (p, node)-keyed iterative doubling — O(log path-length) self-joins,
-    early-converging, raising rather than truncating. The deduped input
-    and the sym/inv-expanded stream are each materialized ONCE (eager
-    localCheckpoint): every sym_inv pass references its input three times
-    (identity + flip + inverse), so an uncached stream would recompute its
-    whole upstream ~6× — measured 3× wall on the doc-KG bench.
+    early-converging, raising rather than truncating. The input stream is
+    materialized ONCE (eager localCheckpoint, WITHOUT its own dedup —
+    sym_inv's dropDuplicates subsumes it: dedup(x ∪ flip(x) ∪ inv(x)) is
+    the same set whether or not x was deduped first, flip/inv being
+    row-wise maps — so the input's separate full shuffle is saved) and the
+    sym/inv-expanded stream once more: every sym_inv pass references its
+    input three times (identity + flip + inverse), so an uncached stream
+    would recompute its whole upstream ~6× — measured 3× wall on the
+    doc-KG bench.
     """
-    t = (
-        _spo(triples, s_col, p_col, o_col)
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    t = _spo(triples, s_col, p_col, o_col).localCheckpoint(eager=True)
     onto = _spo(ontology, "s", "p", "o")
 
     # Axiom tables are human-authored (module docstring): collect ONCE and
