@@ -602,17 +602,17 @@ def q_sim_knn_join(spark, sf_dir):
     from sparkrdf.similarity import knn_join
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return knn_join(emb, k=3, cell_col="label")
+    return knn_join(emb, k=3, cell_col="label", dim=64)
 
 
 def q_sim_topk(spark, sf_dir):
-    return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10).select(
+    return brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10, dim=64).select(
         "vec_id", "score"
     )
 
 
 def q_sim_blocked_near_dup(spark, sf_dir):
-    return blocked_near_dup(_emb(spark, sf_dir), threshold=0.35)
+    return blocked_near_dup(_emb(spark, sf_dir), threshold=0.35, dim=64)
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -620,14 +620,14 @@ def q_sim_ivf_topk(spark, sf_dir):
     the per-label centroids (unnest + AVG by position), ranks cells by
     centroid cosine with the same (desc, cell asc) tie-break, and searches
     exactly inside the probed cells."""
-    return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=2)
+    return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=2, dim=64)
 
 
 def q_sim_ivf_exhaustive(spark, sf_dir):
     """IVF with n_probe >= |cells| degenerates to exact search, so the
     whole two-stage machinery (centroid build, cell probe, in-cell exact
     scan) is oracle-checked against the brute-force SQL as well."""
-    return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=10**6)
+    return ivf_topk(_emb(spark, sf_dir), query_id=0, k=10, n_probe=10**6, dim=64)
 
 
 def q_sim_lsh_topk(spark, sf_dir):
@@ -2556,6 +2556,9 @@ def q_kg_triple_support(spark, sf_dir):
         )
         .select("doc_id", "surface")
         .distinct()
+        # three consumers below (types + both co-mention sides): one
+        # barrier instead of three NER scans
+        .localCheckpoint(eager=True)
     )
     ent = F.concat(F.lit(dockg.KG + "entity/"), F.col("surface"))
     types = m.select(
@@ -2627,6 +2630,9 @@ def _relatedness_triples(spark, sf_dir):
         )
         .select("doc_id", "surface")
         .distinct()
+        # the co-mention self-join references this twice: one barrier
+        # instead of two NER scans
+        .localCheckpoint(eager=True)
     )
     ent = lambda c: F.concat(F.lit(dockg.KG + "entity/"), c)  # noqa: E731
     a, b = m.alias("a"), m.alias("b")
@@ -2694,7 +2700,13 @@ def q_kg_owl_entailed(spark, sf_dir):
     from sparkrdf.reason import owl_materialize
 
     stmts = dockg.doc_triples(spark, _docs(spark, sf_dir))
-    inst = stmts.filter(F.col("o_kind") == "URIRef").select("s", "p", "o")
+    # three consumers (the union arm + both co-mention self-join sides):
+    # one barrier instead of three doc-KG derivations
+    inst = (
+        stmts.filter(F.col("o_kind") == "URIRef")
+        .select("s", "p", "o")
+        .localCheckpoint(eager=True)
+    )
     men = inst.filter(F.col("p") == dockg.P_MENTIONS)
     co = (
         men.alias("a")
@@ -2920,7 +2932,7 @@ def q_corpus_kmeans(spark, sf_dir):
     partial-aggregation float drift can never flip an assignment."""
     from sparkrdf.similarity import kmeans_assign
 
-    return kmeans_assign(_emb(spark, sf_dir), n_assign=2)
+    return kmeans_assign(_emb(spark, sf_dir), n_assign=2, dim=64)
 
 
 # ---------------------------------------------------------------------------

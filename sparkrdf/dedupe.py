@@ -138,10 +138,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact word-shingle Jaccard over LSH candidate pairs:
-    (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to 6 d.p."""
-    cand = minhash_lsh_pairs(docs, id_col, text_col)
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh")
+    (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to 6 d.p.
+
+    The verify stage computes shingles ONLY for documents that appear in a
+    candidate pair: the candidate table (LSH-survivor-sized, tiny next to
+    the corpus) is materialized once, its distinct ids semi-join the corpus,
+    and the shingle projection runs over that pruned set — the Bloom/semi
+    pre-filter shape of guide §3.2. Results are identical (non-candidate
+    shingles were never consumed); the corpus-sized shingle pass and its
+    double re-derivation for the two join sides are gone."""
+    cand = minhash_lsh_pairs(docs, id_col, text_col).localCheckpoint(eager=True)
+    ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .unionByName(cand.select(F.col("id_b").alias("_cid")))
+        .dropDuplicates()
+    )
+    sh = (
+        docs.join(ids, docs[id_col] == ids["_cid"], "left_semi")
+        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -73,7 +73,14 @@ def fuzzy_pairs(
         .agg(F.min(F.struct("tf", "tok")).alias("m"))
         .select("id", F.col("m.tok").alias("bk"))
     )
-    keyed = r.join(block, "id").select("id", "nm", "bk", bigram_set(F.col("nm")).alias("g"))
+    # both candidate-join sides reference the keyed table: one barrier so
+    # the token/blocking subtree (two aggregates + joins) runs once, and the
+    # bigram arrays are computed once per record instead of once per side
+    keyed = (
+        r.join(block, "id")
+        .select("id", "nm", "bk", bigram_set(F.col("nm")).alias("g"))
+        .localCheckpoint(eager=True)
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = a.join(
         b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id"))

@@ -41,14 +41,21 @@ def triple_support(
     all the work; the per-subject mass is a second aggregate over the
     (already tiny) triple table, re-attached with an equi-join on ``s`` —
     never a window over the raw assertion stream. Duplicate assertions from
-    one provenance collapse before anything shuffles.
+    one provenance collapse before anything shuffles. The deduped assertion
+    table is materialized ONCE (eager localCheckpoint): both aggregates
+    consume it, and assertions are typically a whole extraction subtree
+    that would otherwise re-execute per consumer.
     """
-    a = assertions.select(
-        F.col(prov_col).alias("prov"),
-        F.col(s_col).alias("s"),
-        F.col(p_col).alias("p"),
-        F.col(o_col).alias("o"),
-    ).distinct()
+    a = (
+        assertions.select(
+            F.col(prov_col).alias("prov"),
+            F.col(s_col).alias("s"),
+            F.col(p_col).alias("p"),
+            F.col(o_col).alias("o"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     per_triple = a.groupBy("s", "p", "o").agg(
         F.count("*").cast("long").alias("n_prov")
     )

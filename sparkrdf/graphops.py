@@ -24,7 +24,13 @@ def comention_edges(
     partition key (AQE splits the rare pathological doc). The distinct
     collapses duplicate pairs before any downstream algorithm sees them.
     """
-    m = mentions.select(F.col(doc_col).alias("d"), F.col(ent_col).alias("e")).distinct()
+    # the self-join references the mention table twice; one barrier keeps
+    # the upstream NER/extraction subtree from executing per side
+    m = (
+        mentions.select(F.col(doc_col).alias("d"), F.col(ent_col).alias("e"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     a, b = m.alias("a"), m.alias("b")
     return (
         a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.e") < F.col("b.e")))

@@ -21,7 +21,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential left-to-right dot-product fold.
+
+    With ``dim`` given, the fold is unrolled into a chain of additions —
+    the IDENTICAL floating-point evaluation order (``((0.0 + a0·b0) + a1·b1)
+    + …``), so results are bit-equal to the generic path, but the chain is
+    plain codegen arithmetic where ``aggregate``/``zip_with`` higher-order
+    functions are interpreted per element (CodegenFallback). On the
+    pair-join operators the per-pair cost drops by the interpretation
+    overhead × dim. Out-of-range indexing yields NULL exactly like the
+    zip_with null-padding, so ragged inputs degrade identically."""
+    if dim is not None:
+        acc = F.lit(0.0).cast("double")
+        for i in range(dim):
+            acc = acc + a[i] * b[i]
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -29,20 +44,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = F.lit(0.0).cast("double")
+        for i in range(dim):
+            acc = acc + a[i].cast("double") * a[i]
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        acc = F.lit(0.0).cast("double")
+        for i in range(dim):
+            acc = acc + a[i].cast("double") * b[i].cast("double")
+        return acc / (_norm(a, dim) * _norm(b, dim))
     return _dot(
         F.transform(a, lambda v: v.cast("double")), F.transform(b, lambda v: v.cast("double"))
     ) / (_norm(a) * _norm(b))
 
 
 def brute_force_topk(
-    emb: DataFrame, query_id: int = 0, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, query_id: int = 0, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine vs the row with id == query_id.
 
@@ -54,7 +80,7 @@ def brute_force_topk(
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+            F.round(cosine(F.col(vec_col), F.col("qvec"), dim), 6).alias("score"),
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
@@ -67,6 +93,7 @@ def blocked_near_dup(
     vec_col: str = "embedding",
     block_col: str = "label",
     max_block_rows: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs within blocks: (id_a, id_b, score ≥ threshold).
 
@@ -92,13 +119,13 @@ def blocked_near_dup(
     )
     a = emb.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_a"),
-        dv.alias("va"), _norm(F.col(vec_col)).alias("na"),
+        dv.alias("va"), _norm(F.col(vec_col), dim).alias("na"),
     ).join(sizes, "blk").withColumn(
         "salt", F.pmod(F.xxhash64(F.col("id_a")), F.col("n_salt")).cast("int")
     ).drop("n_salt")
     b = emb.select(
         F.col(block_col).alias("blk"), F.col(id_col).alias("id_b"),
-        dv.alias("vb"), _norm(F.col(vec_col)).alias("nb"),
+        dv.alias("vb"), _norm(F.col(vec_col), dim).alias("nb"),
     ).join(sizes, "blk").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     ).drop("n_salt")
@@ -109,7 +136,7 @@ def blocked_near_dup(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
             ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
@@ -124,6 +151,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-stage approximate search: probe the n_probe closest cells (by
     centroid cosine), exact cosine inside. Returns (vec_id, score)."""
@@ -145,7 +173,7 @@ def ivf_topk(
     )
     probed = (
         cells.crossJoin(F.broadcast(q))
-        .select("cell", cosine(F.col("centroid"), F.col("qvec")).alias("cscore"))
+        .select("cell", cosine(F.col("centroid"), F.col("qvec"), dim).alias("cscore"))
         .orderBy(F.col("cscore").desc(), F.col("cell").asc())
         .limit(n_probe)
     )
@@ -153,7 +181,7 @@ def ivf_topk(
         F.broadcast(probed.select(F.col("cell").alias(cell_col))), cell_col, "inner"
     ).filter(F.col(id_col) != query_id)
     scored = cand.crossJoin(F.broadcast(q.select("qvec"))).select(
-        F.col(id_col), F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score")
+        F.col(id_col), F.round(cosine(F.col(vec_col), F.col("qvec"), dim), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -178,12 +206,12 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     Pure codegen — one zip_with fold per plane, no UDF."""
     sig = F.lit(0).cast("long")
     for p, w in enumerate(planes):
-        warr = F.array(*[F.lit(x) for x in w])
-        dot = F.aggregate(
-            F.zip_with(vec, warr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+        # unrolled chain — the identical left-to-right fold order as the
+        # former aggregate(zip_with(...)), but codegen instead of
+        # interpreted HOF eval (16× fewer interpreted calls per row)
+        dot = F.lit(0.0).cast("double")
+        for d, x in enumerate(w):
+            dot = dot + vec[d].cast("double") * F.lit(x)
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return sig
 
@@ -226,14 +254,21 @@ def lsh_cosine_topk(
     cand = sigs.join(F.broadcast(probed), "sig").filter(F.col(id_col) != query_id)
     scored = cand.crossJoin(F.broadcast(q.select("qvec"))).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("score"),
+        F.round(cosine(F.col(vec_col), F.col("qvec"), dim), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _sqdist(a: Column, b: Column) -> Column:
+def _sqdist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared euclidean distance — sequential fold over dimensions, the
-    identical accumulation order the DuckDB oracle's list_sum uses."""
+    identical accumulation order the DuckDB oracle's list_sum uses. With
+    ``dim``, the fold is unrolled into the same-order codegen chain (see
+    :func:`_dot`)."""
+    if dim is not None:
+        acc = F.lit(0.0).cast("double")
+        for i in range(dim):
+            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),
@@ -268,6 +303,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over the embedding column with deterministic
     initialization: the starting centroids are the per-``init_col`` means
@@ -295,7 +331,7 @@ def kmeans_assign(
     vecs = emb.select(F.col(id_col), dim_vec.alias("dv"))
 
     def assign(cents: DataFrame) -> DataFrame:
-        d = F.round(_sqdist(F.col("dv"), F.col("centroid")), 9)
+        d = F.round(_sqdist(F.col("dv"), F.col("centroid"), dim), 9)
         return (
             vecs.crossJoin(F.broadcast(cents))
             .select(F.col(id_col), F.col("cluster"), d.alias("dist"))
@@ -323,6 +359,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Distributed kNN self-join: for EVERY row, its top-k cosine
     neighbors — the all-rows generalization of :func:`brute_force_topk`
@@ -350,7 +387,7 @@ def knn_join(
         cell.alias("_cell"),
         F.col(id_col).alias("_id"),
         dv.alias("_v"),
-        _norm(F.col(vec_col)).alias("_n"),
+        _norm(F.col(vec_col), dim).alias("_n"),
         # a zero vector has no direction: its cosine is NaN, and NaN sorts
         # ABOVE all doubles in a descending window — it would rank as the
         # #1 neighbor of every row in its cell. Exclude it on both sides.
@@ -370,7 +407,7 @@ def knn_join(
             "id_a",
             "id_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+                _dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
             ).alias("score"),
         )
     )
