@@ -24,19 +24,12 @@ from pyspark.sql import functions as F
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right dot-product fold.
 
-    With ``dim`` given, the fold is unrolled into a chain of additions —
-    the IDENTICAL floating-point evaluation order (``((0.0 + a0·b0) + a1·b1)
-    + …``), so results are bit-equal to the generic path, but the chain is
-    plain codegen arithmetic where ``aggregate``/``zip_with`` higher-order
-    functions are interpreted per element (CodegenFallback). On the
-    pair-join operators the per-pair cost drops by the interpretation
-    overhead × dim. Out-of-range indexing yields NULL exactly like the
-    zip_with null-padding, so ragged inputs degrade identically."""
-    if dim is not None:
-        acc = F.lit(0.0).cast("double")
-        for i in range(dim):
-            acc = acc + a[i] * b[i]
-        return acc
+    ``dim`` is accepted (and ignored) for call-site stability: a fixed-dim
+    UNROLLED chain was measured this round and REGRESSED 2-5× — a 64-term
+    expression tree per product multiplies Catalyst optimization time and
+    generated-code size past the JIT sweet spot (sim_lsh_topk 1.4 s → 8.0 s
+    with 640 unrolled terms), far outweighing the interpreted-HOF overhead
+    it removed. The fold stays the single-expression form."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -45,22 +38,12 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def _norm(a: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        acc = F.lit(0.0).cast("double")
-        for i in range(dim):
-            acc = acc + a[i].cast("double") * a[i]
-        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
     )
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        acc = F.lit(0.0).cast("double")
-        for i in range(dim):
-            acc = acc + a[i].cast("double") * b[i].cast("double")
-        return acc / (_norm(a, dim) * _norm(b, dim))
     return _dot(
         F.transform(a, lambda v: v.cast("double")), F.transform(b, lambda v: v.cast("double"))
     ) / (_norm(a) * _norm(b))
@@ -206,12 +189,12 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     Pure codegen — one zip_with fold per plane, no UDF."""
     sig = F.lit(0).cast("long")
     for p, w in enumerate(planes):
-        # unrolled chain — the identical left-to-right fold order as the
-        # former aggregate(zip_with(...)), but codegen instead of
-        # interpreted HOF eval (16× fewer interpreted calls per row)
-        dot = F.lit(0.0).cast("double")
-        for d, x in enumerate(w):
-            dot = dot + vec[d].cast("double") * F.lit(x)
+        warr = F.array(*[F.lit(x) for x in w])
+        dot = F.aggregate(
+            F.zip_with(vec, warr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return sig
 
@@ -261,14 +244,8 @@ def lsh_cosine_topk(
 
 def _sqdist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared euclidean distance — sequential fold over dimensions, the
-    identical accumulation order the DuckDB oracle's list_sum uses. With
-    ``dim``, the fold is unrolled into the same-order codegen chain (see
-    :func:`_dot`)."""
-    if dim is not None:
-        acc = F.lit(0.0).cast("double")
-        for i in range(dim):
-            acc = acc + (a[i] - b[i]) * (a[i] - b[i])
-        return acc
+    identical accumulation order the DuckDB oracle's list_sum uses.
+    (``dim`` ignored — see :func:`_dot` for why unrolling regressed.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),
@@ -323,12 +300,20 @@ def kmeans_assign(
     construction — so each assignment is a map-only broadcast join over the
     embeddings; each update is one posexplode + hash aggregate with
     map-side partials (shuffle = |clusters|·dim rows). Nothing ever
-    shuffles the full vector table.
+    shuffles the full vector table. The double-cast vector table (id,
+    init label, dv) is materialized ONCE (eager localCheckpoint) and every
+    assignment, centroid update and re-join reads it — previously each of
+    the ~2·n_assign consumers re-scanned the embedding source and re-cast
+    the vectors (measured 6 scans for n_assign=2). ``_mean_centroids``
+    over the pre-cast arrays is value-identical: its own element cast is a
+    no-op on doubles.
     """
     if n_assign < 1:
         raise ValueError("n_assign must be >= 1")
     dim_vec = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    vecs = emb.select(F.col(id_col), dim_vec.alias("dv"))
+    vecs = emb.select(
+        F.col(id_col), F.col(init_col).alias("_init"), dim_vec.alias("dv")
+    ).localCheckpoint(eager=True)
 
     def assign(cents: DataFrame) -> DataFrame:
         d = F.round(_sqdist(F.col("dv"), F.col("centroid"), dim), 9)
@@ -344,11 +329,11 @@ def kmeans_assign(
             )
         )
 
-    cents = _mean_centroids(emb, init_col, vec_col)
+    cents = _mean_centroids(vecs, "_init", "dv")
     asg = assign(cents)
     for _ in range(n_assign - 1):
-        assigned = emb.join(asg.select(id_col, "cluster"), id_col)
-        cents = _mean_centroids(assigned, "cluster", vec_col)
+        assigned = vecs.join(asg.select(id_col, "cluster"), id_col)
+        cents = _mean_centroids(assigned, "cluster", "dv")
         asg = assign(cents)
     return asg.select(id_col, "cluster", F.round("dist", 6).alias("dist"))
 
