@@ -1030,6 +1030,11 @@ def _nary_mention_stmts(spark, sf_dir):
             )
         )
     )
+    # left LAZY deliberately: consumers filter on constant predicates, and
+    # Catalyst statically prunes non-matching union branches — an eager
+    # checkpoint here was measured SLOWER for both the term-function BGP
+    # (pays a full materialization its 3 pruned pattern scans never needed)
+    # and DESCRIBE (whose loop already persists its own narrow projection)
     all_stmts = stmts.filter(F.col("p") != dockg.P_MENTIONS).unionByName(nary)
     return all_stmts, docs
 
@@ -2750,10 +2755,12 @@ def q_kg_rdfs_delta(spark, sf_dir):
         f_old = pool.submit(
             rdfs_materialize,
             iri_triples(docs.filter(F.col("doc_id") % 10 != 0)), onto,
+            materialize=True,
         )
         f_new = pool.submit(
             rdfs_materialize,
             iri_triples(docs.filter(F.col("doc_id") % 10 == 0)), onto,
+            materialize=True,
         )
         closure, new = f_old.result(), f_new.result()
     delta = iri_triples(docs.filter(F.col("doc_id") % 10 == 0))

@@ -69,6 +69,28 @@ def mention_pattern_re2(dictionary: Sequence[str] | None = None) -> str:
     return r"\b(" + "|".join(re.escape(s) for s in alts) + r")\b"
 
 
+def detect_mention_surfaces_jvm(df, dictionary: Sequence[str] | None = None,
+                                id_col: str = "url", text_col: str = "text"):
+    """Shuffle-free variant of :func:`detect_mentions_jvm` for consumers
+    that need only the DISTINCT (id, surface) set (the flagship pipeline —
+    it never reads the count): per-row ``array_distinct`` over the match
+    array replaces the (id, surface)-keyed aggregate, so mention detection
+    is a pure map stage — no exchange at all. Identical (id, surface) row
+    set when ``id_col`` values are unique (one row per id), which is the
+    pages contract."""
+    from pyspark.sql import functions as F
+
+    src = mention_pattern(dictionary)
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(src), 1)
+            )
+        ).alias("surface"),
+    )
+
+
 def detect_mentions_jvm(df, dictionary: Sequence[str] | None = None,
                         id_col: str = "url", text_col: str = "text"):
     """All-JVM variant of :func:`detect_mentions`: (id, surface, n) without

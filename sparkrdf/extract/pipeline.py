@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from sparkrdf.extract.gazetteer import KG, PREDICATES, RDF_TYPE
 from sparkrdf.extract.link import link_mentions
 from sparkrdf.extract.mint import page_iri_col, with_page_iri
-from sparkrdf.extract.ner import detect_mentions_jvm
+from sparkrdf.extract.ner import detect_mention_surfaces_jvm
 from sparkrdf.ttl import STATEMENT_COLUMNS
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
@@ -97,11 +97,13 @@ def extract_triples(spark, pages: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("sub_graph"),
     )
 
-    # JVM mention detection: the pipeline consumes only (url, surface) —
-    # no offsets — so the regex runs inside whole-stage codegen and page
-    # text never crosses the Python boundary (the last Python stage of the
-    # flagship; detect_mentions stays the general offset-bearing operator)
-    mentions = detect_mentions_jvm(pages)
+    # JVM mention detection: the pipeline consumes only the DISTINCT
+    # (url, surface) set — no offsets, no counts — so the regex runs inside
+    # whole-stage codegen, the per-page dedup is a map-side array_distinct,
+    # and mention detection contributes NO shuffle (detect_mentions_jvm's
+    # (id, surface)-keyed aggregate existed only to produce the count;
+    # detect_mentions stays the general offset-bearing operator)
+    mentions = detect_mention_surfaces_jvm(pages)
     links = link_mentions(spark, mentions)
     # page_iri is a pure function of url (farmhash mint), so the mention
     # stream gets it as a projection — joining back to pages would shuffle

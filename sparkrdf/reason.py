@@ -51,6 +51,8 @@ def rdfs_materialize(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    materialize: bool = False,
+    literal_map_max: int = 2000,
 ) -> DataFrame:
     """Materialize the ρDF entailment of ``triples`` under ``ontology``.
 
@@ -73,28 +75,31 @@ def rdfs_materialize(
     :func:`sparkrdf.query.path_closure` — ontology-sized, converges in
     ``log₂(depth)`` rounds) so each rule is a single join, not a fixpoint.
 
-    Scale shape: both closures and the domain/range tables broadcast; all
-    four rules are map-only against the triple stream. Entailment output is
-    bounded by ``|T| · (1 + depth(⊑p) + depth(⊑c) + |dom| + |rng|)`` per
-    input triple — linear in the instance data, never quadratic. The
-    deduped input is materialized ONCE (eager localCheckpoint) because the
-    rule tree references it ~12×; everything DOWNSTREAM of that barrier is
-    a broadcast-hash join or filter over the cached input — map-only, no
-    exchange — so the intermediate unions (t1, t2) are left lazy and the
-    whole entailment compiles to ONE shuffle (the final dropDuplicates).
-    Earlier rounds checkpointed t1/t2 as well; that cost two extra full
-    materialization passes (write + read of t-sized tables, one Spark job
-    each) to save re-running map-side broadcast joins over cached blocks —
-    strictly worse at every scale once the closures became driver-local
-    broadcast relations. (The 212-exchange blowup those checkpoints fixed
-    predates the local closures: back then each closure was itself a
-    distributed iterative-doubling subtree that re-executed per reference.)
+    Scale shape: with the two closures driver-local (they are
+    ontology-sized), ALL FOUR rules become pure per-row functions of one
+    input triple — the other antecedents are fixed schema lookups. The
+    default plan is therefore a SINGLE PASS: the closures and domain/range
+    tables compile into Catalyst map literals, each input row emits its
+    full derivation set as one constructed array (itself + ⊑p
+    generalizations + dom/rng typings over the generalized predicates + ⊑c
+    inheritance over every asserted-or-derived type triple), one explode,
+    one final dropDuplicates — one scan of the instance stream, one
+    shuffle, no joins, no input materialization (a dedup of the input is
+    subsumed by the output dedup; per-row expansion is ontology-bounded).
+    Entailment output stays bounded by ``|T| · (1 + depth(⊑p) + depth(⊑c)
+    + |dom| + |rng|)`` — linear in the instance data, never quadratic.
+    Ontologies too large for literal maps (> ``literal_map_max`` derived
+    entries — map literals in the thousands would bloat the plan the same
+    way unrolled vector folds did) or too dense for the local closure fall
+    back to the broadcast-join rule tree over a checkpointed input.
+
+    ``materialize=True`` eagerly checkpoints the RESULT before returning —
+    for callers that build several closures on concurrent driver threads
+    (guide §2.6 job overlap, e.g. the incremental-delta path): a lazy
+    result would defer all the work to the single final action and lose
+    the overlap. Same rows either way.
     """
-    t = (
-        _spo(triples, s_col, p_col, o_col)
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    t = _spo(triples, s_col, p_col, o_col)
     onto = _spo(ontology, "s", "p", "o")
 
     # The ontology is human-authored — thousands of rows at most (module
@@ -113,12 +118,8 @@ def rdfs_materialize(
             spark.createDataFrame(list(rows) or [], f"{c1} string, {c2} string")
         )
 
-    dom = _pairs_df(
-        ((s, o) for s, p, o in onto_rows if p == RDFS_DOMAIN), "p", "_cls"
-    )
-    rng = _pairs_df(
-        ((s, o) for s, p, o in onto_rows if p == RDFS_RANGE), "p", "_cls"
-    )
+    dom_rows = [(s, o) for s, p, o in onto_rows if p == RDFS_DOMAIN]
+    rng_rows = [(s, o) for s, p, o in onto_rows if p == RDFS_RANGE]
     _cap = 5_000_000
     spc_pairs = _closure_local(
         [(s, o) for s, p, o in onto_rows if p == RDFS_SUBPROP], cap=_cap
@@ -126,6 +127,115 @@ def rdfs_materialize(
     scc_pairs = _closure_local(
         [(s, o) for s, p, o in onto_rows if p == RDFS_SUBCLASS], cap=_cap
     )
+
+    n_entries = (
+        len(spc_pairs) + len(scc_pairs) + len(dom_rows) + len(rng_rows)
+        if spc_pairs is not None and scc_pairs is not None
+        else literal_map_max + 1
+    )
+    if n_entries <= literal_map_max:
+        # SINGLE-PASS literal-map path (docstring "Scale shape"): every rule
+        # is a per-row lookup; one constructed array per input triple, one
+        # explode, one dedup. No joins, no input barrier.
+        from collections import defaultdict
+
+        def _to_map(pairs):
+            m: dict = defaultdict(set)
+            for a, b in pairs:
+                m[a].add(b)
+            return {k: sorted(v) for k, v in m.items()}
+
+        spc_m, scc_m = _to_map(spc_pairs), _to_map(scc_pairs)
+        dom_m, rng_m = _to_map(dom_rows), _to_map(rng_rows)
+
+        EMPTY_S = F.array().cast("array<string>")
+
+        def _amap(d):
+            if not d:
+                return None
+            entries = []
+            for k in sorted(d):
+                entries.append(F.lit(k))
+                entries.append(F.array(*[F.lit(x) for x in d[k]]))
+            return F.create_map(*entries)
+
+        spc_lm, scc_lm = _amap(spc_m), _amap(scc_m)
+        dom_lm, rng_lm = _amap(dom_m), _amap(rng_m)
+
+        def _lk(m, key):
+            if m is None:
+                return EMPTY_S
+            return F.coalesce(F.element_at(m, key), EMPTY_S)
+
+        def _st(s, p, o):
+            return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+        TYPE = F.lit(T.RDF_TYPE)
+        EMPTY_T = F.array().cast("array<struct<s:string,p:string,o:string>>")
+        # rdfs7: the asserted predicate + its strict super-property closure
+        gen = F.concat(F.array(F.col("p")), _lk(spc_lm, F.col("p")))
+        asserted = F.transform(gen, lambda q: _st(F.col("s"), q, F.col("o")))
+        # rdfs2/rdfs3 through every generalized predicate
+        dom_t = F.flatten(
+            F.transform(
+                gen,
+                lambda q: F.transform(
+                    _lk(dom_lm, q), lambda c: _st(F.col("s"), TYPE, c)
+                ),
+            )
+        )
+        rng_t = F.flatten(
+            F.transform(
+                gen,
+                lambda q: F.transform(
+                    _lk(rng_lm, q), lambda c: _st(F.col("o"), TYPE, c)
+                ),
+            )
+        )
+        # rdfs9 over every type triple this row contributes: the asserted/
+        # generalized (s rdf:type o) if any generalized predicate IS
+        # rdf:type, plus every dom/rng-derived typing
+        t9a = F.when(
+            F.array_contains(gen, T.RDF_TYPE),
+            F.transform(_lk(scc_lm, F.col("o")), lambda d: _st(F.col("s"), TYPE, d)),
+        ).otherwise(EMPTY_T)
+        t9b = F.flatten(
+            F.transform(
+                gen,
+                lambda q: F.flatten(
+                    F.transform(
+                        _lk(dom_lm, q),
+                        lambda c: F.transform(
+                            _lk(scc_lm, c), lambda d: _st(F.col("s"), TYPE, d)
+                        ),
+                    )
+                ),
+            )
+        )
+        t9c = F.flatten(
+            F.transform(
+                gen,
+                lambda q: F.flatten(
+                    F.transform(
+                        _lk(rng_lm, q),
+                        lambda c: F.transform(
+                            _lk(scc_lm, c), lambda d: _st(F.col("o"), TYPE, d)
+                        ),
+                    )
+                ),
+            )
+        )
+        derived = F.concat(asserted, dom_t, rng_t, t9a, t9b, t9c)
+        out = (
+            t.select(F.explode(derived).alias("x"))
+            .select("x.s", "x.p", "x.o")
+            .dropDuplicates()
+        )
+        return out.localCheckpoint(eager=True) if materialize else out
+
+    # Broadcast-join rule tree (large ontologies): input deduped and
+    # materialized once — the tree references it ~12×.
+    t = t.dropDuplicates().localCheckpoint(eager=True)
     if spc_pairs is None or scc_pairs is None:  # pragma: no cover — an
         # adversarially dense "ontology"; fall back to the distributed loop
         sub_prop = onto.filter(F.col("p") == RDFS_SUBPROP)
@@ -141,6 +251,8 @@ def rdfs_materialize(
     else:
         spc = _pairs_df(spc_pairs, "p", "_sup")
         scc = _pairs_df(scc_pairs, "_cls", "_sup")
+    dom = _pairs_df(dom_rows, "p", "_cls")
+    rng = _pairs_df(rng_rows, "p", "_cls")
 
     # rdfs7: property generalization (strict closure join + the asserted p).
     # t1/t2 stay LAZY: every consumer below is a broadcast join or filter
@@ -165,7 +277,8 @@ def rdfs_materialize(
         .join(scc, "_cls")
         .select("s", F.lit(T.RDF_TYPE).alias("p"), F.col("_sup").alias("o"))
     )
-    return t2.unionByName(inherited).dropDuplicates()
+    out = t2.unionByName(inherited).dropDuplicates()
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def characteristic_sets(

@@ -96,6 +96,29 @@ def test_mention_detection_jvm_parity(spark):
     assert got_pd == expect and got_jvm == expect
 
 
+def test_mention_surfaces_shuffle_free_parity(spark):
+    """detect_mention_surfaces_jvm (the flagship's shuffle-free map-stage
+    dedup) must produce exactly the distinct (id, surface) projection of
+    detect_mentions_jvm — and its plan must contain no Exchange."""
+    from sparkrdf.extract.ner import (
+        detect_mention_surfaces_jvm,
+        detect_mentions_jvm,
+    )
+
+    pages = synthesize_pages(spark, 120)
+    want = {
+        (r["url"], r["surface"])
+        for r in detect_mentions_jvm(pages).collect()
+    }
+    surf = detect_mention_surfaces_jvm(pages)
+    got = {(r["url"], r["surface"]) for r in surf.collect()}
+    assert got == want and got
+    plan = surf._sc._jvm.PythonSQLUtils.explainString(
+        surf._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+
+
 def test_extract_triples_end_to_end(spark):
     pages = synthesize_pages(spark, 40)
     t = extract_triples(spark, pages).collect()

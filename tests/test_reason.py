@@ -56,6 +56,41 @@ def test_rdfs_materialize_hand_computed(spark):
     assert got == expect
 
 
+def test_rdfs_literal_map_path_matches_join_tree(spark):
+    """The single-pass literal-map plan (default) and the broadcast-join
+    rule tree (forced via literal_map_max=0) must produce identical
+    entailments — including duplicate inputs, rdf:type-in-closure edges
+    and deep class chains."""
+    onto = _df(
+        spark,
+        [
+            ("mentions", RDFS_SUBPROP, "references"),
+            ("references", RDFS_SUBPROP, "relatedTo"),
+            ("Op", RDFS_SUBCLASS, "Tech"),
+            ("Tech", RDFS_SUBCLASS, "Thing"),
+            ("references", RDFS_DOMAIN, "Doc"),
+            ("references", RDFS_RANGE, "Ent"),
+            ("Doc", RDFS_SUBCLASS, "Thing"),
+            ("Ent", RDFS_SUBCLASS, "Thing"),
+        ],
+    )
+    inst = _df(
+        spark,
+        [
+            ("a", "mentions", "b"),
+            ("a", "mentions", "b"),  # duplicate assertion
+            ("b", TY, "Op"),
+            ("x", "unrelated", "y"),
+        ],
+    )
+    fast = {tuple(r) for r in rdfs_materialize(inst, onto).collect()}
+    slow = {
+        tuple(r)
+        for r in rdfs_materialize(inst, onto, literal_map_max=0).collect()
+    }
+    assert fast == slow and ("b", TY, "Thing") in fast
+
+
 def test_rdfs_materialize_no_ontology_is_identity(spark):
     inst = _df(spark, [("a", "p", "b"), ("a", "p", "b")])
     onto = _df(spark, []).filter(F.lit(False))
