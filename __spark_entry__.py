@@ -277,7 +277,9 @@ def q_kg_pages_pipeline(spark, sf_dir):
     pages.select("url", "warc_ts", "text", "lang", "page_iri").coalesce(
         1
     ).write.mode("overwrite").parquet(PAGES_MAT_PATH)
-    mat = spark.read.parquet(PAGES_MAT_PATH)
+    # the materialized fixture is ONE file = ONE scan partition; spread it
+    # so the extraction regex work parallelizes (row-identical output)
+    mat = _spread(spark, spark.read.parquet(PAGES_MAT_PATH))
     t = extract_triples(spark, mat)
     return t.select(
         F.col("s").alias("subj"), F.col("p").alias("pred"), F.col("o").alias("obj")
@@ -2223,6 +2225,10 @@ def _links_input(spark):
         )
         pages.coalesce(1).write.mode("overwrite").parquet(LINKS_MAT_PATH)
         _LINKS_READY.add(app)
+    # NOTE: deliberately NOT _spread: a repartition of the 2000-row fixture
+    # was measured to COST more across the ~12 link-graph queries than the
+    # extraction parallelism it buys (each query pays the extra exchange;
+    # the per-page regex is not the bottleneck at this row count)
     return spark.read.parquet(LINKS_MAT_PATH)
 
 
@@ -2713,6 +2719,9 @@ def q_kg_owl_entailed(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     men = inst.filter(F.col("p") == dockg.P_MENTIONS)
+    # NOTE: input_barrier=False with an undeduped co was measured SLOWER
+    # here (3.7 -> 4.0 s): the first sym_inv pass then runs the self-join
+    # three times, which costs more than the one barrier it saves.
     co = (
         men.alias("a")
         .join(men.alias("b"), F.col("a.s") == F.col("b.s"))

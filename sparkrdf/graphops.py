@@ -57,10 +57,11 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     probe), and without a barrier the whole upstream edge derivation —
     often an extraction pipeline, not a base table — re-executes per
     reference (measured: the co-mention bench query compiled to 212
-    exchanges). The input projection is persisted only while the
-    orientation is being built (degree pass + join), then released.
+    exchanges). The input projection itself is NOT persisted: its three
+    references inside the one orientation-checkpoint job share work via
+    exchange reuse, and a persist was measured slightly slower.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -79,7 +80,6 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
         F.when(ou < ov, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(ou < ov, ov).otherwise(ou).alias("ord_hi"),
     ).localCheckpoint(eager=True)
-    e.unpersist()
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(
         e2,

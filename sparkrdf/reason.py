@@ -376,6 +376,7 @@ def owl_materialize(
     s_col: str = "s",
     p_col: str = "p",
     o_col: str = "o",
+    input_barrier: bool = True,
 ) -> DataFrame:
     """Materialize the OWL-lite property-axiom entailment of ``triples``:
     ``owl:SymmetricProperty`` (``(s p o) ⊢ (o p s)``), ``owl:inverseOf``
@@ -408,9 +409,15 @@ def owl_materialize(
     sym/inv-expanded stream once more: every sym_inv pass references its
     input three times (identity + flip + inverse), so an uncached stream
     would recompute its whole upstream ~6× — measured 3× wall on the
-    doc-KG bench.
+    doc-KG bench. ``input_barrier=False`` skips that materialization for
+    callers whose input is already cheap to re-reference (cached upstream
+    tables + map-only derivations): the first sym_inv pass then references
+    the lazy input three times, trading one full write for three cached
+    map-side re-reads.
     """
-    t = _spo(triples, s_col, p_col, o_col).localCheckpoint(eager=True)
+    t = _spo(triples, s_col, p_col, o_col)
+    if input_barrier:
+        t = t.localCheckpoint(eager=True)
     onto = _spo(ontology, "s", "p", "o")
 
     # Axiom tables are human-authored (module docstring): collect ONCE and
