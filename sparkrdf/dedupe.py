@@ -339,7 +339,9 @@ def connected_components(
         schema = T.StructType(
             [T.StructField("node", out_type), T.StructField("component", out_type)]
         )
-        return spark.createDataFrame(sorted(comp.items()), schema)
+        from sparkrdf.localdf import local_rows_df
+
+        return local_rows_df(spark, sorted(comp.items()), schema)
     # start: every node labels itself
     labels = (
         edges.select(F.col("u").alias("node"))

@@ -106,7 +106,9 @@ def _ranks_df(spark, pr: dict, id_type, col: str = "pr") -> DataFrame:
     schema = _T.StructType(
         [_T.StructField("n", id_type), _T.StructField(col, _T.DoubleType())]
     )
-    return spark.createDataFrame(sorted(pr.items()), schema)
+    from sparkrdf.localdf import local_rows_df
+
+    return local_rows_df(spark, sorted(pr.items()), schema)
 
 
 def pagerank(

@@ -269,7 +269,9 @@ def path_closure(
             cap=max(50 * local_threshold, 1_000_000),
         )
         if closed is not None:
-            return edges.sparkSession.createDataFrame(closed, r.schema)
+            from sparkrdf.localdf import local_rows_df
+
+            return local_rows_df(edges.sparkSession, closed, r.schema)
     for _ in range(max_doubling):
         a, b = r.alias("a"), r.alias("b")
         stepped = a.join(b, F.col("a.o") == F.col("b.s")).select(

@@ -493,7 +493,9 @@ def owl_materialize(
                     for s, o in loc
                 )
             if rows is not None:
-                closed = t1.sparkSession.createDataFrame(rows, r.schema)
+                from sparkrdf.localdf import local_rows_df
+
+                closed = local_rows_df(t1.sparkSession, rows, r.schema)
                 n = None  # fast path taken; skip the distributed loop
     if n:
         for _ in range(max_doubling):
