@@ -82,6 +82,77 @@ public class FarmHashKey implements UDF1<String, String> {
 }
 """
 
+_VECOPS_JAVA = """\
+package sparkrdf;
+
+import org.apache.spark.sql.api.java.UDF2;
+import scala.collection.Seq;
+
+/**
+ * Exact-fold vector dot product as a compiled JVM loop. Floating-point
+ * semantics are IDENTICAL to the Catalyst higher-order-function form
+ * aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v):
+ * left-to-right accumulation starting at +0.0, element widening
+ * float->double (exact), and the zip_with null contract reproduced — a
+ * NULL array, a NULL element, or a length mismatch (zip_with null-pads
+ * the shorter side, so the product and therefore the whole fold go NULL)
+ * all yield NULL. The point is per-pair cost: the Catalyst HOF path is
+ * interpreted per element (CodegenFallback); this is a JIT-compiled loop.
+ */
+public class VecDot implements UDF2<Seq<Object>, Seq<Object>, Double> {
+    @Override
+    public Double call(Seq<Object> a, Seq<Object> b) {
+        if (a == null || b == null || a.size() != b.size()) {
+            return null;
+        }
+        int n = a.size();
+        double acc = 0.0;
+        for (int i = 0; i < n; i++) {
+            Object x = a.apply(i);
+            Object y = b.apply(i);
+            if (x == null || y == null) {
+                return null;
+            }
+            acc += ((Number) x).doubleValue() * ((Number) y).doubleValue();
+        }
+        return acc;
+    }
+}
+"""
+
+_VECSQD_JAVA = """\
+package sparkrdf;
+
+import org.apache.spark.sql.api.java.UDF2;
+import scala.collection.Seq;
+
+/**
+ * Exact-fold squared euclidean distance (companion of VecDot): identical
+ * floating-point semantics to aggregate(zip_with(a, b,
+ * (x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v).
+ */
+public class VecSqDist implements UDF2<Seq<Object>, Seq<Object>, Double> {
+    @Override
+    public Double call(Seq<Object> a, Seq<Object> b) {
+        if (a == null || b == null || a.size() != b.size()) {
+            return null;
+        }
+        int n = a.size();
+        double acc = 0.0;
+        for (int i = 0; i < n; i++) {
+            Object x = a.apply(i);
+            Object y = b.apply(i);
+            if (x == null || y == null) {
+                return null;
+            }
+            double d = ((Number) x).doubleValue() - ((Number) y).doubleValue();
+            acc += d * d;
+        }
+        return acc;
+    }
+}
+"""
+
 
 def ensure_farmhash_jar() -> str | None:
     """Compile the JVM farmhash UDF into a jar (cached in tmp; rebuilt when
@@ -104,13 +175,20 @@ def ensure_farmhash_jar() -> str | None:
         with tempfile.TemporaryDirectory() as tmp:
             src_dir = os.path.join(tmp, "sparkrdf")
             os.makedirs(src_dir)
-            src = os.path.join(src_dir, "FarmHashKey.java")
-            with open(src, "w", encoding="utf-8") as f:
-                f.write(_FARMHASH_JAVA)
+            srcs = []
+            for name, code in (
+                ("FarmHashKey.java", _FARMHASH_JAVA),
+                ("VecDot.java", _VECOPS_JAVA),
+                ("VecSqDist.java", _VECSQD_JAVA),
+            ):
+                src = os.path.join(src_dir, name)
+                with open(src, "w", encoding="utf-8") as f:
+                    f.write(code)
+                srcs.append(src)
             out = os.path.join(tmp, "classes")
             os.makedirs(out)
             subprocess.run(
-                [javac, "-cp", os.path.join(spark_jars, "*"), "-d", out, src],
+                [javac, "-cp", os.path.join(spark_jars, "*"), "-d", out, *srcs],
                 check=True,
                 capture_output=True,
                 timeout=120,

@@ -20,6 +20,55 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_VEC_UDF_SESSIONS: dict = {}
+
+
+def _vec_udfs_available() -> bool:
+    """True when the compiled JVM vector-fold UDFs (sparkrdf.VecDot /
+    VecSqDist, built into the farmhash jar by sparkrdf.session) are
+    registered AND probe-verified on the active session. The JVM loop has
+    floating-point semantics IDENTICAL to the Catalyst aggregate(zip_with)
+    fold (left-to-right accumulation, exact float->double widening, the
+    zip_with null/length contract), but runs as a JIT-compiled loop where
+    the HOF path is interpreted per element — the dominant cost of the
+    pair-scoring operators. Checked once per session (the streaming-clone
+    caveat of sparkrdf.hashing applies); any failure degrades to the HOF
+    path. SPARKRDF_NO_JVM_VECOPS=1 opts out."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    if os.environ.get("SPARKRDF_NO_JVM_VECOPS"):
+        return False
+    active = SparkSession.getActiveSession()
+    if active is None:
+        return False
+    key = (active.sparkContext.applicationId, active._jsparkSession.hashCode())
+    if key in _VEC_UDF_SESSIONS:
+        return _VEC_UDF_SESSIONS[key]
+    ok = False
+    try:
+        active.udf.registerJavaFunction("sparkrdf_vdot", "sparkrdf.VecDot", "double")
+        active.udf.registerJavaFunction("sparkrdf_vsqd", "sparkrdf.VecSqDist", "double")
+        row = active.sql(
+            "SELECT sparkrdf_vdot(array(1.5D, 2.5D), array(2.0D, 4.0D)), "
+            "sparkrdf_vdot(array(1.0D), array(1.0D, 2.0D)), "
+            "sparkrdf_vdot(array(CAST(0.1 AS FLOAT)), array(CAST(0.3 AS FLOAT))), "
+            "sparkrdf_vsqd(array(1.0D, 3.0D), array(2.0D, 1.0D))"
+        ).first()
+        import math
+
+        ok = (
+            row[0] == 13.0
+            and row[1] is None
+            and row[3] == 5.0
+            and math.isclose(row[2], 0.1 * 0.3, rel_tol=1e-6)
+        )
+    except Exception:
+        ok = False
+    _VEC_UDF_SESSIONS[key] = ok
+    return ok
+
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Sequential left-to-right dot-product fold.
@@ -30,6 +79,8 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     generated-code size past the JIT sweet spot (sim_lsh_topk 1.4 s → 8.0 s
     with 640 unrolled terms), far outweighing the interpreted-HOF overhead
     it removed. The fold stays the single-expression form."""
+    if _vec_udfs_available():
+        return F.call_udf("sparkrdf_vdot", a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -38,12 +89,19 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def _norm(a: Column, dim: int | None = None) -> Column:
+    # self-dot == the HOF fold acc + v.cast(double)*v, element for element
+    if _vec_udfs_available():
+        return F.sqrt(F.call_udf("sparkrdf_vdot", a, a))
     return F.sqrt(
         F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v.cast("double") * v)
     )
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    if _vec_udfs_available():
+        # VecDot widens each element float->double exactly as the explicit
+        # transform casts do
+        return F.call_udf("sparkrdf_vdot", a, b) / (_norm(a) * _norm(b))
     return _dot(
         F.transform(a, lambda v: v.cast("double")), F.transform(b, lambda v: v.cast("double"))
     ) / (_norm(a) * _norm(b))
@@ -187,14 +245,18 @@ def lsh_hyperplanes(dim: int = 64, n_planes: int = LSH_PLANES) -> list[list[floa
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH signature: bit p = (w_p · v) > 0, packed into a long.
     Pure codegen — one zip_with fold per plane, no UDF."""
+    use_jvm = _vec_udfs_available()
     sig = F.lit(0).cast("long")
     for p, w in enumerate(planes):
         warr = F.array(*[F.lit(x) for x in w])
-        dot = F.aggregate(
-            F.zip_with(vec, warr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+        if use_jvm:
+            dot = F.call_udf("sparkrdf_vdot", vec, warr)
+        else:
+            dot = F.aggregate(
+                F.zip_with(vec, warr, lambda a, b: a.cast("double") * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
     return sig
 
@@ -246,6 +308,8 @@ def _sqdist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared euclidean distance — sequential fold over dimensions, the
     identical accumulation order the DuckDB oracle's list_sum uses.
     (``dim`` ignored — see :func:`_dot` for why unrolling regressed.)"""
+    if _vec_udfs_available():
+        return F.call_udf("sparkrdf_vsqd", a, b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0).cast("double"),

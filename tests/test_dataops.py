@@ -658,6 +658,69 @@ def test_knn_join_exact_small(spark):
     assert all(len(v) == 2 for v in by_id.values())
 
 
+def test_jvm_vector_folds_bit_equal_hof(spark, monkeypatch):
+    """The compiled JVM vector folds (sparkrdf.VecDot / VecSqDist) must be
+    BIT-equal to the Catalyst aggregate(zip_with) folds they replace —
+    same left-to-right accumulation, exact float->double widening, the
+    zip_with null/length contract — across dots, norms, cosines, squared
+    distances and the LSH signature."""
+    import struct
+
+    import sparkrdf.similarity as S
+    from pyspark.sql import functions as F
+
+    if not S._vec_udfs_available():  # no javac in this environment
+        import pytest
+
+        pytest.skip("JVM vector UDFs unavailable")
+
+    rows = [
+        (1, [1.0, 0.5, -0.25, 3.0]),
+        (2, [0.1, 0.2, 0.3, 0.4]),
+        (3, [-1.5, 2.5, 0.0, 1e-7]),
+        # no all-zero row: cosine's division is ANSI-strict on BOTH paths
+        # (knn_join itself filters zero norms before scoring)
+        (4, [1e-30, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def proj():
+        dv = F.col("embedding").cast("array<double>")
+        return emb.select(
+            "vec_id",
+            S._dot(dv, F.reverse(dv)).alias("d"),
+            S._norm(F.col("embedding")).alias("n"),
+            S.cosine(F.col("embedding"), F.reverse(F.col("embedding"))).alias("c"),
+            S._sqdist(dv, F.reverse(dv)).alias("q"),
+            S.lsh_signature(
+                F.col("embedding"), S.lsh_hyperplanes(dim=4, n_planes=6)
+            ).alias("sig"),
+        )
+
+    jvm = sorted(proj().collect())
+    monkeypatch.setenv("SPARKRDF_NO_JVM_VECOPS", "1")
+    hof = sorted(proj().collect())
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x)
+
+    for a, b in zip(jvm, hof):
+        assert a["vec_id"] == b["vec_id"]
+        for f in ("d", "n", "q"):
+            assert bits(a[f]) == bits(b[f]), (a["vec_id"], f)
+        assert bits(a["c"]) == bits(b["c"]), a["vec_id"]
+        assert a["sig"] == b["sig"]
+
+    # zip_with length contract: mismatched lengths go NULL on both paths
+    two = spark.createDataFrame(
+        [([1.0, 2.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>"
+    )
+    monkeypatch.delenv("SPARKRDF_NO_JVM_VECOPS")
+    assert two.select(S._dot(F.col("a"), F.col("b"))).first()[0] is None
+    monkeypatch.setenv("SPARKRDF_NO_JVM_VECOPS", "1")
+    assert two.select(S._dot(F.col("a"), F.col("b"))).first()[0] is None
+
+
 def test_knn_join_zero_norm_excluded(spark):
     # a zero vector has NaN cosine with everything, and NaN sorts above all
     # doubles descending — unguarded it would be the #1 neighbor of every row
